@@ -1,0 +1,53 @@
+"""Engine-side constants. Semantics documented in SPEC.md — the test oracle
+(`tests/oracle.py`) deliberately duplicates these values instead of importing them
+(independent-implementation requirement, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import os
+
+# ---- rule thresholds (SPEC.md "Rules") ----
+LEN_MIN = 3
+LEN_MAX = 5000
+REPETITION_MIN_TOKENS = 5
+REPETITION_MAX = 0.5
+SYMBOL_RATIO_MAX = 0.30
+CPS_MIN = 1.0
+CPS_MAX = 50.0
+ALLOWED_SR = (8000, 16000, 22050, 44100)
+CODEC_BYTES_PER_SAMPLE = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+LANG_ALLOWLIST = ("en", "fr", "de", "es")
+LANG_CONF_MIN = 0.60
+PPL_MAX = 25.0
+TOXICITY_LEXICON = ("frak", "blargh", "drekk", "gorram", "smeg")
+
+# ---- PII scrub (SPEC.md "PII scrub"; order matters) ----
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("CARD", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    ("PHONE", r"\+\d{1,3}(?:[ -]\d{2,4}){2,4}\b", "<PHONE>"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+# ---- models (SPEC.md "Language ID" / "Perplexity") ----
+LANGID_CLASSES = ("en", "fr", "de", "es", "it", "xx")
+LANGID_BUCKETS = 32768
+LANGID_NGRAM_MAX = 3
+LANGID_HASH_MOD = (1 << 61) - 1
+CHARLM_BACKOFF = 0.4
+CHARLM_MAX_ALPHABET = 63  # + UNK slot 0
+MODELS_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "models")
+
+# ---- reference-check semantics (SPEC.md last section) ----
+NULL_FRACTION_MAX = 0.01
+DYNAMIC_THRESHOLD_TOLERANCE = 0.20
+DYNAMIC_THRESHOLD_HISTORY = 10
+STATIC_ROW_COUNT_MIN = 2
+URGENCY_BUCKETS = ((25.0, "CRITICAL"), (50.0, "HIGH"), (75.0, "MEDIUM"), (100.0, "LOW"))
+
+# ---- execution tuning ----
+DEFAULT_BATCH_SIZE = 2048          # clips per batch in audio stages (binary payloads)
+TEXT_BATCH_SIZE = 4096             # rows per batch in text-only stages
+MODEL_POOL_SIZE = (2, 8)           # actor-pool autoscaling bounds for model stages
+BROADCAST_DUP_LIMIT = 5_000_000    # max duplicate-group entries to broadcast (see
+                                   # pipelines/quality_filter.py dedup notes)

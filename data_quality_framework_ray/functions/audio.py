@@ -1,0 +1,188 @@
+"""Audio codec kernels: G.711 µ-law / A-law / PCM16 decode, vectorized over whole
+Arrow batches.
+
+The decoders are built from the public G.711 / CCITT definitions as 256-entry
+numpy lookup tables, so an entire ``binary`` column decodes with ONE numpy
+fancy-index over the column's contiguous data buffer — no per-row Python work.
+The independent test oracle decodes with stdlib ``audioop`` instead
+(tests/oracle.py); the two must agree exactly (verified in tests/test_audio.py,
+per-row invariant: allclose + SNR ≥ 30 dB, BASELINE.json input_hint).
+
+Reference parity: the reference has no audio path at all (SURVEY.md §2.2) —
+these kernels exist for the north rule's clip table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+CODEC_BPS = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """µ-law byte → 16-bit linear PCM (G.711 decode formula)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # stored form is complemented
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    sample = np.where(sign, -sample, sample)
+    return sample.astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """A-law byte → 16-bit linear PCM (G.711 decode formula)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    positive = (a & 0x80) != 0  # A-law sign convention: MSB set = positive
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    base = np.where(exponent == 0, (mantissa << 4) + 8,
+                    ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0))
+    sample = np.where(positive, base, -base)
+    return sample.astype(np.int16)
+
+
+ULAW_TABLE = _build_ulaw_table()
+ALAW_TABLE = _build_alaw_table()
+
+
+def binary_column_buffers(col: pa.ChunkedArray | pa.Array) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Zero-copy views of a binary column: per chunk (data_u8, offsets, valid_mask)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for ch in chunks:
+        ch = ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch
+        offsets = np.frombuffer(ch.buffers()[1], dtype=np.int32,
+                                count=len(ch) + 1, offset=ch.offset * 4)
+        data_buf = ch.buffers()[2]
+        data = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
+                else np.empty(0, dtype=np.uint8))
+        valid = np.asarray(ch.is_valid())
+        out.append((data, offsets, valid))
+    return out
+
+
+def decode_rows(bytes_col, codec_col) -> list[np.ndarray | None]:
+    """Decode each row's bytes to float32 PCM in [-1, 1); None for null/unknown.
+
+    Used for the sampled per-row PCM audit and tests; the streaming pipeline
+    uses :func:`decode_stats` instead (it never materializes per-row PCM
+    beyond the batch).
+    """
+    out: list[np.ndarray | None] = []
+    codecs = codec_col.to_pylist() if not isinstance(codec_col, list) else codec_col
+    raw = bytes_col.to_pylist() if not isinstance(bytes_col, list) else bytes_col
+    for b, c in zip(raw, codecs):
+        if b is None or c not in CODEC_BPS:
+            out.append(None)
+            continue
+        out.append(decode_one(b, c))
+    return out
+
+
+def decode_one(b: bytes, codec: str) -> np.ndarray:
+    if codec == "pcm16":
+        n = len(b) - (len(b) % 2)
+        pcm = np.frombuffer(b, dtype="<i2", count=n // 2).astype(np.int32)
+    elif codec == "ulaw":
+        pcm = ULAW_TABLE[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
+    elif codec == "alaw":
+        pcm = ALAW_TABLE[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
+    else:  # pragma: no cover - guarded by caller
+        raise ValueError(codec)
+    return (pcm / 32768.0).astype(np.float32)
+
+
+def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Vectorized per-clip audio stats over a whole Arrow batch.
+
+    Decodes ALL clips of one codec in a single LUT fancy-index over the
+    column's contiguous data buffer, then reduces per clip with
+    ``np.add.reduceat`` — no Python loop over rows. Returns
+    ``n_samples:int64, rms:float64`` arrays aligned with the batch
+    (NaN/0 where bytes are null or codec unknown).
+    """
+    n = batch.num_rows
+    n_samples = np.zeros(n, dtype=np.int64)
+    sumsq = np.full(n, np.nan, dtype=np.float64)
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        m = len(offsets) - 1
+        rows = slice(row_base, row_base + m)
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        lens = np.where(valid, lens, 0)
+        codecs = codec_np[rows]
+        for codec, bps in CODEC_BPS.items():
+            sel = valid & (codecs == codec) & (lens >= bps)
+            if not sel.any():
+                continue
+            starts, stops = offsets[:-1][sel], offsets[1:][sel]
+            if codec == "pcm16":
+                stops = starts + ((stops - starts) // 2) * 2
+            # gather the selected rows' bytes into one contiguous array
+            idx = _ranges_to_indices(starts, stops)
+            chunk = data[idx]
+            if codec == "pcm16":
+                pcm = chunk.view("<i2").astype(np.float64)
+                bounds = np.cumsum(np.concatenate([[0], (stops - starts) // 2]))[:-1]
+            else:
+                table = ULAW_TABLE if codec == "ulaw" else ALAW_TABLE
+                pcm = table[chunk].astype(np.float64)
+                bounds = np.cumsum(np.concatenate([[0], stops - starts]))[:-1]
+            pcm /= 32768.0
+            cnt = np.diff(np.concatenate([bounds, [len(pcm)]]))
+            ssq = np.add.reduceat(pcm * pcm, bounds) if len(pcm) else np.zeros(0)
+            out_rows = np.nonzero(sel)[0] + row_base
+            n_samples[out_rows] = cnt
+            sumsq[out_rows] = ssq
+        row_base += m
+
+    rms = np.sqrt(sumsq / np.maximum(n_samples, 1))
+    return {"n_samples": n_samples, "rms": rms}
+
+
+def _ranges_to_indices(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
+    """Concatenate [start, stop) ranges into one index array (vectorized)."""
+    lens = (stops - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - stops[:-1] + 1
+    return np.cumsum(out)
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """10·log10(‖ref‖² / ‖ref−test‖²); inf when identical."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    noise = float(np.sum((ref - test) ** 2))
+    if noise == 0.0:
+        return float("inf")
+    sig = float(np.sum(ref**2))
+    return 10.0 * np.log10(sig / noise) if sig > 0 else float("-inf")
+
+
+# ---- encoders (datagen-side; not in the hot path) ----
+
+def encode_pcm16(x: np.ndarray) -> bytes:
+    pcm = np.clip(np.rint(np.asarray(x) * 32767.0), -32768, 32767).astype("<i2")
+    return pcm.tobytes()
+
+
+def encode(x: np.ndarray, codec: str) -> bytes:
+    pcm_bytes = encode_pcm16(x)
+    if codec == "pcm16":
+        return pcm_bytes
+    import audioop  # stdlib in py≤3.12; datagen-only dependency
+
+    if codec == "ulaw":
+        return audioop.lin2ulaw(pcm_bytes, 2)
+    if codec == "alaw":
+        return audioop.lin2alaw(pcm_bytes, 2)
+    raise ValueError(codec)

@@ -1,0 +1,196 @@
+"""Vectorized hashing kernels: content hashes (exact dedup keys), MinHash,
+SimHash, winnowing-style fingerprints, and the langid feature hash.
+
+Everything here is numpy/polars-vectorized over whole batches — these run in
+the hot path of the dedup pipelines. Hash *values* only need to be stable
+within a run (dedup groups are defined by the underlying content; the oracle
+groups by raw values, never by our hashes).
+
+Scale note (100 TB): a single 64-bit key risks birthday collisions around
+10^9+ rows, so exact-dedup keys are 128-bit (two independent 64-bit hashes,
+grouped as a two-column key).
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def content_hash_128(*cols: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash of the row-wise tuple of columns (string/binary ok,
+    nulls hash as empty). Returns two int64 arrays (reinterpreted uint64)."""
+    df = pl.from_arrow(pa.table({f"c{i}": c for i, c in enumerate(cols)}))
+    df = df.with_columns(pl.col(c).fill_null(pl.lit(b"" if df[c].dtype == pl.Binary else "")) for c in df.columns)
+    h1 = df.hash_rows(seed=11).to_numpy().view(np.int64)
+    h2 = df.hash_rows(seed=2025).to_numpy().view(np.int64)
+    return h1, h2
+
+
+def fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated aranges [s0..s0+l0) ++ [s1..s1+l1) ++ …, vectorized."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    step = np.ones(total, dtype=np.int64)
+    step[0] = starts[0]
+    ends = np.cumsum(lens)
+    step[ends[:-1]] = starts[1:] - (starts[:-1] + lens[:-1]) + 1
+    return np.cumsum(step)
+
+
+def _codepoint_rows(text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """All rows' codepoints concatenated (uint32, one space between rows so
+    windows never span rows) + per-row start offsets (starts = offsets[:-1])."""
+    s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
+    joined = " ".join(s.to_list())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = s.str.len_chars().to_numpy().astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=offsets[1:])
+    return cps, offsets
+
+
+def char_ngram_hashes(text, n: int, base: int = 31) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial hashes of all char n-grams per row (mod 2^61-1), fully
+    vectorized. Returns (hashes uint64, row_offsets int64) where
+    row_offsets[i]:row_offsets[i+1] indexes row i's n-gram hashes."""
+    cps, offsets = _codepoint_rows(text)
+    starts = offsets[:-1]
+    lens = np.diff(offsets) - 1  # drop separator
+    out_lens = np.maximum(lens - n + 1, 0)
+    row_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=row_offsets[1:])
+    total = int(row_offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), row_offsets
+    idx = expand_ranges(starts, out_lens)  # window start positions, all rows
+    h = np.zeros(total, dtype=np.uint64)
+    cps64 = cps.astype(np.uint64)
+    for k in range(n):
+        h = (h * np.uint64(base) + cps64[idx + k]) % np.uint64(MERSENNE61)
+    return h, row_offsets
+
+
+def token_hashes(text) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash per whitespace token per row (vectorized via polars explode)."""
+    s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
+    df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64),
+                       "tok": s.str.extract_all(r"\S+")})
+    ex = df.explode("tok").drop_nulls("tok")
+    h = ex.select(pl.col("tok").hash(seed=7)).to_series().to_numpy().astype(np.uint64)
+    rows = ex["row"].to_numpy()
+    counts = np.bincount(rows, minlength=len(s)).astype(np.int64)
+    row_offsets = np.zeros(len(s) + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_offsets[1:])
+    return h, row_offsets
+
+
+def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of k-token shingles per row (rolling over token hashes)."""
+    th, off = token_hashes(text)
+    lens = np.diff(off)
+    out_lens = np.maximum(lens - k + 1, 0)
+    # rows with fewer than k tokens fall back to a single whole-row shingle
+    short = (lens > 0) & (lens < k)
+    row_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(out_lens + short, out=row_offsets[1:])
+    out = np.zeros(int(row_offsets[-1]), dtype=np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    np_err = np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
+    for i in range(len(lens)):  # row loop over cheap slices (k small); the
+        # inner ops are vectorized — acceptable: #rows << #tokens
+        a, b = off[i], off[i + 1]
+        if lens[i] == 0:
+            continue
+        toks = th[a:b]
+        o = row_offsets[i]
+        if lens[i] < k:
+            acc = np.uint64(0)
+            for t in toks:
+                acc = acc * P + t
+            out[o] = acc
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(toks, k)
+            acc = np.zeros(len(w), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * P + w[:, j]
+            out[o:o + len(w)] = acc
+    np.seterr(**np_err)
+    return out, row_offsets
+
+
+def minhash_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
+                       num_perm: int = 128, seed: int = 1) -> np.ndarray:
+    """MinHash signature matrix (rows × num_perm uint64) from per-row hash sets,
+    via universal hashing a·h+b mod 2^61−1, chunked to bound memory."""
+    n_rows = len(row_offsets) - 1
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, MERSENNE61, size=num_perm, dtype=np.int64)).astype(np.uint64)
+    b = (rng.integers(0, MERSENNE61, size=num_perm, dtype=np.int64)).astype(np.uint64)
+    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = np.diff(row_offsets) > 0
+    starts = row_offsets[:-1][nonempty]
+    if len(starts) == 0:
+        return sig
+    hm = hashes % np.uint64(MERSENNE61)
+    chunk = 16
+    for p0 in range(0, num_perm, chunk):
+        p1 = min(p0 + chunk, num_perm)
+        vals = (a[p0:p1, None] * hm[None, :] + b[p0:p1, None]) % np.uint64(MERSENNE61)
+        mins = np.minimum.reduceat(vals, starts, axis=1)
+        sig[nonempty, p0:p1] = mins.T
+    return sig
+
+
+def simhash64(hashes: np.ndarray, row_offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row from its feature-hash multiset."""
+    n_rows = len(row_offsets) - 1
+    out = np.zeros(n_rows, dtype=np.uint64)
+    nonempty = np.diff(row_offsets) > 0
+    starts = row_offsets[:-1][nonempty]
+    if len(starts) == 0:
+        return out
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    sums = np.add.reduceat(bits * 2 - 1, starts, axis=0)  # (nonempty_rows, 64)
+    packed = (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    out[nonempty] = packed.sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def bottom_k_fingerprint(hashes: np.ndarray, row_offsets: np.ndarray, k: int = 8) -> list[list[int]]:
+    """Winnowing-style document fingerprint: bottom-k of the row's k-gram
+    hashes (sorted). Rows with < k hashes keep them all."""
+    out: list[list[int]] = []
+    for i in range(len(row_offsets) - 1):  # sketch assembly; rows >> work per row
+        h = hashes[row_offsets[i]:row_offsets[i + 1]]
+        if len(h) == 0:
+            out.append([])
+            continue
+        h = np.unique(h)  # sorted ascending
+        out.append([int(x) for x in h[:k]])
+    return out
