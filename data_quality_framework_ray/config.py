@@ -48,6 +48,8 @@ URGENCY_BUCKETS = ((25.0, "CRITICAL"), (50.0, "HIGH"), (75.0, "MEDIUM"), (100.0,
 # ---- execution tuning ----
 DEFAULT_BATCH_SIZE = 2048          # clips per batch in audio stages (binary payloads)
 TEXT_BATCH_SIZE = 4096             # rows per batch in text-only stages
-MODEL_POOL_SIZE = (2, 8)           # actor-pool autoscaling bounds for model stages
+MODEL_POOL_SIZE = (1, 8)           # actor-pool autoscaling bounds for model stages;
+                                   # min=1 so two pools never reserve every CPU of a
+                                   # small node and starve the read/sink tasks
 BROADCAST_DUP_LIMIT = 5_000_000    # max duplicate-group entries to broadcast (see
                                    # pipelines/quality_filter.py dedup notes)

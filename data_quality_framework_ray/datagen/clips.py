@@ -74,19 +74,22 @@ def _pii_sentence(rng: np.random.Generator, base: str) -> str:
 
 
 def generate_fragment(seed: int, frag_id: int, n_rows: int,
-                      dur_range_ms: tuple[int, int] = (200, 1500)) -> tuple[pa.Table, pa.Table]:
-    """One fragment (clips table, truth table) — pure function of args."""
+                      max_dur_s: float = 6.0) -> tuple[pa.Table, pa.Table]:
+    """One fragment (clips table, truth table) — pure function of args.
+
+    Duration is derived from transcript length at a plausible chars-per-second
+    rate (8–35 cps, capped at ``max_dur_s``) so clean clips pass the rate rule;
+    defect plants push specific rules out of range.
+    """
     rng = np.random.default_rng([seed, frag_id])
     rows: list[dict] = []
     truth: list[dict] = []
-    lo, hi = dur_range_ms
     for i in range(n_rows):
         clip_id = f"clip_{frag_id:05d}_{i:07d}"
         lang = str(LANGS[rng.choice(len(LANGS), p=LANG_P)])
         codec = str(CODECS[rng.choice(len(CODECS), p=CODEC_P)])
         sr = int(SRS[rng.choice(len(SRS), p=SR_P)])
-        dur_ms = int(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-        transcript = corpora.sentence(lang, rng)
+        transcript = corpora.sentence(lang, rng, int(rng.integers(3, 11)))
         defect = "clean"
         if rng.random() > CLEAN_P:
             defect = DEFECTS[int(rng.integers(0, len(DEFECTS)))]
@@ -101,17 +104,14 @@ def generate_fragment(seed: int, frag_id: int, n_rows: int,
         if defect == "short_transcript":
             transcript = "ab"[: int(rng.integers(1, 3))]
         elif defect == "long_transcript":
-            transcript = " ".join(corpora.sentence(lang, rng, 20) for _ in range(60))
+            transcript = " ".join(corpora.sentence(lang, rng, 20) for _ in range(45))
+            sr, codec = 8000, "ulaw"  # bound the buffer for the long clip
         elif defect == "repetition":
             w = corpora.sentence(lang, rng, 1)
             transcript = " ".join([w] * int(rng.integers(10, 30)))
         elif defect == "symbol":
             base = corpora.sentence(lang, rng, 4)
             transcript = base + " " + "#$%@!&*" * int(rng.integers(2, 6))
-        elif defect == "rate_mismatch":
-            transcript = corpora.sentence(lang, rng, 2)[:10]
-            dur_ms = int(rng.integers(11000, 16000))
-            sr, codec = 8000, "ulaw"  # keep the long buffer small
         elif defect == "null_transcript":
             transcript = None if rng.random() < 0.5 else "   "
         elif defect == "pii":
@@ -121,6 +121,18 @@ def generate_fragment(seed: int, frag_id: int, n_rows: int,
             tox = ["frak", "blargh", "drekk", "gorram", "smeg"][int(rng.integers(0, 5))]
             pos = int(rng.integers(0, len(words) + 1))
             transcript = " ".join(words[:pos] + [tox] + words[pos:])
+
+        nchars = len(transcript) if transcript else 3
+        cps = rng.uniform(8.0, 35.0)
+        dur_s = min(nchars / cps, max_dur_s)
+        if defect == "rate_mismatch":
+            if rng.random() < 0.5:  # too slow: < 1 cps
+                transcript = corpora.sentence(lang, rng, 2)[:10]
+                dur_s = len(transcript) / rng.uniform(0.3, 0.8)
+                sr, codec = 8000, "ulaw"
+            else:  # too fast: > 50 cps
+                dur_s = nchars / rng.uniform(60.0, 150.0)
+        dur_ms = max(int(dur_s * 1000), 40)
 
         n = round(dur_ms * sr / 1000)
         x = _synth_audio(rng, n)
@@ -150,14 +162,14 @@ def generate_fragment(seed: int, frag_id: int, n_rows: int,
 
 
 def generate_clips(out_dir: str, n_clips: int, n_fragments: int, seed: int = 42,
-                   dur_range_ms: tuple[int, int] = (200, 1500),
+                   max_dur_s: float = 6.0,
                    use_ray: bool = False) -> dict:
     """Write the fragment directory; returns the manifest dict. Idempotent:
     if a manifest with identical params exists, generation is skipped."""
     os.makedirs(out_dir, exist_ok=True)
     man_path = os.path.join(out_dir, "manifest.json")
     params = {"seed": seed, "n_clips": n_clips, "n_fragments": n_fragments,
-              "dur_range_ms": list(dur_range_ms)}
+              "max_dur_s": max_dur_s}
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
@@ -168,7 +180,7 @@ def generate_clips(out_dir: str, n_clips: int, n_fragments: int, seed: int = 42,
            for k in range(n_fragments)]
 
     def write_frag(k: int) -> dict:
-        t, tt = generate_fragment(seed, k, per[k], dur_range_ms)
+        t, tt = generate_fragment(seed, k, per[k], max_dur_s)
         path = os.path.join(out_dir, f"frag_{k:05d}.parquet")
         pq.write_table(t, path)
         pq.write_table(tt, os.path.join(out_dir, f"_truth_{k:05d}.parquet"))

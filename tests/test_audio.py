@@ -1,0 +1,74 @@
+"""Codec kernels vs the independent audioop oracle + the per-row PCM audit
+(BASELINE.json input_hint: decoded-PCM allclose, SNR ≥ 30 dB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_quality_framework_ray.functions import audio as A
+from tests import oracle
+
+
+def test_lut_tables_match_audioop_exactly():
+    import audioop
+
+    all_bytes = bytes(range(256))
+    assert np.array_equal(np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2"),
+                          A.ULAW_TABLE)
+    assert np.array_equal(np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype="<i2"),
+                          A.ALAW_TABLE)
+
+
+@pytest.mark.parametrize("codec", ["pcm16", "ulaw", "alaw"])
+def test_roundtrip_snr(codec):
+    rng = np.random.default_rng(7)
+    x = 0.4 * np.sin(np.linspace(0, 300, 16000)) + 0.01 * rng.standard_normal(16000)
+    dec = A.decode_one(A.encode(x, codec), codec)
+    assert A.snr_db(x, dec) >= 30.0
+
+
+def test_decode_stats_matches_per_row():
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(5, 400))
+        x = 0.5 * np.sin(np.arange(n) * 0.1) + 0.01 * rng.standard_normal(n)
+        codec = ["pcm16", "ulaw", "alaw"][i % 3]
+        rows.append({"clip_id": str(i), "bytes": A.encode(x, codec), "codec": codec})
+    rows.append({"clip_id": "null", "bytes": None, "codec": "pcm16"})
+    rows.append({"clip_id": "unk", "bytes": b"abc", "codec": "opus"})
+    t = pa.Table.from_pylist(rows)
+    stats = A.decode_stats(t)
+    for i, r in enumerate(rows):
+        if r["bytes"] is None or r["codec"] not in A.CODEC_BPS:
+            assert stats["n_samples"][i] == 0
+            continue
+        pcm = A.decode_one(r["bytes"], r["codec"]).astype(np.float64)
+        assert stats["n_samples"][i] == len(pcm)
+        assert abs(stats["rms"][i] - np.sqrt(np.mean(pcm**2))) < 1e-9
+
+
+def test_per_row_pcm_audit_vs_oracle(clips_dir):
+    """Sampled per-row invariant: engine LUT decode vs independent audioop
+    decode — allclose and SNR ≥ 30 dB (identical is expected)."""
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+
+    t = pq.read_table(fragment_paths(clips_dir)[0])
+    rng = np.random.default_rng(11)
+    idx = rng.choice(t.num_rows, size=min(200, t.num_rows), replace=False)
+    n_checked = 0
+    for i in idx:
+        codec = t["codec"][int(i)].as_py()
+        b = t["bytes"][int(i)].as_py()
+        if b is None or codec not in A.CODEC_BPS:
+            continue
+        ours = A.decode_one(b, codec).astype(np.float64)
+        ref = oracle.decode_audioop(b, codec)
+        assert len(ours) == len(ref)
+        assert np.allclose(ours, ref, atol=1e-9)
+        assert A.snr_db(ref, ours) >= 30.0
+        n_checked += 1
+    assert n_checked > 50

@@ -1,0 +1,108 @@
+"""Vectorized kernels vs plain-Python re/split references on adversarial
+strings (engine polars/numpy vs stdlib semantics)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from data_quality_framework_ray.functions import hashing as H
+from data_quality_framework_ray.functions import scrub as S
+from data_quality_framework_ray.functions import textstats as T
+
+TRICKY = [
+    "hello world hello world hello",
+    None,
+    "",
+    "   ",
+    "a",
+    "la la la la la la la",
+    "über die brücke, naïve café — ¡hola!",
+    "x " * 100,
+    "mail a@b.co or c.d+e@f-g.org now",
+    "!!!###$$$",
+    "word",
+    "tabs\tand\nnewlines  double  spaces",
+]
+
+
+def test_text_stats_match_python():
+    st = T.text_stats(pa.array(TRICKY, type=pa.string()))
+    sym = re.compile(r"[^\w\s]", re.UNICODE)
+    for i, t in enumerate(TRICKY):
+        blank = t is None or t.strip() == ""
+        assert bool(st["is_null_or_blank"][i]) == blank
+        if t is None:
+            continue
+        toks = t.split()
+        assert st["nchars"][i] == len(t)
+        assert st["ntok"][i] == len(toks)
+        assert st["ndistinct"][i] == len(set(toks))
+        assert st["nsym"][i] == len(sym.findall(t)), t
+
+
+def test_scrub_matches_re_sub():
+    from tests.oracle import scrub_one
+
+    cases = [
+        "email a@b.com and phone +33 612 345 678 end",
+        "card 4111 1111 1111 1111 ssn 123-45-6789",
+        "+1 23 45 67 89 mixed 4111-1111-1111-1111",
+        "no pii at all",
+        "edge a@b.c a@b.co +1 2 3",
+    ]
+    out = S.scrub(pa.array(cases, type=pa.string()))
+    got = out["scrubbed"].to_pylist() if hasattr(out["scrubbed"], "to_pylist") else list(out["scrubbed"])
+    for i, c in enumerate(cases):
+        want, n = scrub_one(c)
+        assert got[i] == want, (c, got[i], want)
+        assert out["n_pii"][i] == n
+
+
+def test_char_ngram_hash_formula():
+    """Engine hashing == SPEC polynomial formula computed naively."""
+    texts = ["abc", "héllo", ""]
+    h, off = H.char_ngram_hashes(pa.array(texts, type=pa.string()), 2)
+    M = (1 << 61) - 1
+    for i, t in enumerate(texts):
+        grams = [t[j:j + 2] for j in range(len(t) - 1)]
+        want = [(ord(g[0]) * 31 + ord(g[1])) % M for g in grams]
+        assert list(h[off[i]:off[i + 1]]) == want
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(5)
+    base = [f"tok{i}" for i in range(200)]
+    a = " ".join(base)
+    b = " ".join(base[:100] + [f"other{i}" for i in range(100)])  # J ≈ 1/3 on 3-shingles
+    sh, off = H.shingle_hashes(pa.array([a, b], type=pa.string()), 3)
+    sig = H.minhash_signatures(sh, off, num_perm=256)
+    est = float(np.mean(sig[0] == sig[1]))
+    # true shingle jaccard
+    s1 = set(zip(base, base[1:], base[2:]))
+    toks_b = b.split()
+    s2 = set(zip(toks_b, toks_b[1:], toks_b[2:]))
+    true_j = len(s1 & s2) / len(s1 | s2)
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_similarity():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different text about data pipelines and shuffles " * 5
+    th, off = H.token_hashes(pa.array([a, b, c], type=pa.string()))
+    s = H.simhash64(th, off)
+    d_ab = H.hamming64(s[0:1], s[1:2])[0]
+    d_ac = H.hamming64(s[0:1], s[2:3])[0]
+    assert d_ab < d_ac
+    assert d_ab <= 16
+
+
+def test_content_hash_null_handling():
+    h1a, _ = H.content_hash_128(pa.array([None], type=pa.string()),
+                                pa.array([None], type=pa.binary()))
+    h1b, _ = H.content_hash_128(pa.array([""], type=pa.string()),
+                                pa.array([b""], type=pa.binary()))
+    assert h1a[0] == h1b[0]  # SPEC: NULLs key as empty
