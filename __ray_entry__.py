@@ -1,44 +1,522 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship clip quality-filter pipeline; ``queries()``
+exposes one callable per implemented operator (SURVEY.md §2 + the scale
+operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+operator is SQL-expressible (same column NAMES both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from functools import partial
 from typing import Any
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+MODELS_DIR = os.path.join(REPO, "models")
+
+_CLIP_SCALE = {"sf0.001": (1000, 6), "sf0.01": (4000, 12), "sf0.1": (20000, 32)}
+
+
+def _clips_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic clip table sized to the sf tier (BASELINE.json
+    input_hint shape; generation is cached via the manifest)."""
+    from data_quality_framework_ray.datagen.clips import generate_clips
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n, frags = _CLIP_SCALE.get(name, (1000, 6))
+    d = f"/tmp/dqfr_clips_{name}"
+    generate_clips(d, n_clips=n, n_fragments=frags, seed=42)
+    return d
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scale clip table; returns the final
+    keep/drop + scrub decisions Dataset."""
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = _clips_dir_for("/root/testdata/sf0.001")
+    out = "/tmp/dqfr_entry_out"
+    qf.run(clips, out, models_dir=MODELS_DIR)
+    return qf.read_final(out)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _q_read_project_filter(sf_dir: str):
+    """S1+M1+M2: projection at the read + vectorized predicate
+    (/root/reference/core/data_fetcher.py:60-121 re-expressed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_shipdate"])
+    cutoff = pa.scalar("1995-07-01").cast(pa.timestamp("us"))
+    return ds.map_batches(lambda t: t.filter(pc.less(t["l_shipdate"], cutoff)),
+                          batch_format="pyarrow") \
+             .select_columns(["l_orderkey", "l_quantity"])
+
+
+def _q_row_counts(sf_dir: str):
+    """A1: per-table row counts (metadata-fast ds.count)."""
+    import pyarrow as pa
+
+    tables = ["region", "nation", "customer", "orders", "lineitem", "events",
+              "documents", "embeddings"]
+    rows = [{"table_name": t, "row_count": _read(sf_dir, t).count()} for t in tables]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["table_name"]))
+
+
+def _q_null_counts(sf_dir: str):
+    """A2: per-column null counts on events via the expectation partials."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.expectations import check_nulls
+
+    ds = _read(sf_dir, "events")
+    res = check_nulls(ds, table="events")
+    return pa.Table.from_pylist([{"column_name": r["column"],
+                                  "null_count": r["details"]["nulls"]} for r in res])
+
+
+def _q_freshness(sf_dir: str):
+    """A3: global max over the event-time column."""
+    import pyarrow as pa
+
+    mx = _read(sf_dir, "events", ["ts"]).max("ts")
+    return pa.table({"max_ts": [mx]})
+
+
+def _q_distinct_rows(sf_dir: str):
+    """A4: exact distinct count via hash-group partials (no full-row shuffle)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.expectations import check_duplicates
+
+    ds = _read(sf_dir, "documents", ["text"])
+    r = check_duplicates(ds, "documents")
+    return pa.table({"cnt": [ds.count()],
+                     "distinct_text": [r["details"]["distinct_rows"]]})
+
+
+def _q_grouped_agg(sf_dir: str):
+    """A5-style grouped aggregate with named outputs (orders by status)."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+
+    out = (_read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+           .groupby("o_orderstatus")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+    t = pa.Table.from_pylist(out.take_all())
+    import pyarrow.compute as pc
+
+    return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
+                         pc.round(t["total_price"], 2))
+            .sort_by("o_orderstatus"))
+
+
+def _q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: partial combine per batch → tiny groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by(["l_returnflag", "l_linestatus"])
+                .agg(pl.col("l_quantity").sum().alias("sum_qty"),
+                     pl.col("l_extendedprice").sum().alias("sum_base_price"),
+                     pl.len().alias("count_order")).to_arrow())
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    g = (ds.map_batches(partials, batch_format="pyarrow")
+         .groupby(["l_returnflag", "l_linestatus"])
+         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                    Sum("sum_base_price", alias_name="sum_base_price"),
+                    Sum("count_order", alias_name="count_order")))
+    t = pa.Table.from_pylist(g.take_all())
+    for c in ("sum_qty", "sum_base_price"):
+        t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+    return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def _q_topk_events(sf_dir: str):
+    """O2: global top-k by timestamp (sort + limit; k tiny)."""
+    return (_read(sf_dir, "events", ["event_id", "ts"])
+            .sort(["ts", "event_id"], descending=[True, True])
+            .limit(5))
+
+
+def _q_latest_per_type(sf_dir: str):
+    """J2-style history lookup: newest ts per key."""
+    from ray.data.aggregate import Count, Max
+
+    out = (_read(sf_dir, "events", ["event_type", "ts"])
+           .groupby("event_type")
+           .aggregate(Max("ts", alias_name="last_ts"),
+                      Count(alias_name="n_events")))
+    import pyarrow as pa
+
+    return pa.Table.from_pylist(out.take_all()).sort_by("event_type")
+
+
+def _q_dev_prod(sf_dir: str):
+    """J1: the reference's DEV≤PROD row-count comparison
+    (/root/reference/main.py:226-253) over two per-nation aggregates
+    (supplier=DEV, customer=PROD). Small-side aggregates merged driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    cust = {r["c_nationkey"]: r["count()"] for r in
+            _read(sf_dir, "customer", ["c_nationkey"]).groupby("c_nationkey")
+            .aggregate(Count()).take_all()}
+    supp = {r["s_nationkey"]: r["count()"] for r in
+            _read(sf_dir, "supplier", ["s_nationkey"]).groupby("s_nationkey")
+            .aggregate(Count()).take_all()}
+    nation = _read(sf_dir, "nation").take_all()
+    rows = []
+    for n in nation:
+        dev = int(supp.get(n["n_nationkey"], 0))
+        prod = int(cust.get(n["n_nationkey"], 0))
+        rows.append({"nation": n["n_name"], "dev_count": dev, "prod_count": prod,
+                     "passed": dev <= prod})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["nation"]))
+
+
+def _q_empty_strings(sf_dir: str):
+    """M6: whitespace-only string counts
+    (/root/reference/core/quality_checks.py:465-467)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.expectations import check_nulls
+
+    res = check_nulls(_read(sf_dir, "documents", ["text"]), table="documents")
+    return pa.table({"empty_text": [res[0]["details"]["empty_strings"]]})
+
+
+def _q_integer_valued(sf_dir: str):
+    """M7: whole-number test on a float column
+    (/root/reference/core/quality_checks.py:289-300)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.expectations import check_integer_valued
+
+    r = check_integer_valued(_read(sf_dir, "lineitem", ["l_quantity"]), "l_quantity")
+    return pa.table({"non_integer_values": [r["details"]["non_integer_values"]]})
+
+
+def _q_windowed_agg(sf_dir: str):
+    """Tumbling 1-day window counts per event_type (streaming-shaped op as a
+    partial-combine + tiny groupby; ray_guide windowing pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        df = pl.from_arrow(pa.table({"event_type": batch["event_type"], "day": day}))
+        return df.group_by(["event_type", "day"]).agg(
+            pl.len().alias("n_events")).to_arrow()
+
+    g = (_read(sf_dir, "events", ["event_type", "ts"])
+         .map_batches(partials, batch_format="pyarrow")
+         .groupby(["event_type", "day"])
+         .aggregate(Sum("n_events", alias_name="n_events")))
+    return pa.Table.from_pylist(g.take_all()).sort_by(
+        [("event_type", "ascending"), ("day", "ascending")])
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup survivors (keep min doc_id per identical text)."""
+    from data_quality_framework_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, ["text"], "doc_id").select_columns(["doc_id"])
+
+
+def _q_token_counts(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex) over documents."""
+    from data_quality_framework_ray.pipelines.text_analysis import with_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_token_counts(ds).select_columns(["doc_id", "ws_tokens",
+                                                 "bpe_ish_tokens"])
+
+
+def _q_quality_stats(sf_dir: str):
+    """Quality stats (integer outputs only, for stable value-hash compare)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions.textstats import text_stats
+
+    def f(batch: pa.Table) -> pa.Table:
+        st = text_stats(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars": pa.array(st["nchars"], type=pa.int64()),
+                         "n_tokens": pa.array(st["ntok"], type=pa.int64()),
+                         "n_distinct_tokens": pa.array(st["ndistinct"], type=pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (query = first 3 embeddings, k=5)."""
+    import numpy as np
+
+    from data_quality_framework_ray.pipelines.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.take(3)
+    q = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    t = brute_force_topk(ds, q, k=5)
+    return t.select(["query_id", "id"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path; rows-only check — approximate)."""
+    import numpy as np
+
+    from data_quality_framework_ray.pipelines.similarity import (
+        assign_cells, ivf_topk, train_codebook)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = train_codebook(ds, n_cells=8)
+    qrows = ds.take(3)
+    q = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    return ivf_topk(ds, q, cb, k=5, nprobe=4).select(["query_id", "id"])
+
+
+def _q_langid_documents(sf_dir: str):
+    """Language ID over documents (model op — rows-only check)."""
+    from data_quality_framework_ray.pipelines.text_analysis import with_langid
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return with_langid(ds, models_dir=MODELS_DIR) \
+        .select_columns(["doc_id", "lang", "pred_lang", "pred_conf"])
+
+
+def _q_fingerprints(sf_dir: str):
+    """Document fingerprinting (rolling-hash bottom-k; rows-only)."""
+    from data_quality_framework_ray.pipelines.text_analysis import with_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_fingerprints(ds).select_columns(["doc_id", "fp_min"])
+
+
+def _q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clusters over documents (rows-only)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.dedup import minhash_lsh_dup_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = minhash_lsh_dup_groups(ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", t["doc_id"].cast(pa.string())),
+        batch_format="pyarrow"), "text", "doc_id")
+    rows = [{"doc_id": k, "cluster_rep": v} for k, v in sorted(comp.items())]
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"doc_id": pa.array([], type=pa.string()),
+         "cluster_rep": pa.array([], type=pa.string())})
+
+
+def _q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup clusters over documents (rows-only)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.dedup import simhash_dup_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = simhash_dup_groups(ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", t["doc_id"].cast(pa.string())),
+        batch_format="pyarrow"), "text", "doc_id", hamming_max=3)
+    rows = [{"doc_id": k, "cluster_rep": v} for k, v in sorted(comp.items())]
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"doc_id": pa.array([], type=pa.string()),
+         "cluster_rep": pa.array([], type=pa.string())})
+
+
+def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup clusters (rows-only)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.dedup import embedding_dup_groups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    comp = embedding_dup_groups(ds, "embedding", "vec_id", threshold=0.98)
+    rows = [{"vec_id": int(k), "cluster_rep": int(v)} for k, v in sorted(comp.items())]
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "cluster_rep": pa.array([], type=pa.int64())})
+
+
+def _q_clips_decisions(sf_dir: str):
+    """Flagship clip pipeline at the matching scale (rows-only; the pytest
+    oracle proves per-row fidelity — SPEC.md)."""
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = _clips_dir_for(sf_dir)
+    out = clips + "_out"
+    qf.run(clips, out, models_dir=MODELS_DIR)
+    return qf.read_final(out).select_columns(
+        ["clip_id", "keep", "lang", "n_pii", "frag_id"])
+
+
+def _q_personnes_expectations(sf_dir: str):
+    """The reference's six checks on the personnes fixture (rows-only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen import fixtures
+    from data_quality_framework_ray.pipelines import expectations as E
+
+    t = fixtures.personnes_table()
+    ds = rd.from_arrow(t)
+    results = [E.check_schema(t.schema, fixtures.PERSONNES_EXPECTED_SCHEMA, "personnes")]
+    results += E.check_nulls(ds, table="personnes")
+    results.append(E.check_duplicates(ds, "personnes"))
+    import datetime as dt
+
+    results.append(E.check_freshness(ds, "date_insertion", "personnes",
+                                     as_of=dt.date(2026, 1, 15)))
+    results.append(E.check_integer_valued(ds, "age", "personnes"))
+    results.append(E.check_row_count(ds.count(), "personnes",
+                                     history_desc=fixtures.seeded_history()))
+    return pa.Table.from_pylist(
+        [{"check": r["check"], "column": r["column"] or "",
+          "passed": r["passed"]} for r in results])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "read_project_filter": _q_read_project_filter,
+        "row_counts": _q_row_counts,
+        "null_counts": _q_null_counts,
+        "freshness_max_ts": _q_freshness,
+        "distinct_rows": _q_distinct_rows,
+        "grouped_agg": _q_grouped_agg,
+        "q1_lineitem": _q_q1_lineitem,
+        "topk_events": _q_topk_events,
+        "latest_per_type": _q_latest_per_type,
+        "dev_prod_comparison": _q_dev_prod,
+        "empty_strings": _q_empty_strings,
+        "integer_valued": _q_integer_valued,
+        "windowed_agg": _q_windowed_agg,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_stats": _q_quality_stats,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "langid_documents": _q_langid_documents,
+        "fingerprints": _q_fingerprints,
+        "dedup_minhash": _q_minhash_dedup,
+        "dedup_simhash": _q_simhash_dedup,
+        "dedup_embedding": _q_embedding_dedup,
+        "clips_decisions": _q_clips_decisions,
+        "personnes_expectations": _q_personnes_expectations,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "read_project_filter": (
+            "SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1995-07-01'"),
+        "row_counts": (
+            "SELECT * FROM (VALUES"
+            " ('customer', (SELECT count(*) FROM customer)),"
+            " ('documents', (SELECT count(*) FROM documents)),"
+            " ('embeddings', (SELECT count(*) FROM embeddings)),"
+            " ('events', (SELECT count(*) FROM events)),"
+            " ('lineitem', (SELECT count(*) FROM lineitem)),"
+            " ('nation', (SELECT count(*) FROM nation)),"
+            " ('orders', (SELECT count(*) FROM orders)),"
+            " ('region', (SELECT count(*) FROM region))"
+            ") AS t(table_name, row_count)"),
+        "null_counts": (
+            "SELECT * FROM (VALUES"
+            " ('event_id', (SELECT count(*) - count(event_id) FROM events)),"
+            " ('ts', (SELECT count(*) - count(ts) FROM events)),"
+            " ('user_id', (SELECT count(*) - count(user_id) FROM events)),"
+            " ('event_type', (SELECT count(*) - count(event_type) FROM events)),"
+            " ('value', (SELECT count(*) - count(value) FROM events)),"
+            " ('props', (SELECT count(*) - count(props) FROM events))"
+            ") AS t(column_name, null_count)"),
+        "freshness_max_ts": "SELECT max(ts) AS max_ts FROM events",
+        "distinct_rows": (
+            "SELECT count(*) AS cnt, count(DISTINCT text) AS distinct_text "
+            "FROM documents"),
+        "grouped_agg": (
+            "SELECT o_orderstatus, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "count(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+        "topk_events": (
+            "SELECT event_id, ts FROM events "
+            "ORDER BY ts DESC, event_id DESC LIMIT 5"),
+        "latest_per_type": (
+            "SELECT event_type, max(ts) AS last_ts, count(*) AS n_events "
+            "FROM events GROUP BY event_type ORDER BY event_type"),
+        "dev_prod_comparison": (
+            "SELECT n.n_name AS nation, "
+            "coalesce(s.cnt, 0) AS dev_count, coalesce(c.cnt, 0) AS prod_count, "
+            "coalesce(s.cnt, 0) <= coalesce(c.cnt, 0) AS passed "
+            "FROM nation n "
+            "LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier "
+            "GROUP BY s_nationkey) s ON n.n_nationkey = s.s_nationkey "
+            "LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer "
+            "GROUP BY c_nationkey) c ON n.n_nationkey = c.c_nationkey "
+            "ORDER BY nation"),
+        "empty_strings": (
+            "SELECT count(*) FILTER (WHERE text IS NOT NULL AND trim(text) = '') "
+            "AS empty_text FROM documents"),
+        "integer_valued": (
+            "SELECT count(*) FILTER (WHERE l_quantity != floor(l_quantity)) "
+            "AS non_integer_values FROM lineitem"),
+        "windowed_agg": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) AS n_events FROM events "
+            "GROUP BY event_type, day ORDER BY event_type, day"),
+        "dedup_exact": (
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY text) AS m FROM documents) "
+            "WHERE doc_id = m"),
+        "token_counts": (
+            "SELECT doc_id, "
+            "length(regexp_extract_all(text, '\\S+')) AS ws_tokens, "
+            "length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) "
+            "AS bpe_ish_tokens FROM documents"),
+        "quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "length(list_distinct(regexp_extract_all(text, '\\S+'))) "
+            "AS n_distinct_tokens FROM documents"),
+        "ann_topk": (
+            "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, "
+            "embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3) "
+            "SELECT q.query_id, e.vec_id AS id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 5"),
+    }

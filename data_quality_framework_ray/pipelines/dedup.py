@@ -1,0 +1,312 @@
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Not present in the reference (it only *counts* full-row dupes,
+/root/reference/core/quality_checks.py:861-883); these are the scale
+operators a 100 TB corpus needs (task brief).
+
+Partitioning assumptions (documented per the brief):
+- exact dedup shuffles ONLY (h1, h2, id) partials; winner = min(id) per
+  content group is order-free so restarts can't change survivors.
+- LSH variants shuffle (band_key, id) rows — O(bands × rows) small rows; the
+  candidate-pair set and its verification are assumed ≪ input (guarded by
+  config.BROADCAST_DUP_LIMIT). At extreme dup rates, verification moves into
+  a second groupby stage per band — noted inline where relevant.
+- connected components run driver-side union-find over verified pairs (pairs
+  ≪ rows); a min-label-propagation groupby loop is the distributed fallback.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+from data_quality_framework_ray import config
+from data_quality_framework_ray.functions import hashing as H
+
+
+# ---------------- exact dedup ----------------
+
+def _exact_partials(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Table:
+    import polars as pl
+
+    h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+    df = pl.DataFrame({"h1": h1, "h2": h2,
+                       "id": pl.from_arrow(batch[id_col])})
+    return (df.group_by(["h1", "h2"])
+            .agg(pl.col("id").min().alias("min_id"), pl.len().alias("cnt"))
+            .to_arrow())
+
+
+def exact_dup_winners(ds, key_cols: list[str], id_col: str) -> dict:
+    """(h1,h2) → min id, for content groups with >1 member (small)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    pairs = ds.map_batches(partial(_exact_partials, key_cols=key_cols, id_col=id_col),
+                           batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    g = pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
+    dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
+                         batch_format="pyarrow").take_all()
+    if len(dups) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
+        raise RuntimeError("dup-group set too large to broadcast; use Dataset.join")
+    return {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups}
+
+
+def exact_dedup(ds, key_cols: list[str], id_col: str):
+    """Keep the min-id row of every exact content group (streaming; the input
+    is traversed twice — once for winners, once to filter — trading a second
+    cheap scan for never shuffling the payload columns)."""
+    import ray
+
+    winners = exact_dup_winners(ds, key_cols, id_col)
+    ref = ray.put(winners)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        w = ray.get(ref) if not isinstance(ref, dict) else ref
+        if not w:
+            return batch
+        h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+        left = pd.DataFrame({"h1": h1, "h2": h2,
+                             "id": batch[id_col].to_pandas()})
+        right = pd.DataFrame([(a, b, win) for (a, b), win in w.items()],
+                             columns=["h1", "h2", "winner"])
+        m = left.merge(right, on=["h1", "h2"], how="left")
+        keep = (m["winner"].isna() | (m["winner"] == m["id"])).to_numpy()
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+
+
+# ---------------- union-find (driver-side; pairs << rows) ----------------
+
+def _components(pairs: list[tuple], ids: set) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)  # rep = natural min id
+            parent[hi] = lo
+    return {x: find(x) for x in ids}
+
+
+# ---------------- MinHash + LSH ----------------
+
+def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
+                           num_perm: int = 128, bands: int = 32,
+                           shingle_k: int = 3, threshold: float = 0.8,
+                           verify: str = "signature") -> dict:
+    """id → cluster representative (min id) for near-duplicate clusters.
+
+    shingle → minhash → band buckets (groupby shuffle of (band_key, id)
+    rows) → candidate pairs → verify (signature-estimated Jaccard, or exact
+    n-gram Jaccard when verify="exact") → driver union-find.
+    ``rows_per_band = num_perm // bands``; with 128/32 the LSH S-curve
+    crosses ~0.77 — pair with threshold=0.8.
+    """
+    import polars as pl
+    from ray.data.aggregate import AggregateFn
+
+    r = num_perm // bands
+
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        sh, off = H.shingle_hashes(batch[text_col], shingle_k)
+        sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+        band_views = sig.reshape(len(sig), bands, r)
+        np_err = np.seterr(over="ignore")
+        bh = np.zeros((len(sig), bands), dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        for j in range(r):
+            bh = bh * P + band_views[:, :, j]
+        np.seterr(**np_err)
+        ids = batch[id_col].to_pandas().to_numpy()
+        n = len(ids)
+        return pa.table({
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "bh": pa.array(bh.reshape(-1).view(np.int64)),
+            "id": np.repeat(ids, bands),
+        })
+
+    bands_ds = ds.map_batches(sig_and_bands, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE)
+
+    # bucket members per (band, bh); buckets with >1 member yield candidates
+    def to_pairs(group: "pa.Table") -> pa.Table:
+        import pandas as pd
+
+        ids = sorted(group["id"].to_pylist())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string())})
+        # pair every member with the bucket min — enough for connectivity
+        lo = ids[0]
+        return pa.table({"a": [lo] * (len(ids) - 1), "b": ids[1:]})
+
+    pairs_ds = bands_ds.groupby(["band", "bh"]).map_groups(to_pairs,
+                                                           batch_format="pyarrow")
+    cand = {(row["a"], row["b"]) for row in pairs_ds.take_all()
+            if row["a"] != row["b"]}
+    if len(cand) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
+        raise RuntimeError("candidate set too large; verify within a second "
+                           "groupby stage instead of on the driver")
+    if not cand:
+        return {}
+
+    # verification needs the candidates' features only: broadcast the id set,
+    # stream-filter, collect the (small) candidate feature table
+    cand_ids = {x for p in cand for x in p}
+    import ray
+    idset_ref = ray.put(cand_ids)
+
+    def filter_cands(batch: pa.Table) -> pa.Table:
+        idset = ray.get(idset_ref)
+        mask = np.fromiter((x in idset for x in batch[id_col].to_pylist()),
+                           dtype=bool, count=batch.num_rows)
+        return batch.filter(pa.array(mask))
+
+    feats = ds.map_batches(filter_cands, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE) \
+              .select_columns([id_col, text_col]).take_all()
+    by_id = {r[id_col]: r[text_col] for r in feats}
+
+    def jac(a: str, b: str) -> float:
+        if verify == "signature":
+            sh, off = H.shingle_hashes(pa.array([a, b], type=pa.string()), shingle_k)
+            sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+            return float(np.mean(sig[0] == sig[1]))
+        ta, tb = a.split(), b.split()
+        sa = set(zip(*[ta[i:] for i in range(shingle_k)])) or {tuple(ta)}
+        sb = set(zip(*[tb[i:] for i in range(shingle_k)])) or {tuple(tb)}
+        return len(sa & sb) / max(len(sa | sb), 1)
+
+    verified = [(a, b) for a, b in cand
+                if a in by_id and b in by_id and jac(by_id[a], by_id[b]) >= threshold]
+    return _components(verified, {x for p in verified for x in p})
+
+
+def near_dedup_filter(ds, id_col: str, cluster_map: dict):
+    """Drop non-representative members of near-dup clusters."""
+    import ray
+
+    losers = {k for k, v in cluster_map.items() if k != v}
+    ref = ray.put(losers)
+
+    def f(batch: pa.Table) -> pa.Table:
+        lose = ray.get(ref)
+        mask = np.fromiter((x not in lose for x in batch[id_col].to_pylist()),
+                           dtype=bool, count=batch.num_rows)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+
+
+# ---------------- SimHash ----------------
+
+def simhash_dup_groups(ds, text_col: str, id_col: str, *,
+                       hamming_max: int = 3) -> dict:
+    """64-bit SimHash near-dup: 4×16-bit band buckets guarantee recall for
+    hamming distance ≤ 3 (pigeonhole over 4 bands); verify exact hamming on
+    the driver (pairs << rows)."""
+
+    def sim_stage(batch: pa.Table) -> pa.Table:
+        th, off = H.token_hashes(batch[text_col])
+        s = H.simhash64(th, off)
+        ids = batch[id_col].to_pandas().to_numpy()
+        n = len(ids)
+        bandvals = np.stack([(s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                             for b in range(4)], axis=1).astype(np.int64)
+        return pa.table({
+            "band": np.tile(np.arange(4, dtype=np.int32), n),
+            "bh": bandvals.reshape(-1),
+            "id": np.repeat(ids, 4),
+            "sim": pa.array(np.repeat(s.view(np.int64), 4)),
+        })
+
+    bands_ds = ds.map_batches(sim_stage, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE)
+
+    def to_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group["id"].to_pylist(), group["sim"].to_pylist()))
+        if len(rows) < 2:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "sa": pa.array([], type=pa.int64()),
+                             "sb": pa.array([], type=pa.int64())})
+        (lo, slo) = rows[0]
+        return pa.table({"a": [lo] * (len(rows) - 1),
+                         "b": [r[0] for r in rows[1:]],
+                         "sa": [slo] * (len(rows) - 1),
+                         "sb": [r[1] for r in rows[1:]]})
+
+    pairs = bands_ds.groupby(["band", "bh"]).map_groups(to_pairs,
+                                                        batch_format="pyarrow").take_all()
+    seen = set()
+    verified = []
+    for r in pairs:
+        key = (r["a"], r["b"])
+        if r["a"] == r["b"] or key in seen:
+            continue
+        seen.add(key)
+        d = H.hamming64(np.array([r["sa"]], dtype=np.int64).view(np.uint64),
+                        np.array([r["sb"]], dtype=np.int64).view(np.uint64))[0]
+        if d <= hamming_max:
+            verified.append(key)
+    return _components(verified, {x for p in verified for x in p})
+
+
+# ---------------- embedding cosine near-dup ----------------
+
+def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
+                         threshold: float = 0.95, n_planes: int = 12,
+                         seed: int = 3) -> dict:
+    """Random-hyperplane LSH buckets → exact cosine verification per bucket
+    (vectorized matmul inside map_groups) → driver union-find."""
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[emb_col].to_pandas().to_numpy())
+        dim = emb.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        bits = (emb @ planes > 0).astype(np.uint64)
+        code = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        norm = np.linalg.norm(emb, axis=1)
+        return pa.table({"bucket": pa.array(code.view(np.int64)),
+                         "id": batch[id_col],
+                         "emb": batch[emb_col],
+                         "norm": norm})
+
+    bucketed = ds.map_batches(bucket_stage, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE)
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        emb = np.stack(group["emb"].to_pandas().to_numpy()).astype(np.float64)
+        norm = np.asarray(group["norm"])
+        ids = np.asarray(group["id"].to_pandas())
+        sims = (emb @ emb.T) / np.outer(np.maximum(norm, 1e-12),
+                                        np.maximum(norm, 1e-12))
+        iu = np.triu_indices(n, k=1)
+        hit = sims[iu] >= threshold
+        return pa.table({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify,
+                                                  batch_format="pyarrow").take_all()
+    verified = [(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in pairs
+                if r["a"] != r["b"]]
+    return _components(verified, {x for p in verified for x in p})

