@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship clip quality-filter pipeline (BASELINE.json metric is
+clips/sec) over a deterministic synthetic clip table sized to the sf tier,
+plus per-query timings of every ``__ray_entry__.queries()`` entry over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "clips": N, "clips_per_sec": N}
+
+``--scaling``: reruns the headline in fresh processes at 8 and 32 CPUs on the
+same input and reports both throughputs + scaling efficiency (the sandbox
+stand-in for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# pin nested thread pools before ray.init so all workers inherit it
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    # ---- headline: flagship clip pipeline ----
+    clips_dir = os.environ.get("BENCH_CLIPS_DIR") or entrymod._clips_dir_for(SF_DIR)
+    n_clips = sum(f["num_rows"] for f in
+                  json.load(open(os.path.join(clips_dir, "manifest.json")))["fragments"])
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    # (a Dataset.count() is metadata-only and reads no bytes — read for real)
+    for f in os.listdir(clips_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(clips_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    out_dir = f"/tmp/dqfr_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_summary = qf.run(clips_dir, out_dir, models_dir=os.path.join(REPO, "models"))
+    headline = time.time() - t0
+
+    # ---- per-query timings over the sf tables ----
+    qtimes = {}
+    if not SKIP_QUERIES:
+        for name, fn in entrymod.queries().items():
+            if name == "clips_decisions":
+                continue  # already measured as the headline
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "count") and not hasattr(res, "num_rows"):
+                res.count()  # force execution of lazy Datasets
+            qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "end-to-end clip quality-filter (keep/drop+scrub) wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "clips": n_clips,
+        "clips_per_sec": round(n_clips / headline, 1),
+        "phase_a_s": run_summary["phase_a_s"],
+        "phase_b_s": run_summary["phase_b_s"],
+    }
+    ray.shutdown()
+    return result
+
+
+SCALING_DIR = "/tmp/dqfr_clips_scaling"
+SCALING_CLIPS = 150_000
+SCALING_FRAGS = 128
+
+
+def _ensure_scaling_table() -> None:
+    """Generate the scaling input once (ray-parallel datagen; manifest-cached).
+    Sized so per-level compute (~6 min single-core) dominates the fixed
+    session costs — the 0.8-efficiency criterion measures parallel scaling,
+    not constant overheads."""
+    import ray
+
+    from data_quality_framework_ray.datagen.clips import generate_clips
+
+    man = os.path.join(SCALING_DIR, "manifest.json")
+    if os.path.exists(man):
+        try:
+            if json.load(open(man))["params"]["n_clips"] == SCALING_CLIPS:
+                return
+        except (KeyError, json.JSONDecodeError):
+            pass
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    generate_clips(SCALING_DIR, n_clips=SCALING_CLIPS, n_fragments=SCALING_FRAGS,
+                   seed=42, use_ray=True)
+    ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Same input, fresh processes at 8 and 32 CPUs (driver-prescribed
+    evidence for the >=0.8 scaling-efficiency criterion; sandbox stand-in
+    for the north rule's N vs 4N node counts)."""
+    _ensure_scaling_table()
+    out = {}
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    for _ in range(repeats):  # interleaved repeats; keep the min per level —
+        # this sandbox's host CPU availability swings ~2× between windows
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
+                       BENCH_CLIPS_DIR=SCALING_DIR)
+            p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                               env=env, capture_output=True, text=True, check=True)
+            rec = json.loads(p.stdout.strip().splitlines()[-1])
+            if ncpu not in out or rec["value"] < out[ncpu]["value"]:
+                out[ncpu] = rec
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {"metric": "scaling efficiency 8->32 cpus (N vs 4N stand-in)",
+            "sec_8": t8, "sec_32": t32,
+            "clips_per_sec_8": out[8]["clips_per_sec"],
+            "clips_per_sec_32": out[32]["clips_per_sec"],
+            "clips": out[32]["clips"],
+            "scaling_efficiency": round(eff, 3)}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

