@@ -21,6 +21,8 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
+from data_quality_framework_ray.functions.textstats import TOKEN_RE
+
 MERSENNE61 = (1 << 61) - 1
 
 
@@ -95,7 +97,7 @@ def token_hashes(text) -> tuple[np.ndarray, np.ndarray]:
     """64-bit hash per whitespace token per row (vectorized via polars explode)."""
     s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
     df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64),
-                       "tok": s.str.extract_all(r"\S+")})
+                       "tok": s.str.extract_all(TOKEN_RE)})
     ex = df.explode("tok").drop_nulls("tok")
     h = ex.select(pl.col("tok").hash(seed=7)).to_series().to_numpy().astype(np.uint64)
     rows = ex["row"].to_numpy()

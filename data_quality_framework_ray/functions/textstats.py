@@ -25,6 +25,11 @@ from data_quality_framework_ray import config
 
 _TOX_RE = r"(?i)\b(?:" + "|".join(config.TOXICITY_LEXICON) + r")\b"
 
+# Python str.split() whitespace = Unicode White_Space plus \x1c-\x1f; the
+# token regex must match it exactly (SPEC tokens = T.split(); found by a
+# hypothesis counterexample "0\x1f0")
+TOKEN_RE = r"[^\s\x1c-\x1f]+"
+
 
 def text_stats(transcript: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     """Per-row stats for the rule stage.
@@ -36,7 +41,7 @@ def text_stats(transcript: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     s = pl.from_arrow(pa.table({"t": transcript}))["t"]
     null = s.is_null()
     t = s.fill_null("")
-    toks = t.str.extract_all(r"\S+")
+    toks = t.str.extract_all(TOKEN_RE)
     out = pl.DataFrame(
         {
             "nchars": t.str.len_chars(),
@@ -69,7 +74,7 @@ def quality_stats(text: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     length, token count, distinct-token ratio, symbol ratio, stopword ratio,
     mean word length."""
     s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
-    toks = s.str.extract_all(r"\S+")
+    toks = s.str.extract_all(TOKEN_RE)
     df = pl.DataFrame(
         {
             "n_chars": s.str.len_chars(),
@@ -102,7 +107,7 @@ def token_counts(text: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
     df = pl.DataFrame(
         {
-            "ws_tokens": s.str.extract_all(r"\S+").list.len(),
+            "ws_tokens": s.str.extract_all(TOKEN_RE).list.len(),
             "bpe_ish_tokens": s.str.count_matches(_BPE_ISH),
         }
     )

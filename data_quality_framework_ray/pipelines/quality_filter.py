@@ -345,9 +345,8 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     run_id = run_id or time.strftime("run_%Y%m%d_%H%M%S")
     store = FragmentStore(in_dir)
     lineage = LineageLog(out_dir)
-    stage_dir = os.path.join(out_dir, "decisions")
-    if model_concurrency is None:
-        model_concurrency = default_model_concurrency()
+    stage_dir = os.path.join(out_dir, "decisions")  # model_concurrency=None →
+    # phase A sizes its pool to the full cluster (see below)
 
     done = lineage.done_frag_ids()
     todo = [f for f in store.frag_ids() if f not in done]
@@ -359,11 +358,18 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
         ds = rd.from_items([{"path": p} for p in paths],
                            override_num_blocks=len(paths))
         enabled = frozenset(r.name for r in RULES if r.name not in disabled_rules)
+        # phase A's only CPU consumers are these actors (input is from_items,
+        # reads happen inside the actor, output is tiny summaries) — so the
+        # pool takes the WHOLE cluster, not the 3/4 fraction mixed pipelines use
+        import ray as _ray
+
+        phase_a_pool = (model_concurrency if isinstance(model_concurrency, int)
+                        else max(2, int(_ray.cluster_resources().get("CPU", 8))))
         summaries = ds.map_batches(
             PhaseAWorker,
             fn_constructor_args=(models_dir, enabled, stage_dir, batch_size),
             batch_format="pyarrow", batch_size=None,  # one task per fragment
-            concurrency=model_concurrency)
+            concurrency=phase_a_pool)
         expected = {fid: store.num_rows(fid) for fid in todo}
         written: dict[int, int] = {}
         # stream the (frag_id, rows) summaries and checkpoint fragments the

@@ -48,9 +48,10 @@ class ImageDecodeStage:
         self.backend = backend
 
     def _fake_features(self, b: bytes) -> np.ndarray:
-        d = hashlib.blake2b(b, digest_size=self.dim * 8).digest()
-        u = np.frombuffer(d, dtype=np.uint64)
-        return (u / np.float64(2**64)).astype(np.float32)
+        d = hashlib.blake2b(b, digest_size=min(self.dim * 4, 64)).digest()
+        d = (d * (self.dim * 4 // len(d) + 1))[: self.dim * 4]
+        u = np.frombuffer(bytes(d), dtype=np.uint32)
+        return (u / np.float64(2**32)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []

@@ -48,7 +48,9 @@ def test_decode_stats_matches_per_row():
             continue
         pcm = A.decode_one(r["bytes"], r["codec"]).astype(np.float64)
         assert stats["n_samples"][i] == len(pcm)
-        assert abs(stats["rms"][i] - np.sqrt(np.mean(pcm**2))) < 1e-9
+        # engine accumulates in float32 (bandwidth-bound path); 1e-6 relative
+        # tolerance is far below any rule threshold's sensitivity
+        assert abs(stats["rms"][i] - np.sqrt(np.mean(pcm**2))) < 1e-6
 
 
 def test_per_row_pcm_audit_vs_oracle(clips_dir):

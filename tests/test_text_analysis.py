@@ -1,0 +1,87 @@
+"""Text-analysis operators over the driver's documents table + property
+checks (hypothesis) for the scrub/stat kernels."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_and_token_stats_vs_python(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import (
+        with_quality_stats, with_token_counts)
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = with_token_counts(with_quality_stats(ds)).take_all()
+    src = {r["doc_id"]: r["text"] for r in
+           pq.read_table(f"{SF}/documents.parquet").to_pylist()}
+    assert len(out) == len(src)
+    for r in out[:100]:
+        t = src[r["doc_id"]]
+        assert r["n_chars_q"] == len(t)
+        assert r["ws_tokens"] == len(t.split())
+        assert 0.0 <= r["symbol_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0 or r["ws_tokens"] == 0
+
+
+def test_langid_on_documents_labels(ray_session):
+    """Model predictions should track the table's lang labels for the
+    languages the model knows (en/fr/de/es; zh maps elsewhere)."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import with_langid
+    from tests.conftest import MODELS_DIR
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = with_langid(ds, models_dir=MODELS_DIR, concurrency=2).take_all()
+    known = [r for r in out if r["lang"] == "en"]
+    acc = sum(r["pred_lang"] == "en" for r in known) / max(len(known), 1)
+    # synthetic docs are English-ish word soup; the model must call them en
+    assert acc >= 0.9, acc
+
+
+def test_fingerprints_detect_shared_content(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import with_fingerprints
+
+    rows = [{"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 2, "text": "completely different content with other words"}]
+    out = with_fingerprints(rd.from_arrow(pa.Table.from_pylist(rows))).take_all()
+    by = {r["doc_id"]: r for r in out}
+    assert list(by[0]["fingerprint"]) == list(by[1]["fingerprint"])
+    assert by[0]["fp_min"] == by[1]["fp_min"]
+    assert list(by[0]["fingerprint"]) != list(by[2]["fingerprint"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200))
+def test_scrub_never_crashes_and_is_idempotent(s):
+    from data_quality_framework_ray.functions.scrub import scrub
+
+    out1 = scrub(pa.array([s], type=pa.string()))
+    v1 = out1["scrubbed"].to_pylist()[0] if hasattr(out1["scrubbed"], "to_pylist") \
+        else list(out1["scrubbed"])[0]
+    out2 = scrub(pa.array([v1], type=pa.string()))
+    v2 = out2["scrubbed"].to_pylist()[0] if hasattr(out2["scrubbed"], "to_pylist") \
+        else list(out2["scrubbed"])[0]
+    assert v2 == v1  # scrubbing a scrubbed string is a no-op
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=80), max_size=8))
+def test_text_stats_total_functions(texts):
+    from data_quality_framework_ray.functions.textstats import text_stats
+
+    st_ = text_stats(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert st_["nchars"][i] == len(t)
+        assert st_["ntok"][i] == len(t.split())
