@@ -405,6 +405,69 @@ def _q_personnes_expectations(sf_dir: str):
           "passed": r["passed"]} for r in results])
 
 
+def _q_join_broadcast(sf_dir: str):
+    """Broadcast hash join: orders against the small customer dimension
+    (ray.put once, pandas merge per batch — no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from data_quality_framework_ray.pipelines.joins import broadcast_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_hash_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        cust, left_on="o_custkey", right_on="c_custkey")
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+    t = pa.Table.from_pylist(out.take_all())
+    return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
+                         pc.round(t["total_price"], 2))
+            .sort_by("c_mktsegment"))
+
+
+def _q_join_hash(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join) with a grouped count."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray.pipelines.joins import hash_join
+
+    j = hash_join(_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
+                  _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+                  on="o_custkey", right_on="c_custkey", num_partitions=8)
+    out = (j.groupby(["c_mktsegment", "o_orderstatus"])
+           .aggregate(Count(alias_name="n")))
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("c_mktsegment", "ascending"), ("o_orderstatus", "ascending")])
+
+
+def _q_asof_prev_order(sf_dir: str):
+    """As-of join: each order's most recent EARLIER order date per customer
+    (bucketed searchsorted inside groupby.map_groups)."""
+    from data_quality_framework_ray.pipelines.joins import asof_join_prev
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    out = asof_join_prev(ds, key="o_custkey", ts="o_orderdate",
+                         value_cols=["o_orderkey"])
+    return out.select_columns(["o_orderkey", "prev_o_orderdate"])
+
+
+def _q_sample_mod(sf_dir: str):
+    """Deterministic hash-mod sampling (resume-stable; SURVEY §2.6)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t["doc_id"].to_pandas()) % 10) == 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_project_filter": _q_read_project_filter,
@@ -432,6 +495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_embedding_dedup,
         "clips_decisions": _q_clips_decisions,
         "personnes_expectations": _q_personnes_expectations,
+        "join_broadcast": _q_join_broadcast,
+        "join_hash": _q_join_hash,
+        "asof_prev_order": _q_asof_prev_order,
+        "sample_mod": _q_sample_mod,
     }
 
 
@@ -513,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             "length(list_distinct(regexp_extract_all(text, '\\S+'))) "
             "AS n_distinct_tokens FROM documents"),
+        "join_broadcast": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+        "join_hash": (
+            "SELECT c_mktsegment, o_orderstatus, count(*) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment, o_orderstatus "
+            "ORDER BY c_mktsegment, o_orderstatus"),
+        "asof_prev_order": (
+            "SELECT o1.o_orderkey, o2.o_orderdate AS prev_o_orderdate "
+            "FROM orders o1 ASOF JOIN orders o2 "
+            "ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate < o1.o_orderdate"),
+        "sample_mod": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0"),
         "ann_topk": (
             "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, "
             "embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3) "

@@ -1,0 +1,114 @@
+"""Quality-suite lifecycle + join operators vs DuckDB."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from data_quality_framework_ray.datagen import fixtures
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_quality_suite_and_report(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.suite import (
+        compare_environments, run_quality_suite, write_run_report)
+
+    ds = rd.from_arrow(fixtures.personnes_table())
+    out = run_quality_suite(
+        ds, table="personnes",
+        expected_schema=fixtures.PERSONNES_EXPECTED_SCHEMA,
+        freshness_column="date_insertion", as_of=dt.date(2026, 1, 15),
+        integer_columns=["age"])
+    assert out["score"]["n_checks"] == len(out["results"])
+    by = {(r["check"], r["column"]): r for r in out["results"]}
+    assert by[("schema", None)]["passed"]
+    assert not by[("nulls", "prenom")]["passed"]     # planted all-NULL col
+    assert not by[("duplicates", None)]["passed"]    # planted dup rows
+    assert by[("freshness", None)]["passed"]
+    assert by[("integer_valued", "age")]["passed"]
+    assert out["score"]["urgency"] in ("CRITICAL", "HIGH", "MEDIUM", "LOW")
+
+    # disabled checks don't run (reference settings flags)
+    out2 = run_quality_suite(ds, table="personnes", enabled=("duplicates",))
+    assert {r["check"] for r in out2["results"]} == {"duplicates"}
+
+    comp = compare_environments({"t1": 5, "t2": 10}, {"t1": 5, "t2": 9})
+    assert comp[0]["passed"] and not comp[1]["passed"]
+
+    path = write_run_report(str(tmp_path), {"personnes": out})
+    doc = json.load(open(path))
+    assert doc["tables"]["personnes"]["score"]["n_checks"] == out["score"]["n_checks"]
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_broadcast_join_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import broadcast_hash_join
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = broadcast_hash_join(orders, cust, "o_custkey", "c_custkey")
+    got = joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    want = _con().execute(
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey").fetchdf()
+    assert len(got) == len(want)
+    assert (got["c_mktsegment"].values == want["c_mktsegment"].values).all()
+
+
+def test_asof_join_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import asof_join_prev
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    got = asof_join_prev(orders, "o_custkey", "o_orderdate",
+                         value_cols=["o_orderkey"]).to_pandas()
+    want = _con().execute(
+        "SELECT o1.o_orderkey, o2.o_orderdate AS prev_o_orderdate "
+        "FROM orders o1 ASOF JOIN orders o2 ON o1.o_custkey = o2.o_custkey "
+        "AND o2.o_orderdate < o1.o_orderdate").fetchdf()
+    g = got[["o_orderkey", "prev_o_orderdate"]].sort_values("o_orderkey").reset_index(drop=True)
+    w = want.sort_values("o_orderkey").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["o_orderkey"].values == w["o_orderkey"].values).all()
+    assert (pd.to_datetime(g["prev_o_orderdate"]).values
+            == pd.to_datetime(w["prev_o_orderdate"]).values).all()
+
+
+def test_hash_join_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import hash_join
+
+    j = hash_join(rd.read_parquet(f"{SF}/orders.parquet",
+                                  columns=["o_orderkey", "o_custkey"]),
+                  rd.read_parquet(f"{SF}/customer.parquet",
+                                  columns=["c_custkey", "c_mktsegment"]),
+                  on="o_custkey", right_on="c_custkey", num_partitions=4)
+    got = j.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    want = _con().execute(
+        "SELECT o_orderkey, c_mktsegment FROM orders JOIN customer "
+        "ON o_custkey = c_custkey ORDER BY o_orderkey").fetchdf()
+    assert len(got) == len(want)
+    assert (got["c_mktsegment"].values == want["c_mktsegment"].values).all()
