@@ -468,6 +468,31 @@ def _q_sample_mod(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_json_extract(sf_dir: str):
+    """JSON scalar extraction from the events.props string column (polars
+    json_path_match per batch; SURVEY §2.8 note on events.props)."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(pa.table({"p": batch["props"]}))["p"]
+        k = s.str.json_path_match("$.k").cast(pl.Int64)
+        return pa.table({"k_mod": (k % 10).to_numpy()})
+
+    ds = _read(sf_dir, "events", ["props"]).map_batches(f, batch_format="pyarrow")
+    out = ds.groupby("k_mod").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pylist(out.take_all()).sort_by("k_mod")
+
+
+def _q_union_names(sf_dir: str):
+    """Dataset.union (the reference's merge_results list-concat analogue,
+    /root/reference/utils/helpers.py:159-172)."""
+    r = _read(sf_dir, "region", ["r_name"]).rename_columns({"r_name": "name"})
+    n = _read(sf_dir, "nation", ["n_name"]).rename_columns({"n_name": "name"})
+    return r.union(n).sort("name")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_project_filter": _q_read_project_filter,
@@ -499,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": _q_join_hash,
         "asof_prev_order": _q_asof_prev_order,
         "sample_mod": _q_sample_mod,
+        "json_extract": _q_json_extract,
+        "union_names": _q_union_names,
     }
 
 
@@ -596,6 +623,12 @@ def oracle_sql() -> dict[str, str]:
             "ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate < o1.o_orderdate"),
         "sample_mod": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0"),
+        "json_extract": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 "
+            "AS k_mod, count(*) AS n FROM events GROUP BY k_mod ORDER BY k_mod"),
+        "union_names": (
+            "SELECT name FROM (SELECT r_name AS name FROM region "
+            "UNION ALL SELECT n_name AS name FROM nation) ORDER BY name"),
         "ann_topk": (
             "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, "
             "embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3) "
