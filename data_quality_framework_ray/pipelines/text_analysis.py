@@ -42,7 +42,9 @@ def with_langid(ds, text_col: str = "text", models_dir: str | None = None,
         from data_quality_framework_ray.pipelines.quality_filter import (
             default_model_concurrency)
 
-        concurrency = default_model_concurrency()
+        # document tables are modest; a full-cluster pool would spend more on
+        # actor spawn than scoring — cap, callers override for big corpora
+        concurrency = min(8, default_model_concurrency())
     class DocLangId(LangIdScorer):
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             from data_quality_framework_ray.stages.models import langid_scores
