@@ -142,22 +142,41 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     bands_ds = ds.map_batches(sig_and_bands, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE)
 
-    # bucket members per (band, bh); buckets with >1 member yield candidates
-    def to_pairs(group: "pa.Table") -> pa.Table:
+    # candidate pairs = (bucket-min, member) for buckets with >1 member —
+    # enough for connectivity. Two vectorized steps instead of a per-group
+    # Python map: aggregate min-id+count per bucket, broadcast ONLY the
+    # multi-member buckets (small), then one map emits the pairs.
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    buckets = bands_ds.groupby(["band", "bh"]).aggregate(
+        Min("id", alias_name="min_id"), Count(alias_name="cnt"))
+    import pyarrow.compute as pc
+
+    multi = buckets.map_batches(lambda t: t.filter(pc.greater(t["cnt"], 1)),
+                                batch_format="pyarrow").take_all()
+    if not multi:
+        return {}
+    bucket_min = {(r["band"], r["bh"]): r["min_id"] for r in multi}
+    bm_ref = ray.put(bucket_min)
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        ids = sorted(group["id"].to_pylist())
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string())})
-        # pair every member with the bucket min — enough for connectivity
-        lo = ids[0]
-        return pa.table({"a": [lo] * (len(ids) - 1), "b": ids[1:]})
+        bm = ray.get(bm_ref) if not isinstance(bm_ref, dict) else bm_ref
+        left = pd.DataFrame({"band": batch["band"].to_numpy(zero_copy_only=False),
+                             "bh": batch["bh"].to_numpy(zero_copy_only=False),
+                             "id": batch["id"].to_pandas()})
+        right = pd.DataFrame([(b, h, m) for (b, h), m in bm.items()],
+                             columns=["band", "bh", "m"])
+        j = left.merge(right, on=["band", "bh"], how="inner")
+        j = j[j["id"] != j["m"]]
+        return pa.table({"a": pa.array(j["m"], type=pa.string()),
+                         "b": pa.array(j["id"], type=pa.string())})
 
-    pairs_ds = bands_ds.groupby(["band", "bh"]).map_groups(to_pairs,
-                                                           batch_format="pyarrow")
-    cand = {(row["a"], row["b"]) for row in pairs_ds.take_all()
-            if row["a"] != row["b"]}
+    pairs_rows = bands_ds.map_batches(emit_pairs, batch_format="pyarrow",
+                                      batch_size=config.TEXT_BATCH_SIZE).take_all()
+    cand = {(row["a"], row["b"]) for row in pairs_rows if row["a"] != row["b"]}
     if len(cand) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
         raise RuntimeError("candidate set too large; verify within a second "
                            "groupby stage instead of on the driver")

@@ -1,27 +1,34 @@
 """Flagship pipeline: audio-clip quality filter (BASELINE.json north_star).
 
-Composition (all streaming, no driver-side materialization of data):
+Composition (all streaming; the audio payload never enters the object store):
 
-    read fragments (not-DONE only)                      # resume filter
-      → map_batches(decode_stats_stage)                 # zero-copy Arrow, LUT decode
-      → map_batches(rules_and_scrub)                    # flags+scrub+hash, drops bytes
-      → map_batches(LangIdScorer,  concurrency=pool)    # actor pool, model in __init__
-      → map_batches(PerplexityScorer, concurrency=pool)
-      → map_batches(combine_decisions)                  # drop_reasons list, keep
-      → FragmentSink                                    # per-fragment parquet + lineage
-    then a cheap global pass over the (bytes-free) decisions:
-      partial dup counts → groupby(h1,h2) → dup groups (small) → broadcast
-      → mark duplicates → final output + metrics
+  Phase A — one actor-pool stage over fragment PATHS (not-DONE only):
+    from_items(fragment paths)
+      → map_batches(PhaseAWorker, concurrency=cluster)   # per actor-task:
+          read fragment parquet (streamed per row-group)
+          → decode_stats_stage (LUT decode + audio features)
+          → rules_and_scrub (flags + PII scrub + content hash; drops bytes)
+          → QualityScorer (langid + perplexity, models loaded once per actor)
+          → combine_decisions (sorted drop_reasons, keep)
+          → _sink_batch (write decisions/frag-XXXXX/, emit (frag_id, rows))
+      → driver streams the tiny summaries and marks lineage DONE per fragment
+        the moment its last row hits disk (incremental checkpoint, no barriers)
 
-Shuffle inventory (SURVEY.md §7.3): the ONLY all-to-all is the dedup groupby,
-and it ships two int64 hashes + clip_id + a per-batch partial count — the
-audio bytes never cross a shuffle. Dup groups are broadcast via ``ray.put``
-(guarded by config.BROADCAST_DUP_LIMIT; beyond it, fall back to
-``Dataset.join`` on (h1,h2) — documented, not needed at sandbox scale).
+  Phase B — path-based task maps over the bytes-free decisions layer:
+    pass 1: read (h1, h2, clip_id) columns → per-batch dup partials →
+            combine (driver-side under 5M rows, else groupby) → winner map
+    pass 2: read part file → mark duplicates (broadcast winner map) → write
+            final/frag-XXXXX/ → emit metric partials → one tiny combine
 
-Resume: phase A checkpoints per fragment chunk (LineageLog); phase B is
-derived + cheap and reruns every time, so fragment restarts can never change
-survivors (winner = min clip_id is order-free; SURVEY.md §7.4).
+Shuffle inventory (SURVEY.md §7.3): the only all-to-all is the dedup combine,
+and it ships (h1, h2, min_clip, cnt) partials — never data rows, never audio.
+Dup winners broadcast via ``ray.put`` (config.BROADCAST_DUP_LIMIT guard; the
+documented fallback is Dataset.join on (h1, h2)).
+
+Resume: per-fragment DONE markers (LineageLog) written while phase A streams;
+phase B is derived + cheap and reruns every time, so fragment restarts can
+never change survivors (winner = min clip_id is order-free; SURVEY.md §7.4).
+Verified by tests/test_resume.py and tests/test_resume_kill.py (SIGKILL).
 """
 
 from __future__ import annotations
@@ -148,9 +155,11 @@ class PhaseAWorker:
 
 def pipeline_stages(ds, models_dir: str | None = None, *,
                     batch_size: int = config.DEFAULT_BATCH_SIZE,
-                    model_concurrency=config.MODEL_POOL_SIZE,
+                    model_concurrency=None,
                     disabled_rules: tuple[str, ...] = ()):
     """Phase-A transform chain on a clips Dataset (lazy)."""
+    if model_concurrency is None:
+        model_concurrency = default_model_concurrency()
     enabled = frozenset(r.name for r in RULES if r.name not in disabled_rules)
     kw = {"models_dir": models_dir} if models_dir else {}
     ds = ds.map_batches(decode_stats_stage, batch_format="pyarrow", batch_size=batch_size)
@@ -168,7 +177,7 @@ def pipeline_stages(ds, models_dir: str | None = None, *,
 # ---------------- phase-A sink ----------------
 
 def _sink_batch(batch: pa.Table, stage_dir: str) -> pa.Table:
-    """Write each fragment's slice of the batch under ``frag=<id>/`` and emit a
+    """Write each fragment's slice of the batch under ``frag-<id>/`` and emit a
     tiny (frag_id, rows) summary — the pipeline's consumed output is ONLY the
     summaries, so nothing big flows back to the driver."""
     frag = np.asarray(batch["frag_id"].to_pandas(), dtype=np.int64)
