@@ -1,0 +1,42 @@
+"""__ray_entry__ conformance: the exact calls the external driver makes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, o - q
+    # meaningful coverage: most queries carry a SQL oracle
+    assert len(o) >= 20
+
+
+def test_entry_smoke(ray_session):
+    ds = entrymod.entry()
+    n = ds.count() if hasattr(ds, "count") and not hasattr(ds, "num_rows") else len(ds)
+    assert n >= 1000
+    names = set(ds.schema().names)
+    for col in ("clip_id", "keep", "drop_reasons", "lang", "ppl",
+                "scrubbed_transcript", "n_pii", "frag_id"):
+        assert col in names, col
+
+
+def test_queries_at_smallest_tier(ray_session):
+    """Every callable runs at sf0.001 (the driver uses sf0.01; tier must not
+    be hardcoded anywhere)."""
+    sf = "/root/testdata/sf0.001"
+    skip_slow = {"clips_decisions"}  # exercised by test_entry_smoke already
+    for name, fn in entrymod.queries().items():
+        if name in skip_slow:
+            continue
+        res = fn(sf)
+        n = res.count() if hasattr(res, "count") and not hasattr(res, "num_rows") \
+            else res.num_rows
+        assert n >= 0, name
