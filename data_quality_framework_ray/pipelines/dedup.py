@@ -139,22 +139,35 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
             "id": np.repeat(ids, bands),
         })
 
+    # (band, bh, id) rows are consumed twice (bucket stats, then pair
+    # emission) — materialize so the expensive signature stage runs once;
+    # the band table is ~bands × rows of three narrow columns, a small
+    # fraction of the input text
     bands_ds = ds.map_batches(sig_and_bands, batch_format="pyarrow",
-                              batch_size=config.TEXT_BATCH_SIZE)
+                              batch_size=config.TEXT_BATCH_SIZE).materialize()
 
     # candidate pairs = (bucket-min, member) for buckets with >1 member —
-    # enough for connectivity. Two vectorized steps instead of a per-group
-    # Python map: aggregate min-id+count per bucket, broadcast ONLY the
-    # multi-member buckets (small), then one map emits the pairs.
+    # enough for connectivity. Per-batch polars partials + driver combine
+    # (Ray's sort-based groupby with a string Min aggregate measured 21.8 s
+    # on 160k band rows vs ~0.5 s for this path; at 10^9+ band rows switch
+    # the combine to a distributed groupby like combine_dup_partials does).
+    import polars as pl
     import ray
-    from ray.data.aggregate import Count, Min
 
-    buckets = bands_ds.groupby(["band", "bh"]).aggregate(
-        Min("id", alias_name="min_id"), Count(alias_name="cnt"))
-    import pyarrow.compute as pc
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (df.group_by(["band", "bh"])
+                .agg(pl.col("id").min().alias("min_id"), pl.len().alias("cnt"))
+                .to_arrow())
 
-    multi = buckets.map_batches(lambda t: t.filter(pc.greater(t["cnt"], 1)),
-                                batch_format="pyarrow").take_all()
+    parts = bands_ds.map_batches(bucket_partials, batch_format="pyarrow",
+                                 batch_size=config.TEXT_BATCH_SIZE).take_all()
+    if not parts:
+        return {}
+    agg = (pl.DataFrame(parts).group_by(["band", "bh"])
+           .agg(pl.col("min_id").min(), pl.col("cnt").sum())
+           .filter(pl.col("cnt") > 1))
+    multi = agg.to_dicts()
     if not multi:
         return {}
     bucket_min = {(r["band"], r["bh"]): r["min_id"] for r in multi}
@@ -199,19 +212,30 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                            batch_size=config.TEXT_BATCH_SIZE) \
               .select_columns([id_col, text_col]).take_all()
     by_id = {r[id_col]: r[text_col] for r in feats}
+    uniq = sorted(by_id)
+    idx = {i: k for k, i in enumerate(uniq)}
 
-    def jac(a: str, b: str) -> float:
-        if verify == "signature":
-            sh, off = H.shingle_hashes(pa.array([a, b], type=pa.string()), shingle_k)
-            sig = H.minhash_signatures(sh, off, num_perm=num_perm)
-            return float(np.mean(sig[0] == sig[1]))
-        ta, tb = a.split(), b.split()
-        sa = set(zip(*[ta[i:] for i in range(shingle_k)])) or {tuple(ta)}
-        sb = set(zip(*[tb[i:] for i in range(shingle_k)])) or {tuple(tb)}
-        return len(sa & sb) / max(len(sa | sb), 1)
+    if verify == "signature":
+        # one vectorized signature pass over the candidate docs, then O(1)
+        # per pair — never per-pair recomputation
+        texts = pa.array([by_id[i] for i in uniq], type=pa.string())
+        sh, off = H.shingle_hashes(texts, shingle_k)
+        sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+
+        def jac(a: str, b: str) -> float:
+            return float(np.mean(sig[idx[a]] == sig[idx[b]]))
+    else:
+        shingle_sets: dict = {}
+        for i in uniq:
+            t = by_id[i].split()
+            shingle_sets[i] = set(zip(*[t[j:] for j in range(shingle_k)])) or {tuple(t)}
+
+        def jac(a: str, b: str) -> float:
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            return len(sa & sb) / max(len(sa | sb), 1)
 
     verified = [(a, b) for a, b in cand
-                if a in by_id and b in by_id and jac(by_id[a], by_id[b]) >= threshold]
+                if a in by_id and b in by_id and jac(a, b) >= threshold]
     return _components(verified, {x for p in verified for x in p})
 
 
