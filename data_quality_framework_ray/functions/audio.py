@@ -156,8 +156,12 @@ def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
             clip_frac[r] = float(np.count_nonzero(a >= 0.985)) / k
             silence_frac[r] = float(np.count_nonzero(a < 1e-3)) / k
             # spectral quality features over the first FFT_CAP samples
-            # (centroid normalized 0..1, log-spectral flatness)
-            spec = np.abs(np.fft.rfft(pcm[:FFT_CAP]))
+            # (centroid normalized 0..1, log-spectral flatness); zero-pad to
+            # the next power of two — pocketfft's awkward-length paths cost
+            # several× more for no feature benefit
+            m = min(k, FFT_CAP)
+            n_fft = 1 << (m - 1).bit_length()
+            spec = np.abs(np.fft.rfft(pcm[:m], n=n_fft))
             power = spec * spec + np.float32(1e-12)
             freqs = np.arange(len(power), dtype=np.float32)
             centroid[r] = float((freqs @ power) / (power.sum() * max(len(power) - 1, 1)))

@@ -64,14 +64,13 @@ def rules_and_scrub(batch: pa.Table) -> pa.Table:
     blank = st["is_null_or_blank"]
     nchars, ntok = st["nchars"], st["ntok"]
 
+    import pyarrow.compute as pc
+
     sr = np.asarray(batch["sr_hz"].to_pandas(), dtype=np.float64)   # NaN where null
     dur = np.asarray(batch["dur_ms"].to_pandas(), dtype=np.float64)
     codec = np.asarray(batch["codec"].to_pandas(), dtype=object)
-    blen = np.asarray(batch["bytes"].is_valid())
-    byte_len = np.zeros(n, dtype=np.int64)
-    import pyarrow.compute as pc
     bl = pc.binary_length(batch["bytes"])
-    byte_len = np.asarray(bl.to_pandas().fillna(-1), dtype=np.int64)
+    byte_len = np.asarray(bl.to_pandas().fillna(-1), dtype=np.int64)  # -1 = null
 
     sr_ok = ~np.isnan(sr) & np.isin(sr, np.asarray(config.ALLOWED_SR, dtype=np.float64))
     dur_ok = ~np.isnan(dur) & (dur > 0)
