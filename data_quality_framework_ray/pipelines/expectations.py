@@ -206,9 +206,12 @@ def check_integer_valued(ds, column: str, table: str = "") -> dict:
 
 # ---------------- scoring (reference A5/A6/A8) ----------------
 
-def score_results(results: list[dict]) -> dict:
+def score_results(results: list[dict],
+                  urgency_buckets: tuple[tuple[float, str], ...] | None = None) -> dict:
     """Pass-rate scores overall and per dimension + urgency bucket
-    (reference /root/reference/storage/postgres_storage.py:236-400, :518-538)."""
+    (reference /root/reference/storage/postgres_storage.py:236-400, :518-538).
+    ``urgency_buckets`` overrides the default thresholds — the reference's
+    per-table urgency overrides (/root/reference/config/settings.py:174-218)."""
     def score(rs):
         return 100.0 * sum(r["passed"] for r in rs) / max(len(rs), 1)
 
@@ -218,10 +221,26 @@ def score_results(results: list[dict]) -> dict:
     dim_scores = {d: score(rs) for d, rs in dims.items()}
     overall = score(results)
     urgency = "PASS"
-    for bound, label in config.URGENCY_BUCKETS:
+    for bound, label in (urgency_buckets or config.URGENCY_BUCKETS):
         if overall < bound:
             urgency = label
             break
     return {"overall_score": overall, "dimension_scores": dim_scores,
             "urgency": urgency, "n_checks": len(results),
             "n_passed": sum(r["passed"] for r in results)}
+
+
+# ---------------- schema registry (reference config/schemas.py:91-120) ----------------
+
+SCHEMA_REGISTRY: dict[str, dict[str, str]] = {}
+
+
+def register_schema(table: str, expected: dict[str, str]) -> None:
+    """Runtime-extensible expected-schema registry (reference ``add_schema``,
+    /root/reference/config/schemas.py:112-120)."""
+    SCHEMA_REGISTRY[table.lower()] = dict(expected)
+
+
+def get_schema(table: str) -> dict[str, str] | None:
+    """(reference ``get_schema``, /root/reference/config/schemas.py:91-101)."""
+    return SCHEMA_REGISTRY.get(table.lower())

@@ -29,9 +29,14 @@ def run_quality_suite(ds, *, table: str, expected_schema: dict[str, str] | None 
                       integer_columns: list[str] | None = None,
                       history: MetricsHistory | None = None,
                       min_rows: int | None = None,
-                      enabled: tuple[str, ...] = ALL_CHECKS) -> dict:
+                      enabled: tuple[str, ...] = ALL_CHECKS,
+                      urgency_buckets: tuple[tuple[float, str], ...] | None = None) -> dict:
     """Run every enabled check against a Dataset; returns
-    {results: [check dicts], score: {...}} (reference result-dict shape)."""
+    {results: [check dicts], score: {...}} (reference result-dict shape).
+    ``expected_schema`` falls back to the runtime schema registry
+    (expectations.register_schema); ``urgency_buckets`` = per-table override."""
+    if expected_schema is None:
+        expected_schema = E.get_schema(table)
     results: list[dict] = []
     schema = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else None
     if schema is None:
@@ -59,7 +64,8 @@ def run_quality_suite(ds, *, table: str, expected_schema: dict[str, str] | None 
         for col in integer_columns or []:
             results.append(E.check_integer_valued(ds, col, table))
 
-    return {"results": results, "score": E.score_results(results)}
+    return {"results": results,
+            "score": E.score_results(results, urgency_buckets=urgency_buckets)}
 
 
 def compare_environments(dev_counts: dict[str, int], prod_counts: dict[str, int]) -> list[dict]:

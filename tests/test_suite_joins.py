@@ -112,3 +112,22 @@ def test_hash_join_vs_duckdb(ray_session):
         "ON o_custkey = c_custkey ORDER BY o_orderkey").fetchdf()
     assert len(got) == len(want)
     assert (got["c_mktsegment"].values == want["c_mktsegment"].values).all()
+
+
+def test_schema_registry_and_urgency_overrides(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines import expectations as E
+    from data_quality_framework_ray.pipelines.suite import run_quality_suite
+
+    E.register_schema("personnes", fixtures.PERSONNES_EXPECTED_SCHEMA)
+    assert E.get_schema("PERSONNES") == fixtures.PERSONNES_EXPECTED_SCHEMA
+
+    ds = rd.from_arrow(fixtures.personnes_table())
+    # expected_schema omitted → pulled from the registry; strict per-table
+    # urgency (anything below 95 is CRITICAL)
+    out = run_quality_suite(ds, table="personnes",
+                            enabled=("schema", "duplicates"),
+                            urgency_buckets=((95.0, "CRITICAL"), (100.0, "LOW")))
+    assert any(r["check"] == "schema" for r in out["results"])
+    assert out["score"]["urgency"] == "CRITICAL"  # dup check fails → 50.0
