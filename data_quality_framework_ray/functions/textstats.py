@@ -25,10 +25,16 @@ from data_quality_framework_ray import config
 
 _TOX_RE = r"(?i)\b(?:" + "|".join(config.TOXICITY_LEXICON) + r")\b"
 
-# Python str.split() whitespace = Unicode White_Space plus \x1c-\x1f; the
-# token regex must match it exactly (SPEC tokens = T.split(); found by a
-# hypothesis counterexample "0\x1f0")
+# Python str.split()/strip() whitespace = Unicode White_Space plus \x1c-\x1f;
+# the token regex and the blank test must match it exactly (SPEC tokens =
+# T.split(), blank = T.strip()==""; found by hypothesis counterexamples
+# "0\x1f0" and "\x1f")
 TOKEN_RE = r"[^\s\x1c-\x1f]+"
+PY_WS_RE = r"[\s\x1c-\x1f]"
+# SPEC symbol class, defined by Unicode general category so Python
+# (unicodedata.category in the oracle) and Rust regex agree exactly —
+# \w differs between the two engines on No/Nl digits and combining marks
+SYMBOL_RE = r"[^\p{L}\p{N}_\s\x1c-\x1f]"
 
 
 def text_stats(transcript: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
@@ -47,9 +53,9 @@ def text_stats(transcript: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
             "nchars": t.str.len_chars(),
             "ntok": toks.list.len(),
             "ndistinct": toks.list.n_unique(),
-            "nsym": t.str.count_matches(r"[^\w\s]"),
+            "nsym": t.str.count_matches(SYMBOL_RE),
             "tox_hit": t.str.contains(_TOX_RE),
-            "blank": null | (t.str.strip_chars().str.len_chars() == 0),
+            "blank": null | (t.str.len_chars() - t.str.count_matches(PY_WS_RE) == 0),
         }
     )
     return {
@@ -80,7 +86,7 @@ def quality_stats(text: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
             "n_chars": s.str.len_chars(),
             "n_tokens": toks.list.len(),
             "n_distinct": toks.list.n_unique(),
-            "n_sym": s.str.count_matches(r"[^\w\s]"),
+            "n_sym": s.str.count_matches(SYMBOL_RE),
             "n_stop": s.str.count_matches(_STOP_RE),
             "n_alpha": s.str.count_matches(r"[A-Za-z]"),
         }

@@ -26,7 +26,20 @@ ALLOW_LANGS = {"en", "fr", "de", "es"}
 CONF_MIN = 0.60
 PPL_MAX = 25.0
 TOX = re.compile(r"\b(?:frak|blargh|drekk|gorram|smeg)\b", re.IGNORECASE)
-SYM = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def n_symbols(t: str) -> int:
+    """SPEC symbol count: chars not (category L*/N*, '_', or Python ws)."""
+    import unicodedata
+
+    n = 0
+    for c in t:
+        if c == "_" or c.isspace() or c in "\x1c\x1d\x1e\x1f":
+            continue
+        if unicodedata.category(c)[0] in ("L", "N"):
+            continue
+        n += 1
+    return n
 PII = [
     (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
     (re.compile(r"\b(?:\d[ -]?){15}\d\b"), "<CARD>"),
@@ -143,7 +156,7 @@ def label_clips(df: pd.DataFrame, models_dir: str) -> pd.DataFrame:
                 reasons.append("length")
             if len(toks) >= REP_MIN_TOKENS and 1 - len(set(toks)) / len(toks) > REP_MAX:
                 reasons.append("repetition")
-            if nchars > 0 and len(SYM.findall(t)) / nchars > SYMBOL_MAX:
+            if nchars > 0 and n_symbols(t) / nchars > SYMBOL_MAX:
                 reasons.append("symbol")
             if dur_ok:
                 cps = nchars / (dur / 1000.0)

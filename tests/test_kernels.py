@@ -29,8 +29,9 @@ TRICKY = [
 
 
 def test_text_stats_match_python():
+    from tests.oracle import n_symbols
+
     st = T.text_stats(pa.array(TRICKY, type=pa.string()))
-    sym = re.compile(r"[^\w\s]", re.UNICODE)
     for i, t in enumerate(TRICKY):
         blank = t is None or t.strip() == ""
         assert bool(st["is_null_or_blank"][i]) == blank
@@ -40,7 +41,7 @@ def test_text_stats_match_python():
         assert st["nchars"][i] == len(t)
         assert st["ntok"][i] == len(toks)
         assert st["ndistinct"][i] == len(set(toks))
-        assert st["nsym"][i] == len(sym.findall(t)), t
+        assert st["nsym"][i] == n_symbols(t), t
 
 
 def test_scrub_matches_re_sub():
