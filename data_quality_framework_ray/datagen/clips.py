@@ -36,6 +36,9 @@ DEFECTS = [
 ]
 CLEAN_P = 0.70  # remaining mass split evenly across DEFECTS
 
+# bump when generation logic changes so cached /tmp tables regenerate
+DATAGEN_VERSION = 2
+
 SCHEMA = pa.schema([
     ("clip_id", pa.string()),
     ("bytes", pa.binary()),
@@ -169,7 +172,7 @@ def generate_clips(out_dir: str, n_clips: int, n_fragments: int, seed: int = 42,
     os.makedirs(out_dir, exist_ok=True)
     man_path = os.path.join(out_dir, "manifest.json")
     params = {"seed": seed, "n_clips": n_clips, "n_fragments": n_fragments,
-              "max_dur_s": max_dur_s}
+              "max_dur_s": max_dur_s, "datagen_version": DATAGEN_VERSION}
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
