@@ -485,6 +485,28 @@ def _q_json_extract(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("k_mod")
 
 
+def _q_sessionize(sf_dir: str):
+    """Session windows per user (30-min inactivity gap): the guide's
+    stream-shaped pattern — partition by key, sort by ts inside the group
+    (ray_guide 'Streaming-shaped workloads')."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    GAP = pd.Timedelta(minutes=30)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        sessions = int((ts.diff() > GAP).sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [sessions],
+                             "n_events": [len(g)]})
+
+    out = (_read(sf_dir, "events", ["user_id", "ts"])
+           .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    return pa.Table.from_pylist(out.take_all()).sort_by("user_id")
+
+
 def _q_union_names(sf_dir: str):
     """Dataset.union (the reference's merge_results list-concat analogue,
     /root/reference/utils/helpers.py:159-172)."""
@@ -526,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mod": _q_sample_mod,
         "json_extract": _q_json_extract,
         "union_names": _q_union_names,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -629,6 +652,13 @@ def oracle_sql() -> dict[str, str]:
         "union_names": (
             "SELECT name FROM (SELECT r_name AS name FROM region "
             "UNION ALL SELECT n_name AS name FROM nation) ORDER BY name"),
+        "sessionize": (
+            "SELECT user_id, "
+            "CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_sessions, count(*) AS n_events FROM ("
+            "SELECT user_id, ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "GROUP BY user_id ORDER BY user_id"),
         "ann_topk": (
             "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, "
             "embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3) "
