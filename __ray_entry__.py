@@ -507,6 +507,28 @@ def _q_sessionize(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("user_id")
 
 
+def _q_top_tokens(sf_dir: str):
+    """The canonical flat_map/word-count: explode tokens (vectorized polars
+    explode per batch, i.e. flat_map without per-row Python), partial counts,
+    tiny groupby, global top-20."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(pa.table({"t": batch["text"]}))["t"].fill_null("")
+        ex = (pl.DataFrame({"tok": s.str.extract_all(r"\S+")})
+              .explode("tok").drop_nulls()
+              .group_by("tok").agg(pl.len().alias("n")))
+        return ex.to_arrow()
+
+    g = (_read(sf_dir, "documents", ["text"])
+         .map_batches(partials, batch_format="pyarrow")
+         .groupby("tok").aggregate(Sum("n", alias_name="n")))
+    t = pa.Table.from_pylist(g.take_all())
+    return t.sort_by([("n", "descending"), ("tok", "ascending")]).slice(0, 20)
+
+
 def _q_union_names(sf_dir: str):
     """Dataset.union (the reference's merge_results list-concat analogue,
     /root/reference/utils/helpers.py:159-172)."""
@@ -549,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": _q_json_extract,
         "union_names": _q_union_names,
         "sessionize": _q_sessionize,
+        "top_tokens": _q_top_tokens,
     }
 
 
@@ -652,6 +675,10 @@ def oracle_sql() -> dict[str, str]:
         "union_names": (
             "SELECT name FROM (SELECT r_name AS name FROM region "
             "UNION ALL SELECT n_name AS name FROM nation) ORDER BY name"),
+        "top_tokens": (
+            "SELECT tok, count(*) AS n FROM (SELECT unnest("
+            "regexp_extract_all(text, '\\S+')) AS tok FROM documents) "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
         "sessionize": (
             "SELECT user_id, "
             "CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) "
