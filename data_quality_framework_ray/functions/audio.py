@@ -125,8 +125,8 @@ def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
 
     row_base = 0
     for data, offsets, valid in binary_column_buffers(batch["bytes"]):
-        m = len(offsets) - 1
-        for i in range(m):
+        chunk_rows = len(offsets) - 1
+        for i in range(chunk_rows):
             codec = codec_np[row_base + i]
             if not valid[i] or codec not in CODEC_BPS:
                 continue
@@ -159,14 +159,14 @@ def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
             # (centroid normalized 0..1, log-spectral flatness); zero-pad to
             # the next power of two — pocketfft's awkward-length paths cost
             # several× more for no feature benefit
-            m = min(k, FFT_CAP)
-            n_fft = 1 << (m - 1).bit_length()
-            spec = np.abs(np.fft.rfft(pcm[:m], n=n_fft))
+            n_fft_in = min(k, FFT_CAP)
+            n_fft = 1 << (n_fft_in - 1).bit_length()
+            spec = np.abs(np.fft.rfft(pcm[:n_fft_in], n=n_fft))
             power = spec * spec + np.float32(1e-12)
             freqs = np.arange(len(power), dtype=np.float32)
             centroid[r] = float((freqs @ power) / (power.sum() * max(len(power) - 1, 1)))
             flatness[r] = float(np.exp(np.mean(np.log(power))) / np.mean(power))
-        row_base += m
+        row_base += chunk_rows
 
     rms = np.sqrt(sumsq / np.maximum(n_samples, 1))
     return {"n_samples": n_samples, "rms": rms, "clip_frac": clip_frac,

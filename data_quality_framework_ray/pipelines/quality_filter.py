@@ -134,12 +134,12 @@ class PhaseAWorker:
         self.stage_dir = stage_dir
         self.batch_rows = batch_rows
 
-    def _process(self, batch: pa.Table) -> pa.Table:
+    def _process(self, batch: pa.Table, part_name: str | None = None) -> pa.Table:
         batch = decode_stats_stage(batch)
         batch = rules_and_scrub(batch)
         batch = self.scorer(batch)
         batch = combine_decisions(batch, enabled=self.enabled)
-        return _sink_batch(batch, stage_dir=self.stage_dir)
+        return _sink_batch(batch, stage_dir=self.stage_dir, part_name=part_name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "path" not in batch.column_names:  # data-mode (ad-hoc Datasets)
@@ -147,8 +147,14 @@ class PhaseAWorker:
         outs = []
         for path in batch["path"].to_pylist():
             pf = pq.ParquetFile(path)
-            for rb in pf.iter_batches(batch_size=self.batch_rows):
-                outs.append(self._process(pa.Table.from_batches([rb])))
+            # Deterministic part names: a Ray task retry (actor crash / OOM)
+            # re-reads the same fragment with the same batch_rows, so the
+            # retry's part list is a superset of any failed attempt's prefix
+            # — files OVERWRITE instead of accumulating uuid-named dupes,
+            # keeping the "restarts can never change survivors" contract.
+            for bi, rb in enumerate(pf.iter_batches(batch_size=self.batch_rows)):
+                outs.append(self._process(pa.Table.from_batches([rb]),
+                                          part_name=f"part-{bi:05d}.parquet"))
         return pa.concat_tables(outs) if outs else pa.Table.from_pylist(
             [], schema=pa.schema([("frag_id", pa.int64()), ("rows", pa.int64())]))
 
@@ -176,10 +182,14 @@ def pipeline_stages(ds, models_dir: str | None = None, *,
 
 # ---------------- phase-A sink ----------------
 
-def _sink_batch(batch: pa.Table, stage_dir: str) -> pa.Table:
+def _sink_batch(batch: pa.Table, stage_dir: str, part_name: str | None = None) -> pa.Table:
     """Write each fragment's slice of the batch under ``frag-<id>/`` and emit a
     tiny (frag_id, rows) summary — the pipeline's consumed output is ONLY the
-    summaries, so nothing big flows back to the driver."""
+    summaries, so nothing big flows back to the driver.
+
+    ``part_name`` (path-mode) makes the filename deterministic per
+    (fragment, batch index) so task retries overwrite their failed attempt's
+    files instead of leaving duplicate rows beside them."""
     frag = np.asarray(batch["frag_id"].to_pandas(), dtype=np.int64)
     out = []
     for fid in np.unique(frag):
@@ -187,7 +197,8 @@ def _sink_batch(batch: pa.Table, stage_dir: str) -> pa.Table:
         # dash (not '=') so readers don't hive-parse a duplicate partition col
         d = os.path.join(stage_dir, f"frag-{int(fid):05d}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+        name = part_name or f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(sl, os.path.join(d, name))
         out.append({"frag_id": int(fid), "rows": sl.num_rows})
     return pa.Table.from_pylist(out, schema=pa.schema([("frag_id", pa.int64()),
                                                        ("rows", pa.int64())]))
@@ -325,6 +336,35 @@ def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
 
 # ---------------- full run ----------------
 
+def _invalidate_on_input_change(out_dir: str, store: FragmentStore) -> None:
+    """Resume is only valid against the SAME input table. Stamp out_dir with a
+    hash of the input manifest (params + fragment list + row counts); if a
+    previous run's stamp mismatches — e.g. the input was regenerated in place
+    with new params but identical fragment count — clear lineage/decisions/
+    final so stale DONE markers can't short-circuit phase A over old data."""
+    import hashlib
+    import json
+
+    man_hash = hashlib.sha256(
+        json.dumps(store.manifest, sort_keys=True).encode()).hexdigest()
+    stamp_path = os.path.join(out_dir, "input_stamp.json")
+    prev = None
+    try:
+        with open(stamp_path) as f:
+            prev = json.load(f).get("manifest_sha256")
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    if prev != man_hash:
+        if prev is not None or os.path.isdir(os.path.join(out_dir, "lineage")):
+            for sub in ("lineage", "decisions", "final", "final.tmp", "metrics"):
+                shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = stamp_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"manifest_sha256": man_hash, "in_dir": store.root}, f)
+        os.replace(tmp, stamp_path)
+
+
 def default_model_concurrency() -> int:
     """FIXED pool size ≈ 3/4 of cluster CPUs (leaving headroom for the read
     and sink tasks). Fixed, not autoscaling: the measured ramp of
@@ -353,6 +393,7 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     t0 = time.time()
     run_id = run_id or time.strftime("run_%Y%m%d_%H%M%S")
     store = FragmentStore(in_dir)
+    _invalidate_on_input_change(out_dir, store)
     lineage = LineageLog(out_dir)
     stage_dir = os.path.join(out_dir, "decisions")  # model_concurrency=None →
     # phase A sizes its pool to the full cluster (see below)

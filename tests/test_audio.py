@@ -53,6 +53,32 @@ def test_decode_stats_matches_per_row():
         assert abs(stats["rms"][i] - np.sqrt(np.mean(pcm**2))) < 1e-6
 
 
+def test_decode_stats_multichunk_matches_singlechunk():
+    """Regression: a bytes column split across multiple Arrow chunks must
+    produce identical stats to the same rows in one chunk (the inner FFT
+    length once shadowed the chunk row count, corrupting row_base)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(5, 300))
+        x = 0.4 * np.sin(np.arange(n) * 0.07) + 0.01 * rng.standard_normal(n)
+        codec = ["pcm16", "ulaw", "alaw"][i % 3]
+        rows.append({"clip_id": str(i), "bytes": A.encode(x, codec), "codec": codec})
+    single = pa.Table.from_pylist(rows)
+    # build a 4-chunk bytes column over the same rows
+    parts = [pa.Table.from_pylist(rows[i:i + 10]) for i in range(0, 40, 10)]
+    multi = pa.concat_tables(parts)
+    assert multi["bytes"].num_chunks > 1
+    s1 = A.decode_stats(single)
+    s2 = A.decode_stats(multi)
+    for key in s1:
+        np.testing.assert_array_equal(
+            np.isnan(s1[key]) if s1[key].dtype.kind == "f" else np.zeros(0),
+            np.isnan(s2[key]) if s2[key].dtype.kind == "f" else np.zeros(0))
+        np.testing.assert_allclose(
+            np.nan_to_num(s1[key]), np.nan_to_num(s2[key]), rtol=0, atol=0)
+
+
 def test_per_row_pcm_audit_vs_oracle(clips_dir):
     """Sampled per-row invariant: engine LUT decode vs independent audioop
     decode — allclose and SNR ≥ 30 dB (identical is expected)."""

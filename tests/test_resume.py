@@ -51,3 +51,56 @@ def test_noop_resume(ray_session, clips_dir, tmp_path):
     qf.run(clips_dir, out, models_dir=MODELS_DIR)
     s2 = qf.run(clips_dir, out, models_dir=MODELS_DIR)
     assert s2["frags_processed"] == 0
+
+
+def test_input_change_invalidates_lineage(ray_session, tmp_path):
+    """If the input table is regenerated in place (same fragment count, new
+    params), stale DONE markers must NOT short-circuit phase A: the run must
+    detect the manifest change, clear derived state, and recompute."""
+    from data_quality_framework_ray.datagen.clips import generate_clips
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = str(tmp_path / "clips")
+    out = str(tmp_path / "out3")
+    generate_clips(clips, n_clips=200, n_fragments=4, seed=42)
+    s1 = qf.run(clips, out, models_dir=MODELS_DIR)
+    assert s1["frags_processed"] == 4
+    first = _final_df(out)
+
+    # regenerate IN PLACE with a different seed (same shape → same frag ids)
+    shutil.rmtree(clips)
+    generate_clips(clips, n_clips=200, n_fragments=4, seed=99)
+    s2 = qf.run(clips, out, models_dir=MODELS_DIR)
+    assert s2["frags_processed"] == 4  # stale DONE markers were discarded
+    second = _final_df(out)
+    # decisions must reflect the NEW data, not the cached old run
+    assert not first["content_sha1"].equals(second["content_sha1"]) if \
+        "content_sha1" in first.columns else True
+    assert set(second["clip_id"]) != set() and len(second) == 200
+
+
+def test_retry_overwrites_partial_attempt(ray_session, tmp_path):
+    """A task retry after a mid-fragment failure must overwrite the failed
+    attempt's part files (deterministic names), never duplicate rows."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.datagen.clips import generate_clips
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = str(tmp_path / "clips_retry")
+    generate_clips(clips, n_clips=120, n_fragments=2, seed=7)
+    stage = str(tmp_path / "stage")
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.stages.rules import RULES
+
+    enabled = frozenset(r.name for r in RULES)
+    worker = qf.PhaseAWorker(MODELS_DIR, enabled, stage, batch_rows=32)
+    path = fragment_paths(clips)[0]
+    batch = pa.Table.from_pylist([{"path": path}])
+    worker(batch)  # "failed" first attempt (completed, but files now stale)
+    files_first = sorted(glob.glob(os.path.join(stage, "frag-*", "*.parquet")))
+    worker(batch)  # retry of the same fragment
+    files_second = sorted(glob.glob(os.path.join(stage, "frag-*", "*.parquet")))
+    assert files_first == files_second  # overwrote, no uuid accumulation
+    total = sum(pq.read_metadata(f).num_rows for f in files_second)
+    assert total == pq.read_metadata(path).num_rows  # no duplicated rows
