@@ -52,4 +52,16 @@ MODEL_POOL_SIZE = (1, 8)           # actor-pool autoscaling bounds for model sta
                                    # min=1 so two pools never reserve every CPU of a
                                    # small node and starve the read/sink tasks
 BROADCAST_DUP_LIMIT = 5_000_000    # max duplicate-group entries to broadcast (see
-                                   # pipelines/quality_filter.py dedup notes)
+                                   # pipelines/quality_filter.py dedup notes);
+                                   # above it the dedup paths switch to the
+                                   # distributed Dataset.join/groupby fallbacks
+MAX_PAIRS_PER_BUCKET = 100_000     # full all-pairs verification per LSH bucket up
+                                   # to this many pairs (bucket ≈ 450 members);
+                                   # larger buckets emit star+chain pairs (2k-3)
+                                   # — documented recall tradeoff in dedup.py
+EMB_BUCKET_CAP = 256               # embedding dedup: full O(n²) cosine verify up
+                                   # to this bucket size; larger buckets recurse
+                                   # with fresh hyperplanes (see dedup.py)
+DRIVER_PAIR_LIMIT = 2_000_000      # verified-pair count above which connected
+                                   # components run distributed (label propagation)
+                                   # instead of driver union-find

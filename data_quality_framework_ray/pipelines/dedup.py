@@ -7,13 +7,20 @@ operators a 100 TB corpus needs (task brief).
 
 Partitioning assumptions (documented per the brief):
 - exact dedup shuffles ONLY (h1, h2, id) partials; winner = min(id) per
-  content group is order-free so restarts can't change survivors.
-- LSH variants shuffle (band_key, id) rows — O(bands × rows) small rows; the
-  candidate-pair set and its verification are assumed ≪ input (guarded by
-  config.BROADCAST_DUP_LIMIT). At extreme dup rates, verification moves into
-  a second groupby stage per band — noted inline where relevant.
-- connected components run driver-side union-find over verified pairs (pairs
-  ≪ rows); a min-label-propagation groupby loop is the distributed fallback.
+  content group is order-free so restarts can't change survivors. Above
+  BROADCAST_DUP_LIMIT winners, the broadcast filter switches to a
+  distributed ``Dataset.join`` on (h1, h2) — same survivors, payload shuffle.
+- LSH variants shuffle (band_key, id) rows — O(bands × rows) small rows.
+  Candidate pairs are ALL within-bucket pairs (capped per bucket at
+  MAX_PAIRS_PER_BUCKET; above the cap a bucket emits star+chain
+  connectivity pairs — documented recall tradeoff: an over-cap bucket at
+  band-equality similarity is overwhelmingly mutually-near-dup, and
+  union-find restores the cluster transitively). Memberships above
+  BROADCAST_DUP_LIMIT switch to the distributed path: join + per-bucket
+  map_groups verification — no driver collection.
+- connected components run driver-side union-find while verified pairs fit
+  (DRIVER_PAIR_LIMIT); above it ``components_distributed`` runs min-label
+  propagation as a groupby loop.
 """
 
 from __future__ import annotations
@@ -25,6 +32,22 @@ import pyarrow as pa
 
 from data_quality_framework_ray import config
 from data_quality_framework_ray.functions import hashing as H
+
+
+# ---------------- shared ----------------
+
+def _join_partitions(requested: int | None = None) -> int:
+    """Join/shuffle partition count sized to the cluster: the Join operator
+    spins up one hash-aggregator actor per partition, and asking for more
+    actors than CPUs deadlocks a small cluster (measured: 64 partitions hang
+    a 4-CPU test session). One partition per CPU, capped at 64 — raise the
+    cap per-call for >64-core clusters with skewed keys."""
+    if requested:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, cpus))
 
 
 # ---------------- exact dedup ----------------
@@ -41,7 +64,10 @@ def _exact_partials(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Tab
 
 
 def exact_dup_winners(ds, key_cols: list[str], id_col: str) -> dict:
-    """(h1,h2) → min id, for content groups with >1 member (small)."""
+    """(h1,h2) → min id, for content groups with >1 member (small).
+
+    Raises ``ValueError`` above BROADCAST_DUP_LIMIT — callers that can
+    degrade (``exact_dedup``) catch it and switch to the join path."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
@@ -50,18 +76,64 @@ def exact_dup_winners(ds, key_cols: list[str], id_col: str) -> dict:
     g = pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
     dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
                          batch_format="pyarrow").take_all()
-    if len(dups) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
-        raise RuntimeError("dup-group set too large to broadcast; use Dataset.join")
+    if len(dups) > config.BROADCAST_DUP_LIMIT:
+        raise ValueError(f"{len(dups)} dup groups exceed broadcast limit")
     return {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups}
+
+
+def _tag_hashes(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+    return (batch.append_column("h1", pa.array(h1))
+                 .append_column("h2", pa.array(h2)))
+
+
+def _exact_dedup_join(ds, key_cols: list[str], id_col: str,
+                      num_partitions: int | None = None):
+    """Distributed exact dedup: tag (h1,h2), left-join the winner table,
+    keep non-losers. Same survivors as the broadcast path (winner = min id is
+    order-free); the cost is shuffling the payload through the join.
+
+    Scale note: the winner aggregate is Min over the string id — for >10^9
+    groups map ids to int64 surrogates first (Ray's sort-based string
+    aggregate is the bottleneck, measured round 1)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    num_partitions = _join_partitions(num_partitions)
+    tagged = ds.map_batches(partial(_tag_hashes, key_cols=key_cols),
+                            batch_format="pyarrow",
+                            batch_size=config.TEXT_BATCH_SIZE)
+    pairs = tagged.map_batches(
+        partial(_exact_partials, key_cols=key_cols, id_col=id_col),
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    winners = (pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
+               .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
+                            .select(["h1", "h2", "min(min_id)"])
+                            .rename_columns(["h1", "h2", "winner"]),
+                            batch_format="pyarrow"))
+    joined = tagged.join(winners, "left_outer", num_partitions,
+                         on=("h1", "h2"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = batch["winner"]
+        ok = pc.or_kleene(pc.is_null(w), pc.equal(w, batch[id_col]))
+        return (batch.filter(pc.fill_null(ok, True))
+                .drop_columns(["h1", "h2", "winner"]))
+
+    return joined.map_batches(keep, batch_format="pyarrow")
 
 
 def exact_dedup(ds, key_cols: list[str], id_col: str):
     """Keep the min-id row of every exact content group (streaming; the input
     is traversed twice — once for winners, once to filter — trading a second
-    cheap scan for never shuffling the payload columns)."""
+    cheap scan for never shuffling the payload columns). Falls back to the
+    distributed join path when the winner set exceeds the broadcast limit."""
     import ray
 
-    winners = exact_dup_winners(ds, key_cols, id_col)
+    try:
+        winners = exact_dup_winners(ds, key_cols, id_col)
+    except ValueError:
+        return _exact_dedup_join(ds, key_cols, id_col)
     ref = ray.put(winners)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -83,9 +155,10 @@ def exact_dedup(ds, key_cols: list[str], id_col: str):
                           batch_size=config.TEXT_BATCH_SIZE)
 
 
-# ---------------- union-find (driver-side; pairs << rows) ----------------
+# ---------------- connected components ----------------
 
 def _components(pairs: list[tuple], ids: set) -> dict:
+    """Driver union-find (pairs ≪ rows); rep = natural min id."""
     parent: dict = {}
 
     def find(x):
@@ -102,6 +175,128 @@ def _components(pairs: list[tuple], ids: set) -> dict:
     return {x: find(x) for x in ids}
 
 
+def components_distributed(pairs_ds, max_iter: int = 30):
+    """Distributed connected components by min-label propagation: the
+    fallback when verified pairs exceed DRIVER_PAIR_LIMIT.
+
+    Input: Dataset of edges (a, b). Output: Dataset of (id, rep) where rep is
+    the component's min id — identical semantics to :func:`_components`.
+
+    Each iteration is one join (edge → neighbor label) + one groupby (min
+    over own + neighbor labels); iterations = label diameter of the largest
+    component ≤ O(log n) for LSH dup clusters (they're dense). Per-batch
+    pyarrow partial-mins run before every groupby so the shuffle carries one
+    row per (node) per block, not per edge. All kernels are pyarrow (NOT
+    polars) so the join key types stay bit-identical across iterations —
+    polars round-trips promote string→large_string and break Acero joins."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks()
+        bb = b["b"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, bb]),
+                         "v": pa.concat_arrays([bb, a])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("u").aggregate([("v", "min")])
+        return g.rename_columns(["u", "lbl"])
+
+    # init: label(u) = min(u, min neighbor)
+    labels = (edges.map_batches(min_partial, batch_format="pyarrow")
+              .groupby("u").aggregate(Min("lbl"))
+              .map_batches(lambda t: pa.table({
+                  "u": t["u"],
+                  "lbl": pc.min_element_wise(t["u"], t["min(lbl)"])}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    def lbl_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("u").aggregate([("lbl", "min")])
+        return g.rename_columns(["u", "lbl"])
+
+    for _ in range(max_iter):
+        # neighbor labels: edge (u,v) picks up label(v)
+        prop = edges.join(labels, "inner", _join_partitions(), on=("v",), right_on=("u",),
+                          left_suffix="", right_suffix="_r")
+        both = (prop.map_batches(
+                    lambda t: pa.table({"u": t["u"], "lbl": t["lbl"]}),
+                    batch_format="pyarrow")
+                .union(labels)
+                .map_batches(lbl_partial, batch_format="pyarrow"))
+        new_labels = (both.groupby("u").aggregate(Min("lbl"))
+                      .map_batches(lambda t: t.rename_columns(["u", "lbl"]),
+                                   batch_format="pyarrow")
+                      .materialize())
+        changed = (labels.join(new_labels, "inner", _join_partitions(), on=("u",),
+                               left_suffix="", right_suffix="_new")
+                   .map_batches(lambda t: pa.table({"n": [int(pc.sum(
+                       pc.not_equal(t["lbl"], t["lbl_new"])).as_py() or 0)]}),
+                       batch_format="pyarrow")
+                   .sum("n"))
+        labels = new_labels
+        if not changed:
+            break
+    return labels.map_batches(lambda t: t.rename_columns(["id", "rep"]),
+                              batch_format="pyarrow")
+
+
+def _resolve_components(verified: list[tuple]) -> dict:
+    """Union-find below DRIVER_PAIR_LIMIT, label propagation above."""
+    if len(verified) <= config.DRIVER_PAIR_LIMIT:
+        return _components(verified, {x for p in verified for x in p})
+    import ray.data as rd
+
+    pairs_ds = rd.from_items([{"a": a, "b": b} for a, b in verified])
+    rows = components_distributed(pairs_ds).take_all()
+    return {r["id"]: r["rep"] for r in rows}
+
+
+# ---------------- bucket pair emission (shared by MinHash / SimHash) ----------------
+
+def _pair_indices(k: int, max_pairs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate index pairs for a k-member bucket (members sorted by id).
+
+    All C(k,2) pairs while under the cap — full recall within the bucket
+    (fixes the round-1 star-pair recall bug: a B–C near-dup no longer
+    depends on both verifying against the bucket minimum A). Above the cap,
+    star (min→j) + chain (j-1→j) pairs preserve connectivity in 2k-3 pairs;
+    union-find restores the cluster transitively when consecutive or
+    star pairs verify."""
+    if k * (k - 1) // 2 <= max_pairs:
+        iu = np.triu_indices(k, 1)
+        return iu[0].astype(np.int64), iu[1].astype(np.int64)
+    j = np.arange(1, k, dtype=np.int64)
+    a = np.concatenate([np.zeros(k - 1, dtype=np.int64), j[:-1]])
+    b = np.concatenate([j, j[1:]])
+    return a, b
+
+
+def _emit_group_pairs(group: pa.Table, id_name: str = "id",
+                      extra_cols: tuple[str, ...] = (),
+                      max_pairs: int | None = None) -> pa.Table:
+    """All (capped) within-bucket pairs for one groupby group; ids sorted so
+    a < b. ``extra_cols`` are carried for both sides (suffixes _a/_b)."""
+    max_pairs = max_pairs or config.MAX_PAIRS_PER_BUCKET
+    ids = np.asarray(group[id_name].to_pandas())
+    order = np.argsort(ids, kind="stable")
+    k = len(ids)
+    empty_schema = ([("a", pa.string()), ("b", pa.string())] +
+                    [(c + s, group.schema.field(c).type)
+                     for c in extra_cols for s in ("_a", "_b")])
+    if k < 2:
+        return pa.Table.from_pylist([], schema=pa.schema(empty_schema))
+    ia, ib = _pair_indices(k, max_pairs)
+    cols = {"a": pa.array(ids[order[ia]]), "b": pa.array(ids[order[ib]])}
+    for c in extra_cols:
+        vals = np.asarray(group[c].to_pandas())
+        cols[c + "_a"] = pa.array(vals[order[ia]])
+        cols[c + "_b"] = pa.array(vals[order[ib]])
+    return pa.table(cols)
+
+
 # ---------------- MinHash + LSH ----------------
 
 def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
@@ -110,14 +305,20 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                            verify: str = "signature") -> dict:
     """id → cluster representative (min id) for near-duplicate clusters.
 
-    shingle → minhash → band buckets (groupby shuffle of (band_key, id)
-    rows) → candidate pairs → verify (signature-estimated Jaccard, or exact
-    n-gram Jaccard when verify="exact") → driver union-find.
+    shingle → minhash → band buckets → ALL within-bucket candidate pairs
+    (capped per bucket) → verify (signature-estimated Jaccard, or exact
+    n-gram Jaccard when verify="exact") → union-find.
     ``rows_per_band = num_perm // bands``; with 128/32 the LSH S-curve
     crosses ~0.77 — pair with threshold=0.8.
+
+    While multi-bucket membership fits under BROADCAST_DUP_LIMIT the pair
+    emission and verification run driver-side over the (small) membership
+    table; above it the fully distributed path
+    (:func:`_minhash_distributed`) takes over: join membership against hot
+    buckets, per-bucket map_groups pair emission, signature join, vectorized
+    verify — nothing large on the driver.
     """
     import polars as pl
-    from ray.data.aggregate import AggregateFn
 
     r = num_perm // bands
 
@@ -134,30 +335,27 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
         ids = batch[id_col].to_pandas().to_numpy()
         n = len(ids)
         return pa.table({
-            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
             "bh": pa.array(bh.reshape(-1).view(np.int64)),
             "id": np.repeat(ids, bands),
         })
 
-    # (band, bh, id) rows are consumed twice (bucket stats, then pair
-    # emission) — materialize so the expensive signature stage runs once;
+    # (band, bh, id) rows are consumed twice (bucket stats, then membership
+    # collection) — materialize so the expensive signature stage runs once;
     # the band table is ~bands × rows of three narrow columns, a small
     # fraction of the input text
     bands_ds = ds.map_batches(sig_and_bands, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE).materialize()
 
-    # candidate pairs = (bucket-min, member) for buckets with >1 member —
-    # enough for connectivity. Per-batch polars partials + driver combine
-    # (Ray's sort-based groupby with a string Min aggregate measured 21.8 s
-    # on 160k band rows vs ~0.5 s for this path; at 10^9+ band rows switch
-    # the combine to a distributed groupby like combine_dup_partials does).
-    import polars as pl
+    # bucket sizes: per-batch polars partials + driver combine (Ray's
+    # sort-based groupby with a string Min aggregate measured 21.8 s on 160k
+    # band rows vs ~0.5 s for this path)
     import ray
 
     def bucket_partials(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         return (df.group_by(["band", "bh"])
-                .agg(pl.col("id").min().alias("min_id"), pl.len().alias("cnt"))
+                .agg(pl.len().alias("cnt"))
                 .to_arrow())
 
     parts = bands_ds.map_batches(bucket_partials, batch_format="pyarrow",
@@ -165,41 +363,54 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     if not parts:
         return {}
     agg = (pl.DataFrame(parts).group_by(["band", "bh"])
-           .agg(pl.col("min_id").min(), pl.col("cnt").sum())
+           .agg(pl.col("cnt").sum())
            .filter(pl.col("cnt") > 1))
-    multi = agg.to_dicts()
-    if not multi:
+    if agg.height == 0:
         return {}
-    bucket_min = {(r["band"], r["bh"]): r["min_id"] for r in multi}
-    bm_ref = ray.put(bucket_min)
+    membership_est = int(agg["cnt"].sum())
+    if (agg.height > config.BROADCAST_DUP_LIMIT
+            or membership_est > config.BROADCAST_DUP_LIMIT):
+        return _minhash_distributed(ds, bands_ds, text_col, id_col,
+                                    num_perm=num_perm, shingle_k=shingle_k,
+                                    threshold=threshold, verify=verify)
 
-    def emit_pairs(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
+    mk_ref = ray.put(multi_keys)
 
-        bm = ray.get(bm_ref) if not isinstance(bm_ref, dict) else bm_ref
-        left = pd.DataFrame({"band": batch["band"].to_numpy(zero_copy_only=False),
-                             "bh": batch["bh"].to_numpy(zero_copy_only=False),
-                             "id": batch["id"].to_pandas()})
-        right = pd.DataFrame([(b, h, m) for (b, h), m in bm.items()],
-                             columns=["band", "bh", "m"])
-        j = left.merge(right, on=["band", "bh"], how="inner")
-        j = j[j["id"] != j["m"]]
-        return pa.table({"a": pa.array(j["m"], type=pa.string()),
-                         "b": pa.array(j["id"], type=pa.string())})
+    def member_rows(batch: pa.Table) -> pa.Table:
+        mk = ray.get(mk_ref) if not isinstance(mk_ref, set) else mk_ref
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((int(b), int(h)) in mk for b, h in zip(band, bh)),
+                           dtype=bool, count=len(band))
+        return batch.filter(pa.array(mask))
 
-    pairs_rows = bands_ds.map_batches(emit_pairs, batch_format="pyarrow",
-                                      batch_size=config.TEXT_BATCH_SIZE).take_all()
-    cand = {(row["a"], row["b"]) for row in pairs_rows if row["a"] != row["b"]}
-    if len(cand) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
-        raise RuntimeError("candidate set too large; verify within a second "
-                           "groupby stage instead of on the driver")
+    members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
+                                   batch_size=config.TEXT_BATCH_SIZE).take_all()
+    mdf = pl.DataFrame(members)
+    cand: set[tuple] = set()
+    for (_, _), grp in mdf.group_by(["band", "bh"], maintain_order=False):
+        ids = np.sort(grp["id"].to_numpy())
+        ia, ib = _pair_indices(len(ids), config.MAX_PAIRS_PER_BUCKET)
+        cand.update(zip(ids[ia].tolist(), ids[ib].tolist()))
     if not cand:
         return {}
 
-    # verification needs the candidates' features only: broadcast the id set,
-    # stream-filter, collect the (small) candidate feature table
-    cand_ids = {x for p in cand for x in p}
+    verified = _verify_text_pairs(ds, sorted(cand), text_col, id_col,
+                                  num_perm=num_perm, shingle_k=shingle_k,
+                                  threshold=threshold, verify=verify)
+    return _resolve_components(verified)
+
+
+def _verify_text_pairs(ds, cand: list[tuple], text_col: str, id_col: str, *,
+                       num_perm: int, shingle_k: int, threshold: float,
+                       verify: str) -> list[tuple]:
+    """Verify candidate pairs driver-side: fetch ONLY the candidates' texts
+    (streamed filter), one vectorized signature pass, then a single
+    vectorized equality-mean over all pairs — no per-pair recomputation."""
     import ray
+
+    cand_ids = {x for p in cand for x in p}
     idset_ref = ray.put(cand_ids)
 
     def filter_cands(batch: pa.Table) -> pa.Table:
@@ -214,29 +425,106 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     by_id = {r[id_col]: r[text_col] for r in feats}
     uniq = sorted(by_id)
     idx = {i: k for k, i in enumerate(uniq)}
+    pairs = [(a, b) for a, b in cand if a in by_id and b in by_id]
+    if not pairs:
+        return []
 
     if verify == "signature":
-        # one vectorized signature pass over the candidate docs, then O(1)
-        # per pair — never per-pair recomputation
         texts = pa.array([by_id[i] for i in uniq], type=pa.string())
         sh, off = H.shingle_hashes(texts, shingle_k)
         sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+        ia = np.fromiter((idx[a] for a, _ in pairs), dtype=np.int64,
+                         count=len(pairs))
+        ib = np.fromiter((idx[b] for _, b in pairs), dtype=np.int64,
+                         count=len(pairs))
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        return [p for p, s in zip(pairs, est) if s >= threshold]
 
-        def jac(a: str, b: str) -> float:
-            return float(np.mean(sig[idx[a]] == sig[idx[b]]))
-    else:
-        shingle_sets: dict = {}
-        for i in uniq:
-            t = by_id[i].split()
-            shingle_sets[i] = set(zip(*[t[j:] for j in range(shingle_k)])) or {tuple(t)}
+    shingle_sets: dict = {}
+    for i in uniq:
+        t = by_id[i].split()
+        shingle_sets[i] = set(zip(*[t[j:] for j in range(shingle_k)])) or {tuple(t)}
 
-        def jac(a: str, b: str) -> float:
-            sa, sb = shingle_sets[a], shingle_sets[b]
-            return len(sa & sb) / max(len(sa | sb), 1)
+    def jac(a: str, b: str) -> float:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        return len(sa & sb) / max(len(sa | sb), 1)
 
-    verified = [(a, b) for a, b in cand
-                if a in by_id and b in by_id and jac(a, b) >= threshold]
-    return _components(verified, {x for p in verified for x in p})
+    return [(a, b) for a, b in pairs if jac(a, b) >= threshold]
+
+
+def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
+                         num_perm: int, shingle_k: int, threshold: float,
+                         verify: str = "signature",
+                         num_partitions: int | None = None) -> dict:
+    """Fully distributed MinHash near-dup (the documented scale path beyond
+    BROADCAST_DUP_LIMIT; exercised in tests by forcing the limit down):
+
+      hot buckets (distributed groupby over per-batch count partials)
+        → inner join membership on (band, bh)
+        → per-bucket map_groups: capped all-pairs emission
+        → per-batch pair dedupe (cross-band dupes only cost re-verification)
+        → join each side against the per-doc signature table
+        → vectorized signature verify inside map_batches
+        → connected components (driver under DRIVER_PAIR_LIMIT, else
+          min-label propagation)
+
+    Only (band, bh, id) rows, (a, b) pairs and num_perm×8-byte signatures of
+    PAIRED docs ever move; driver holds nothing but the final cluster map.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    num_partitions = _join_partitions(num_partitions)
+    counts = bands_ds.map_batches(
+        lambda b: pl.from_arrow(b).group_by(["band", "bh"])
+        .agg(pl.len().alias("cnt")).to_arrow(),
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
+           .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
+                        .select(["band", "bh"]), batch_format="pyarrow"))
+    membership = bands_ds.join(hot, "inner", num_partitions,
+                               on=("band", "bh"))
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    pairs = (membership.groupby(["band", "bh"])
+             .map_groups(partial(_emit_group_pairs, id_name="id"),
+                         batch_format="pyarrow")
+             # polars emits large_string; cast back so the join keys match
+             .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
+                          .cast(pair_schema), batch_format="pyarrow"))
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        sh, off = H.shingle_hashes(batch[text_col], shingle_k)
+        sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+        return pa.table({"sid": batch[id_col],
+                         "sig": pa.array([s.tobytes() for s in sig],
+                                         type=pa.binary())})
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+    j1 = (pairs.join(sigs, "inner", num_partitions, on=("a",),
+                     right_on=("sid",))
+          .map_batches(lambda t: t.rename_columns(
+              ["sig_a" if c == "sig" else c for c in t.column_names]),
+              batch_format="pyarrow"))
+    j2 = j1.join(sigs, "inner", num_partitions, on=("b",), right_on=("sid",))
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string())})
+        sa = np.stack([np.frombuffer(x, dtype=np.uint64)
+                       for x in t["sig_a"].to_pylist()])
+        sb = np.stack([np.frombuffer(x, dtype=np.uint64)
+                       for x in t["sig"].to_pylist()])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"a": t["a"].filter(pa.array(keep)),
+                         "b": t["b"].filter(pa.array(keep))})
+
+    verified_ds = j2.map_batches(verify_batch, batch_format="pyarrow")
+    verified = [(r["a"], r["b"]) for r in verified_ds.take_all()]
+    return _resolve_components(sorted(set(verified)))
 
 
 def near_dedup_filter(ds, id_col: str, cluster_map: dict):
@@ -260,9 +548,19 @@ def near_dedup_filter(ds, id_col: str, cluster_map: dict):
 
 def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                        hamming_max: int = 3) -> dict:
-    """64-bit SimHash near-dup: 4×16-bit band buckets guarantee recall for
-    hamming distance ≤ 3 (pigeonhole over 4 bands); verify exact hamming on
-    the driver (pairs << rows)."""
+    """64-bit SimHash near-dup. 4×16-bit bands guarantee CO-BUCKETING for
+    hamming distance ≤ 3 (pigeonhole over 4 bands); candidate pairs are ALL
+    within-bucket pairs (capped at MAX_PAIRS_PER_BUCKET), so the recall
+    guarantee now extends through verification — any pair at distance ≤
+    hamming_max shares a bucket and is verified directly, not via the
+    round-1 bucket-min star (which dropped B–C whenever both failed against
+    the bucket minimum A).
+
+    The sim value rides along in the band rows, so verification is one
+    vectorized XOR-popcount — driver-side under BROADCAST_DUP_LIMIT
+    memberships, inside per-bucket map_groups above it."""
+    import polars as pl
+    import ray
 
     def sim_stage(batch: pa.Table) -> pa.Table:
         th, off = H.token_hashes(batch[text_col])
@@ -272,51 +570,181 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
         bandvals = np.stack([(s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
                              for b in range(4)], axis=1).astype(np.int64)
         return pa.table({
-            "band": np.tile(np.arange(4, dtype=np.int32), n),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
             "bh": bandvals.reshape(-1),
             "id": np.repeat(ids, 4),
             "sim": pa.array(np.repeat(s.view(np.int64), 4)),
         })
 
     bands_ds = ds.map_batches(sim_stage, batch_format="pyarrow",
-                              batch_size=config.TEXT_BATCH_SIZE)
+                              batch_size=config.TEXT_BATCH_SIZE).materialize()
 
-    def to_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["id"].to_pylist(), group["sim"].to_pylist()))
-        if len(rows) < 2:
+    parts = bands_ds.map_batches(
+        lambda b: pl.from_arrow(b).group_by(["band", "bh"])
+        .agg(pl.len().alias("cnt")).to_arrow(),
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE).take_all()
+    if not parts:
+        return {}
+    agg = (pl.DataFrame(parts).group_by(["band", "bh"])
+           .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1))
+    if agg.height == 0:
+        return {}
+    if int(agg["cnt"].sum()) > config.BROADCAST_DUP_LIMIT:
+        return _simhash_distributed(bands_ds, hamming_max=hamming_max)
+
+    multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
+    mk_ref = ray.put(multi_keys)
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        mk = ray.get(mk_ref) if not isinstance(mk_ref, set) else mk_ref
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        bh = batch["bh"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((int(b), int(h)) in mk for b, h in zip(band, bh)),
+                           dtype=bool, count=len(band))
+        return batch.filter(pa.array(mask))
+
+    members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
+                                   batch_size=config.TEXT_BATCH_SIZE).take_all()
+    mdf = pl.DataFrame(members)
+    pair_a, pair_b, sim_a, sim_b = [], [], [], []
+    for (_, _), grp in mdf.group_by(["band", "bh"], maintain_order=False):
+        ids = grp["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, sims = ids[order], grp["sim"].to_numpy()[order]
+        ia, ib = _pair_indices(len(ids), config.MAX_PAIRS_PER_BUCKET)
+        pair_a.append(ids[ia]); pair_b.append(ids[ib])
+        sim_a.append(sims[ia]); sim_b.append(sims[ib])
+    if not pair_a:
+        return {}
+    a = np.concatenate(pair_a); b = np.concatenate(pair_b)
+    sa = np.concatenate(sim_a).astype(np.int64).view(np.uint64)
+    sb = np.concatenate(sim_b).astype(np.int64).view(np.uint64)
+    d = H.hamming64(sa, sb)
+    hit = d <= hamming_max
+    verified = sorted({(x, y) for x, y in zip(a[hit].tolist(), b[hit].tolist())})
+    return _resolve_components(verified)
+
+
+def _simhash_distributed(bands_ds, *, hamming_max: int,
+                         num_partitions: int | None = None) -> dict:
+    """Distributed SimHash fallback: hot buckets via distributed groupby,
+    membership join, per-bucket map_groups emits AND verifies (the sim value
+    is in the group), then components."""
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    num_partitions = _join_partitions(num_partitions)
+    counts = bands_ds.map_batches(
+        lambda b: pl.from_arrow(b).group_by(["band", "bh"])
+        .agg(pl.len().alias("cnt")).to_arrow(),
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
+           .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
+                        .select(["band", "bh"]), batch_format="pyarrow"))
+    membership = bands_ds.join(hot, "inner", num_partitions, on=("band", "bh"))
+
+    def emit_verify(group: pa.Table) -> pa.Table:
+        pairs = _emit_group_pairs(group, id_name="id", extra_cols=("sim",))
+        if pairs.num_rows == 0:
             return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string()),
-                             "sa": pa.array([], type=pa.int64()),
-                             "sb": pa.array([], type=pa.int64())})
-        (lo, slo) = rows[0]
-        return pa.table({"a": [lo] * (len(rows) - 1),
-                         "b": [r[0] for r in rows[1:]],
-                         "sa": [slo] * (len(rows) - 1),
-                         "sb": [r[1] for r in rows[1:]]})
+                             "b": pa.array([], type=pa.string())})
+        sa = pairs["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        sb = pairs["sim_b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        hit = H.hamming64(sa, sb) <= hamming_max
+        return pa.table({"a": pairs["a"].filter(pa.array(hit)),
+                         "b": pairs["b"].filter(pa.array(hit))})
 
-    pairs = bands_ds.groupby(["band", "bh"]).map_groups(to_pairs,
-                                                        batch_format="pyarrow").take_all()
-    seen = set()
-    verified = []
-    for r in pairs:
-        key = (r["a"], r["b"])
-        if r["a"] == r["b"] or key in seen:
-            continue
-        seen.add(key)
-        d = H.hamming64(np.array([r["sa"]], dtype=np.int64).view(np.uint64),
-                        np.array([r["sb"]], dtype=np.int64).view(np.uint64))[0]
-        if d <= hamming_max:
-            verified.append(key)
-    return _components(verified, {x for p in verified for x in p})
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    verified_ds = (membership.groupby(["band", "bh"])
+                   .map_groups(emit_verify, batch_format="pyarrow")
+                   .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
+                                .cast(pair_schema), batch_format="pyarrow"))
+    verified = sorted({(r["a"], r["b"]) for r in verified_ds.take_all()})
+    return _resolve_components(verified)
 
 
 # ---------------- embedding cosine near-dup ----------------
+
+def _cos_pairs(emb: np.ndarray, norm: np.ndarray, ia: np.ndarray,
+               ib: np.ndarray, threshold: float) -> np.ndarray:
+    """Row-wise cosine over index pairs; returns boolean hits."""
+    dots = np.einsum("ij,ij->i", emb[ia], emb[ib])
+    denom = np.maximum(norm[ia] * norm[ib], 1e-12)
+    return (dots / denom) >= threshold
+
+
+def _verify_emb_members(emb: np.ndarray, norm: np.ndarray, ids: np.ndarray,
+                        threshold: float, cap: int, seed: int,
+                        depth: int = 0) -> list[tuple]:
+    """Bounded-time within-bucket verification (fixes the round-1 hot-bucket
+    O(n²) scale-killer):
+
+    - n ≤ cap: exact all-pairs cosine (one matmul).
+    - n > cap: re-hash with FRESH hyperplanes and recurse per sub-bucket;
+      sub-bucket representatives are then cross-verified all-pairs so
+      components split by the re-hash reconnect through their reps.
+    - a bucket that refuses to split (near-identical members — every new
+      plane keeps them together) or depth exhaustion: star + sorted-norm
+      chain verification, O(n) — exact for the mutually-similar case that
+      causes it.
+
+    Recall note: recursion can miss a cross-sub-bucket pair whose reps are
+    dissimilar; union-find transitivity plus rep cross-verification keeps
+    clusters whole for genuinely similar groups. Documented tradeoff vs the
+    unbounded O(n²) it replaces."""
+    n = len(ids)
+    pairs: list[tuple] = []
+    if n < 2:
+        return pairs
+    if n <= cap:
+        iu = np.triu_indices(n, k=1)
+        sims = (emb @ emb.T) / np.outer(np.maximum(norm, 1e-12),
+                                        np.maximum(norm, 1e-12))
+        hit = sims[iu] >= threshold
+        return list(zip(ids[iu[0][hit]].tolist(), ids[iu[1][hit]].tolist()))
+
+    def star_chain() -> list[tuple]:
+        order = np.argsort(norm, kind="stable")
+        j = np.arange(1, n)
+        ia = np.concatenate([np.zeros(n - 1, dtype=np.int64), order[j - 1]])
+        ib = np.concatenate([order[j], order[j]])
+        ia[:n - 1] = order[0]
+        hit = _cos_pairs(emb, norm, ia, ib, threshold)
+        return list(zip(ids[ia[hit]].tolist(), ids[ib[hit]].tolist()))
+
+    if depth >= 6:
+        return star_chain()
+    rng = np.random.default_rng(seed + 7919 * (depth + 1))
+    planes = rng.standard_normal((emb.shape[1], 8))
+    bits = (emb @ planes > 0).astype(np.uint32)
+    code = (bits << np.arange(8, dtype=np.uint32)[None, :]).sum(axis=1)
+    uniq, inv = np.unique(code, return_inverse=True)
+    sizes = np.bincount(inv)
+    if sizes.max() == n:  # didn't split: members are near-identical
+        return star_chain()
+    rep_idx = []
+    for s in range(len(uniq)):
+        sel = np.nonzero(inv == s)[0]
+        pairs.extend(_verify_emb_members(emb[sel], norm[sel], ids[sel],
+                                         threshold, cap, seed, depth + 1))
+        rep_idx.append(int(sel[np.argmin(ids[sel])]))
+    rep_idx = np.asarray(rep_idx)
+    if len(rep_idx) >= 2:
+        riu = np.triu_indices(len(rep_idx), k=1)
+        ia, ib = rep_idx[riu[0]], rep_idx[riu[1]]
+        # cap the rep cross-check too (reps ≤ 256 per level, so ≤ ~32k pairs)
+        hit = _cos_pairs(emb, norm, ia, ib, threshold)
+        pairs.extend(zip(ids[ia[hit]].tolist(), ids[ib[hit]].tolist()))
+    return pairs
+
 
 def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                          threshold: float = 0.95, n_planes: int = 12,
                          seed: int = 3) -> dict:
     """Random-hyperplane LSH buckets → exact cosine verification per bucket
-    (vectorized matmul inside map_groups) → driver union-find."""
+    (vectorized matmul inside map_groups, hot buckets capped and recursed —
+    see :func:`_verify_emb_members`) → union-find."""
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[emb_col].to_pandas().to_numpy())
@@ -342,14 +770,16 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
         emb = np.stack(group["emb"].to_pandas().to_numpy()).astype(np.float64)
         norm = np.asarray(group["norm"])
         ids = np.asarray(group["id"].to_pandas())
-        sims = (emb @ emb.T) / np.outer(np.maximum(norm, 1e-12),
-                                        np.maximum(norm, 1e-12))
-        iu = np.triu_indices(n, k=1)
-        hit = sims[iu] >= threshold
-        return pa.table({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+        hits = _verify_emb_members(emb, norm, ids, threshold,
+                                   config.EMB_BUCKET_CAP, seed)
+        if not hits:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        a = np.asarray([p[0] for p in hits])
+        b = np.asarray([p[1] for p in hits])
+        return pa.table({"a": np.minimum(a, b), "b": np.maximum(a, b)})
 
     pairs = bucketed.groupby("bucket").map_groups(verify,
                                                   batch_format="pyarrow").take_all()
-    verified = [(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in pairs
-                if r["a"] != r["b"]]
-    return _components(verified, {x for p in verified for x in p})
+    verified = [(r["a"], r["b"]) for r in pairs if r["a"] != r["b"]]
+    return _resolve_components(sorted(set(verified)))

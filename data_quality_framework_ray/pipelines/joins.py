@@ -10,11 +10,12 @@ complete engine needs them. Three shapes, picked by side sizes and semantics:
 - **hash_join** — both sides large: ``Dataset.join`` (hash-partitioned on the
   key, ``num_partitions`` sized to cluster CPUs). All-to-all exchange; salt
   hot keys upstream if skewed.
-- **asof_join_per_key** — per-key "most recent earlier" semantics:
-  groupby(key) shuffle → per-group sorted searchsorted (pandas). Requires the
-  key to be hash-partitionable; within-group sort is in-memory, so a single
-  key's history must fit in a worker (salt by time-range for pathological
-  keys).
+- **asof_join_prev** — per-key "most recent earlier" semantics: hash-partition
+  by key (one synthetic ``__part`` column), then ONE polars call per
+  partition (sort + distinct-shift + join back, all Rust) — NOT one Python
+  call per key (round-1 design; at 10⁸ keys that was 10⁸ interpreter
+  round-trips, VERDICT.md item 4). A single key's history must fit in a
+  worker (salt by time-range for pathological keys).
 """
 
 from __future__ import annotations
@@ -24,22 +25,28 @@ import pandas as pd
 import pyarrow as pa
 
 from data_quality_framework_ray import config
+from data_quality_framework_ray.functions import hashing as H
 
 
 def broadcast_hash_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
                         how: str = "inner"):
-    """Join a Dataset against a small pandas table (broadcast once)."""
+    """Join a Dataset against a small table (broadcast once as Arrow).
+
+    The per-batch join is polars (Arrow-native both sides) — no
+    Arrow→pandas→Arrow round-trip per batch (VERDICT.md item 10)."""
+    import polars as pl
     import ray
 
-    ref = ray.put(small_df)
+    small_tbl = (pa.Table.from_pandas(small_df, preserve_index=False)
+                 if isinstance(small_df, pd.DataFrame) else small_df)
+    ref = ray.put(small_tbl)
 
     def lookup(batch: pa.Table) -> pa.Table:
-        small = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
-        left = batch.to_pandas()
-        merged = left.merge(small, how=how, left_on=left_on, right_on=right_on)
-        if right_on != left_on and right_on in merged.columns:
-            merged = merged.drop(columns=[right_on])
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        small = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        out = pl.from_arrow(batch).join(pl.from_arrow(small), how=how,
+                                        left_on=left_on, right_on=right_on,
+                                        coalesce=True)
+        return out.to_arrow()
 
     return ds.map_batches(lookup, batch_format="pyarrow",
                           batch_size=config.TEXT_BATCH_SIZE)
@@ -60,19 +67,39 @@ def hash_join(left, right, on: str | tuple[str, ...],
                      on=on_t, right_on=r_t)
 
 
-def asof_join_prev(ds, key: str, ts: str, value_cols: list[str] | None = None):
+def asof_join_prev(ds, key: str, ts: str, value_cols: list[str] | None = None,
+                   num_partitions: int | None = None):
     """For every row, attach ``prev_<ts>`` = the greatest ts of an EARLIER row
     with the same key (strictly less; rows with no earlier row are dropped —
     inner as-of semantics). Deterministic under ts ties because only the ts
-    value (not an arbitrary tie row) is emitted."""
+    value (not an arbitrary tie row) is emitted.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort").reset_index(drop=True)
-        arr = g[ts].to_numpy()
-        pos = np.searchsorted(arr, arr, side="left") - 1
-        keep = pos >= 0
-        out = g.loc[keep, [c for c in ([key, ts] + (value_cols or [])) ]].copy()
-        out[f"prev_{ts}"] = arr[pos[keep]]
-        return out
+    Execution: hash-partition on the key (stable FNV-based hash, not a
+    per-process hash), then one vectorized polars program per PARTITION:
+    distinct (key, ts) → sort → shift-within-key gives each distinct ts its
+    strictly-previous distinct ts; a left join fans the answer back out to
+    tied rows. Python is invoked O(num_partitions) times total."""
+    import polars as pl
+    import ray
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    P = num_partitions or max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    cols = [key, ts] + (value_cols or [])
+    prev_name = f"prev_{ts}"
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h1, _ = H.content_hash_128(batch[key])
+        return batch.append_column("__part",
+                                   pa.array((h1 % np.uint64(P)).astype(np.int64)))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part).select(cols)
+        uq = (df.select([key, ts]).unique().sort([key, ts])
+              .with_columns(pl.col(ts).shift(1).over(key).alias(prev_name)))
+        out = (df.join(uq, on=[key, ts], how="left")
+               .filter(pl.col(prev_name).is_not_null())
+               .select(cols + [prev_name]))
+        return out.to_arrow()
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE)
+            .groupby("__part").map_groups(per_part, batch_format="pyarrow"))

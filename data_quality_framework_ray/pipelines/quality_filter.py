@@ -270,7 +270,10 @@ def dup_winner_map(decisions, approx_rows: int | None = None) -> dict[tuple[int,
 
 
 def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[int, int], str]:
-    """Combine (h1, h2, min_clip, cnt) partials into the dup-winner map."""
+    """Combine (h1, h2, min_clip, cnt) partials into the dup-winner map.
+
+    Raises ``ValueError`` when the winner map exceeds BROADCAST_DUP_LIMIT —
+    ``run`` catches it and switches phase B to the Dataset.join path."""
     if approx_rows is not None and approx_rows < 5_000_000:
         import polars as pl
 
@@ -284,6 +287,8 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[in
         g = (df.group_by(["h1", "h2"])
              .agg(pl.col("min_clip").min(), pl.col("cnt").sum())
              .filter(pl.col("cnt") > 1))
+        if g.height > config.BROADCAST_DUP_LIMIT:
+            raise ValueError(f"{g.height} dup groups exceed broadcast limit")
         return {(r["h1"], r["h2"]): r["min_clip"] for r in g.to_dicts()}
 
     from ray.data.aggregate import Min, Sum
@@ -292,10 +297,8 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[in
     dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
                          batch_format="pyarrow")
     rows = dups.take_all()
-    if len(rows) > config.BROADCAST_DUP_LIMIT:  # pragma: no cover - scale guard
-        raise RuntimeError(
-            f"{len(rows)} duplicate groups exceeds broadcast limit; switch the "
-            "dedup path to Dataset.join on (h1, h2)")
+    if len(rows) > config.BROADCAST_DUP_LIMIT:
+        raise ValueError(f"{len(rows)} dup groups exceed broadcast limit")
     return {(r["h1"], r["h2"]): r["min(min_clip)"] for r in rows}
 
 
@@ -319,6 +322,19 @@ def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
         merged = left.merge(right, on=["h1", "h2"], how="left")
         is_dup = (merged["winner"].notna() & (merged["winner"] != merged["clip_id"])).to_numpy()
 
+    return _apply_dup_mask(batch, is_dup)
+
+
+def _mark_duplicates_joined(batch: pa.Table) -> pa.Table:
+    """Join-path variant: the winner arrives as a column (left-join against
+    the distributed winner table) instead of a broadcast dict."""
+    w = batch["winner"]
+    is_dup = pc.and_(pc.is_valid(w), pc.not_equal(w, batch["clip_id"]))
+    is_dup = np.asarray(pc.fill_null(is_dup, False))
+    return _apply_dup_mask(batch.drop_columns(["winner"]), is_dup)
+
+
+def _apply_dup_mask(batch: pa.Table, is_dup: np.ndarray) -> pa.Table:
     if not is_dup.any():
         return batch
     reasons = batch["drop_reasons"].to_pylist()
@@ -456,28 +472,74 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
                              override_num_blocks=max(len(part_files), 1))
     pairs = paths_ds.map_batches(_winner_partials, batch_format="pyarrow",
                                  batch_size=None)
-    winners = combine_dup_partials(pairs, approx_rows=store.num_rows())
-    dup_ref = ray.put(winners)
+    try:
+        winners = combine_dup_partials(pairs, approx_rows=store.num_rows())
+    except ValueError:
+        winners = None  # over broadcast limit → Dataset.join path below
 
     final_dir = os.path.join(out_dir, "final")
     tmp_dir = final_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
 
-    def _finalize(b: pa.Table) -> pa.Table:
-        outs = []
-        for p in b["path"].to_pylist():
-            t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
-            sub = os.path.basename(os.path.dirname(p))
-            d = os.path.join(tmp_dir, sub)
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(t, os.path.join(d, os.path.basename(p)))
-            outs.append(_metric_partials(t))
-        return pa.concat_tables(outs)
+    if winners is not None:
+        dup_ref = ray.put(winners)
 
-    partials = rd.from_items([{"path": p} for p in part_files],
-                             override_num_blocks=max(len(part_files), 1)) \
-        .map_batches(_finalize, batch_format="pyarrow", batch_size=None)
+        def _finalize(b: pa.Table) -> pa.Table:
+            outs = []
+            for p in b["path"].to_pylist():
+                t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
+                sub = os.path.basename(os.path.dirname(p))
+                d = os.path.join(tmp_dir, sub)
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(t, os.path.join(d, os.path.basename(p)))
+                outs.append(_metric_partials(t))
+            return pa.concat_tables(outs)
+
+        partials = rd.from_items([{"path": p} for p in part_files],
+                                 override_num_blocks=max(len(part_files), 1)) \
+            .map_batches(_finalize, batch_format="pyarrow", batch_size=None)
+    else:
+        # Distributed fallback (the path the round-1 scale guard only
+        # promised): winner table stays a Dataset, decisions left-join it on
+        # (h1, h2), and the joined stream is marked + sunk per fragment.
+        # Costs one all-to-all of the (bytes-free) decision rows — only taken
+        # when the winner map itself would not fit a broadcast.
+        from ray.data.aggregate import Min, Sum
+
+        from data_quality_framework_ray.pipelines.dedup import _join_partitions
+
+        winner_ds = (pairs.groupby(["h1", "h2"])
+                     .aggregate(Min("min_clip"), Sum("cnt"))
+                     .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
+                                  .select(["h1", "h2", "min(min_clip)"])
+                                  .rename_columns(["h1", "h2", "winner"]),
+                                  batch_format="pyarrow"))
+
+        # Acero joins reject list<> payload columns — pack drop_reasons into
+        # a \x1f-delimited string across the join, unpack after
+        def _pack(t: pa.Table) -> pa.Table:
+            packed = pc.binary_join(t["drop_reasons"], "\x1f")
+            i = t.column_names.index("drop_reasons")
+            return t.set_column(i, "drop_reasons", packed)
+
+        def _unpack(t: pa.Table) -> pa.Table:
+            s = t["drop_reasons"]
+            lst = pc.if_else(pc.equal(s, ""),
+                             pa.scalar([], type=pa.list_(pa.string())),
+                             pc.split_pattern(s, "\x1f"))
+            i = t.column_names.index("drop_reasons")
+            return t.set_column(i, "drop_reasons", lst)
+
+        decisions_ds = rd.read_parquet(part_files).map_batches(
+            _pack, batch_format="pyarrow")
+        joined = decisions_ds.join(winner_ds, "left_outer", _join_partitions(),
+                                   on=("h1", "h2"))
+        partials = joined.map_batches(_unpack, batch_format="pyarrow") \
+            .map_batches(_mark_duplicates_joined, batch_format="pyarrow") \
+            .map_batches(partial(_final_sink, final_dir=tmp_dir),
+                         batch_format="pyarrow",
+                         batch_size=config.TEXT_BATCH_SIZE)
     agg_rows = aggregate_final_partials(partials)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.replace(tmp_dir, final_dir)
