@@ -741,23 +741,37 @@ def _verify_emb_members(emb: np.ndarray, norm: np.ndarray, ids: np.ndarray,
 
 def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                          threshold: float = 0.95, n_planes: int = 12,
-                         seed: int = 3) -> dict:
-    """Random-hyperplane LSH buckets → exact cosine verification per bucket
-    (vectorized matmul inside map_groups, hot buckets capped and recursed —
-    see :func:`_verify_emb_members`) → union-find."""
+                         n_bands: int = 4, seed: int = 3) -> dict:
+    """Multi-band random-hyperplane LSH → exact cosine verification per
+    bucket (vectorized matmul inside map_groups, hot buckets capped and
+    recursed — see :func:`_verify_emb_members`) → union-find.
+
+    Recall: a single n_planes-bit band finds a cosine-θ pair with
+    probability (1 − θ/π)^n_planes (≈0.47 at cos 0.98, 12 planes) — so
+    ``n_bands`` INDEPENDENT plane sets are probed and their verified pairs
+    unioned: miss probability (1−p)^4 ≈ 8 % at 0.98, <0.1 % at 0.999.
+    Cost: the bucketed table is n_bands × rows (id, band, bucket, emb)."""
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[emb_col].to_pandas().to_numpy())
         dim = emb.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        bits = (emb @ planes > 0).astype(np.uint64)
-        code = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        n = len(emb)
         norm = np.linalg.norm(emb, axis=1)
-        return pa.table({"bucket": pa.array(code.view(np.int64)),
-                         "id": batch[id_col],
-                         "emb": batch[emb_col],
-                         "norm": norm})
+        codes = np.empty((n_bands, n), dtype=np.uint64)
+        for b in range(n_bands):
+            rng = np.random.default_rng([seed, b])
+            planes = rng.standard_normal((dim, n_planes))
+            bits = (emb @ planes > 0).astype(np.uint64)
+            codes[b] = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        band_col = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        idx = np.tile(np.arange(n), n_bands)
+        ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+        embs = batch[emb_col].combine_chunks() if isinstance(batch[emb_col], pa.ChunkedArray) else batch[emb_col]
+        return pa.table({"band": band_col,
+                         "bucket": pa.array(codes.reshape(-1).view(np.int64)),
+                         "id": ids.take(pa.array(idx)),
+                         "emb": embs.take(pa.array(idx)),
+                         "norm": np.tile(norm, n_bands)})
 
     bucketed = ds.map_batches(bucket_stage, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE)
@@ -779,7 +793,7 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
         b = np.asarray([p[1] for p in hits])
         return pa.table({"a": np.minimum(a, b), "b": np.maximum(a, b)})
 
-    pairs = bucketed.groupby("bucket").map_groups(verify,
-                                                  batch_format="pyarrow").take_all()
+    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pyarrow").take_all()
     verified = [(r["a"], r["b"]) for r in pairs if r["a"] != r["b"]]
     return _resolve_components(sorted(set(verified)))

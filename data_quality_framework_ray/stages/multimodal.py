@@ -1,11 +1,12 @@
 """Multimodal column stages: opaque ``binary`` payloads + typed metadata.
 
 Audio is the REAL modality in this engine (functions/audio.py — full decode).
-Image/video decode requires libs absent from this container (PIL/ffmpeg), so
-those kernels are STUBBED exactly as the task brief prescribes: the Ray-side
-plumbing (schema contract, actor-pool signature, batch sizing, output layout)
-is real and tested; the pixel work raises NotImplementedError unless the lib
-exists, with a deterministic fake available for tests.
+Images are ALSO real: PPM/BMP decode + area-resize features are pure numpy
+(functions/images.py), no Pillow needed — backend="numpy" exercises the
+pixel path end-to-end. Only formats that require external codecs (JPEG/PNG
+via Pillow, video via ffmpeg) remain stubbed per the task brief, with the
+Ray-side plumbing (schema contract, actor-pool signature, batch sizing,
+output layout) real and tested either way.
 
 Batch-size note: binary payload stages must size batches by BYTES not rows —
 ``batch_size`` here defaults low and callers should lower it further for
@@ -31,12 +32,14 @@ IMAGE_META_SCHEMA = pa.schema([
 class ImageDecodeStage:
     """Actor-pool stage: binary image → fixed-size feature vector.
 
-    ``backend="pil"`` uses Pillow when importable (not in this sandbox);
-    ``backend="fake"`` produces a deterministic digest-based pseudo-feature so
-    the distributed plumbing is testable end-to-end.
+    ``backend="numpy"`` (the default) REALLY decodes PPM/BMP payloads with
+    the pure-numpy codecs in functions/images.py and emits grayscale
+    area-resize features; ``backend="pil"`` would use Pillow where it exists
+    (not this sandbox — still a declared stub); ``backend="fake"`` keeps the
+    digest-based pseudo-feature double for plumbing-only tests.
     """
 
-    def __init__(self, feature_dim: int = 16, backend: str = "auto"):
+    def __init__(self, feature_dim: int = 16, backend: str = "numpy"):
         self.dim = feature_dim
         if backend == "auto":
             try:
@@ -44,7 +47,7 @@ class ImageDecodeStage:
 
                 backend = "pil"
             except ImportError:
-                backend = "unavailable"
+                backend = "numpy"
         self.backend = backend
 
     def _fake_features(self, b: bytes) -> np.ndarray:
@@ -54,19 +57,19 @@ class ImageDecodeStage:
         return (u / np.float64(2**32)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from data_quality_framework_ray.functions import images
+
         feats = []
         for b in batch["bytes"].to_pylist():  # payloads are per-item blobs
             if b is None:
                 feats.append(np.zeros(self.dim, dtype=np.float32))
+            elif self.backend == "numpy":
+                feats.append(images.image_features(b, self.dim))
             elif self.backend == "fake":
                 feats.append(self._fake_features(b))
-            elif self.backend == "pil":  # pragma: no cover - lib absent here
+            else:  # pragma: no cover - lib absent here
                 raise NotImplementedError("PIL decode path: resize → mean-pool "
                                           "channels; implement where Pillow exists")
-            else:
-                raise NotImplementedError(
-                    "image decode requires Pillow; pass backend='fake' for the "
-                    "deterministic test double")
         out = batch.drop_columns(["bytes"])  # features replace payload downstream
         return out.append_column("features",
                                  pa.array([f.tolist() for f in feats],

@@ -72,6 +72,20 @@ def main() -> None:
             n_fail += 1
             continue
         el = time.time() - t0
+        if name == "ann_ivf":
+            # approximate op: assert recall vs the exact brute-force top-k
+            # (same queries, same k) instead of a SQL oracle
+            exact = canon(to_pandas(qs["ann_topk"](SF_DIR)))
+            want_pairs = set(map(tuple, exact[["id", "query_id"]].values))
+            got_pairs = set(map(tuple, got[["id", "query_id"]].values))
+            recall = len(got_pairs & want_pairs) / max(len(want_pairs), 1)
+            if recall < 0.6:
+                print(f"FAIL {name}: IVF recall {recall:.2f} < 0.6 vs ann_topk")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
+                      f"vs exact top-k [{el:.1f}s]")
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle) [{el:.1f}s]")
             continue
