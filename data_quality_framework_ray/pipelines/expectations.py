@@ -130,11 +130,26 @@ def check_freshness(ds, column: str, table: str = "",
                     as_of: dt.date | None = None) -> dict:
     """max(column) must fall on yesterday relative to ``as_of``
     (reference expect_column_max_to_be_between(yesterday, yesterday),
-    /root/reference/core/quality_checks.py:756-783)."""
+    /root/reference/core/quality_checks.py:756-783).
+
+    String-typed date columns are accepted and parsed (the reference's
+    type-check tolerates dateutil-parseable strings,
+    /root/reference/core/quality_checks.py:354-365): for ISO-like formats
+    lexicographic max == chronological max, so ``ds.max`` stays a cheap
+    distributed aggregate and only the single max value is parsed."""
     as_of = as_of or dt.date.today()
     target = as_of - dt.timedelta(days=1)
     mx = ds.max(column)
-    if isinstance(mx, (int, float)):
+    if isinstance(mx, str):
+        import pandas as pd
+
+        try:
+            mx_date = pd.to_datetime(mx).date()
+        except (ValueError, TypeError):
+            return _result("freshness", table, False, "timeliness",
+                           {"max": mx, "expected_date": str(target),
+                            "error": "unparseable date string"})
+    elif isinstance(mx, (int, float)):
         mx_date = None
     else:
         mx_date = mx.date() if hasattr(mx, "date") else mx

@@ -75,9 +75,11 @@ def compare_environments(dev_counts: dict[str, int], prod_counts: dict[str, int]
 
 
 def write_run_report(out_dir: str, suite_outputs: dict[str, dict],
-                     run_id: str | None = None) -> str:
-    """JSON run report + console summary (replaces the reference's
-    JSON/PDF/email sinks with the engine-relevant part)."""
+                     run_id: str | None = None,
+                     email_config: dict | None = None) -> str:
+    """JSON run report + console summary + markdown report; optionally an
+    email notification (the reference's JSON/PDF/email sink trio —
+    reporting.py holds the markdown/email implementations)."""
     run_id = run_id or time.strftime("run_%Y%m%d_%H%M%S")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"quality_report_{run_id}.json")
@@ -92,4 +94,12 @@ def write_run_report(out_dir: str, suite_outputs: dict[str, dict],
         sc = s["score"]
         print(f"[{run_id}] {t}: {sc['n_passed']}/{sc['n_checks']} checks passed, "
               f"score {sc['overall_score']:.1f} → {sc['urgency']}")
+
+    from data_quality_framework_ray.pipelines import reporting
+
+    all_results = [r for s in suite_outputs.values() for r in s["results"]]
+    reporting.write_report(out_dir, all_results, run_id)
+    if email_config:
+        reporting.EmailNotifier(email_config).send_report(
+            all_results, run_id, report_dir=out_dir)
     return path

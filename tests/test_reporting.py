@@ -1,0 +1,84 @@
+"""Markdown report + email notifier (reference parity: pdf_generator /
+email_notifier content semantics) and the string-date freshness fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+import email
+import os
+
+import pyarrow as pa
+
+
+def _sample_results():
+    return [
+        {"check": "nulls", "table": "t1", "column": "a", "passed": True,
+         "dimension": "completeness", "details": {"nulls": 0}},
+        {"check": "nulls", "table": "t1", "column": "b", "passed": False,
+         "dimension": "completeness", "details": {"nulls": 10}},
+        {"check": "duplicates", "table": "t1", "column": None, "passed": True,
+         "dimension": "uniqueness", "details": {}},
+        {"check": "freshness", "table": "t2", "column": None, "passed": True,
+         "dimension": "timeliness", "details": {}},
+    ]
+
+
+def test_statistics_and_status_tiers():
+    from data_quality_framework_ray.pipelines import reporting as R
+
+    stats = R.report_statistics(_sample_results())
+    assert stats["total_checks"] == 4 and stats["passed_checks"] == 3
+    assert stats["dimensions"]["completeness"] == {"passed": 1, "total": 2}
+    assert len(stats["failed_details"]) == 1
+    assert stats["failed_details"][0]["column"] == "b"
+
+    # tiers at 100 / 90 / 70 (reference email_notifier.py:96-110)
+    assert R.overall_status({"total_checks": 10, "passed_checks": 10})[0] == "EXCELLENT"
+    assert R.overall_status({"total_checks": 10, "passed_checks": 9})[0] == "WARNING"
+    assert R.overall_status({"total_checks": 10, "passed_checks": 7})[0] == "NEEDS ATTENTION"
+    assert R.overall_status({"total_checks": 10, "passed_checks": 6})[0] == "CRITICAL"
+    assert R.overall_status({"total_checks": 0, "passed_checks": 0})[0] == "CRITICAL"
+
+
+def test_markdown_report_content(tmp_path):
+    from data_quality_framework_ray.pipelines import reporting as R
+
+    path = R.write_report(str(tmp_path), _sample_results(), run_id="r1")
+    text = open(path).read()
+    assert "# Data Quality Report — r1" in text
+    assert "| completeness | 1 | 2 |" in text
+    assert "FAIL nulls [b]" in text
+    assert "PASS duplicates" in text
+
+
+def test_email_notifier_file_outbox(tmp_path):
+    from data_quality_framework_ray.pipelines import reporting as R
+
+    n = R.EmailNotifier({"sender": "dq@example.test",
+                         "recipients": ["team@example.test"],
+                         "outbox_dir": str(tmp_path / "outbox")})
+    out = n.send_report(_sample_results(), run_id="r2",
+                        report_dir=str(tmp_path / "reports"))
+    assert os.path.exists(out["receipt"]) and os.path.exists(out["report"])
+    msg = email.message_from_file(open(out["receipt"]))
+    assert msg["From"] == "dq@example.test"
+    assert "NEEDS ATTENTION" in msg["Subject"]  # 3/4 = 75%
+    parts = list(msg.walk())
+    names = [p.get_filename() for p in parts if p.get_filename()]
+    assert any(n and n.startswith("report_") for n in names)  # attached
+
+
+def test_freshness_accepts_string_dates(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.expectations import check_freshness
+
+    rows = [{"d": "2026-01-10"}, {"d": "2026-01-14"}, {"d": "2026-01-02"}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    r = check_freshness(ds, "d", as_of=dt.date(2026, 1, 15))
+    assert r["passed"] is True
+    r2 = check_freshness(ds, "d", as_of=dt.date(2026, 1, 20))
+    assert r2["passed"] is False
+    bad = rd.from_arrow(pa.Table.from_pylist([{"d": "not-a-date"}]))
+    r3 = check_freshness(bad, "d", as_of=dt.date(2026, 1, 15))
+    assert r3["passed"] is False and "error" in r3["details"]
