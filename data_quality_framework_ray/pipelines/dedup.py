@@ -274,6 +274,41 @@ def _pair_indices(k: int, max_pairs: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _emit_pairs_arrays(band: np.ndarray, bh: np.ndarray, ids: np.ndarray,
+                       extras: tuple[np.ndarray, ...] = (),
+                       max_pairs: int | None = None):
+    """Candidate pairs for MANY buckets at once: lexsort by (band, bh, id),
+    find group boundaries, emit per-group (capped) pair indices. The Python
+    loop touches only boundary arithmetic — no per-group DataFrame slicing
+    (a polars group iteration here cost 1.5 ms/bucket → 10 s on 6.6k
+    buckets; this path is ~50 ms).
+
+    Returns (a_ids, b_ids, [extra_a, extra_b per extra array])."""
+    max_pairs = max_pairs or config.MAX_PAIRS_PER_BUCKET
+    order = np.lexsort((ids, bh, band))
+    b_s, h_s, id_s = band[order], bh[order], ids[order]
+    if len(id_s) == 0:
+        empty = np.array([], dtype=ids.dtype)
+        return empty, empty, [(np.array([], dtype=e.dtype),) * 2 for e in extras]
+    new = (np.diff(b_s) != 0) | (np.diff(h_s) != 0)
+    starts = np.concatenate([[0], np.flatnonzero(new) + 1, [len(id_s)]])
+    ia_all, ib_all = [], []
+    for si, ei in zip(starts[:-1], starts[1:]):
+        k = int(ei - si)
+        if k < 2:
+            continue
+        ia, ib = _pair_indices(k, max_pairs)
+        ia_all.append(si + ia)
+        ib_all.append(si + ib)
+    if not ia_all:
+        empty = np.array([], dtype=ids.dtype)
+        return empty, empty, [(np.array([], dtype=e.dtype),) * 2 for e in extras]
+    ia = np.concatenate(ia_all)
+    ib = np.concatenate(ib_all)
+    extra_pairs = [(e[order][ia], e[order][ib]) for e in extras]
+    return id_s[ia], id_s[ib], extra_pairs
+
+
 def _emit_group_pairs(group: pa.Table, id_name: str = "id",
                       extra_cols: tuple[str, ...] = (),
                       max_pairs: int | None = None) -> pa.Table:
@@ -388,11 +423,10 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
                                    batch_size=config.TEXT_BATCH_SIZE).take_all()
     mdf = pl.DataFrame(members)
-    cand: set[tuple] = set()
-    for (_, _), grp in mdf.group_by(["band", "bh"], maintain_order=False):
-        ids = np.sort(grp["id"].to_numpy())
-        ia, ib = _pair_indices(len(ids), config.MAX_PAIRS_PER_BUCKET)
-        cand.update(zip(ids[ia].tolist(), ids[ib].tolist()))
+    a_ids, b_ids, _ = _emit_pairs_arrays(mdf["band"].to_numpy(),
+                                         mdf["bh"].to_numpy(),
+                                         mdf["id"].to_numpy())
+    cand = set(zip(a_ids.tolist(), b_ids.tolist()))
     if not cand:
         return {}
 
@@ -606,19 +640,14 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
     members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
                                    batch_size=config.TEXT_BATCH_SIZE).take_all()
     mdf = pl.DataFrame(members)
-    pair_a, pair_b, sim_a, sim_b = [], [], [], []
-    for (_, _), grp in mdf.group_by(["band", "bh"], maintain_order=False):
-        ids = grp["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, sims = ids[order], grp["sim"].to_numpy()[order]
-        ia, ib = _pair_indices(len(ids), config.MAX_PAIRS_PER_BUCKET)
-        pair_a.append(ids[ia]); pair_b.append(ids[ib])
-        sim_a.append(sims[ia]); sim_b.append(sims[ib])
-    if not pair_a:
+    a, b, extras = _emit_pairs_arrays(mdf["band"].to_numpy(),
+                                      mdf["bh"].to_numpy(),
+                                      mdf["id"].to_numpy(),
+                                      extras=(mdf["sim"].to_numpy(),))
+    if len(a) == 0:
         return {}
-    a = np.concatenate(pair_a); b = np.concatenate(pair_b)
-    sa = np.concatenate(sim_a).astype(np.int64).view(np.uint64)
-    sb = np.concatenate(sim_b).astype(np.int64).view(np.uint64)
+    sa = extras[0][0].astype(np.int64).view(np.uint64)
+    sb = extras[0][1].astype(np.int64).view(np.uint64)
     d = H.hamming64(sa, sb)
     hit = d <= hamming_max
     verified = sorted({(x, y) for x, y in zip(a[hit].tolist(), b[hit].tolist())})
