@@ -1,0 +1,60 @@
+"""Distributed statistics operators beyond plain aggregates.
+
+Not in the reference (its only aggregates are count/max/null-count,
+/root/reference/core/quality_checks.py); exact quantiles are a standard
+data-pipeline need (thresholding, outlier gates).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from data_quality_framework_ray import config
+
+
+def exact_quantiles(ds, col: str, ps: list[float]) -> list[tuple[float, float]]:
+    """EXACT discrete quantiles of a numeric column: the value at 1-based
+    position ceil(p·n) of the sorted column (DuckDB ``quantile_disc``
+    convention).
+
+    Execution: per-batch value-count partials (map-side combine) → ONE
+    distributed sort by value → streaming cumulative scan on the driver
+    that early-exits once the largest requested position is passed. No
+    groupby is needed: duplicate (value, count) rows from different batches
+    sort adjacent and the cumulative scan sums them naturally. The shuffle
+    carries one row per distinct value per batch — for fixed-precision
+    business values the distinct count is bounded regardless of row count.
+    The sorted count table is materialized (it is small) so the total-count
+    pass and the scan don't re-execute the pipeline."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch.select([col]))
+                .group_by(col).agg(pl.len().alias("c"))
+                .drop_nulls(col).to_arrow())
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=config.TEXT_BATCH_SIZE)
+              .sort(col).materialize())
+    n = int(counts.sum("c"))
+    if n == 0:
+        return [(p, float("nan")) for p in ps]
+    targets = sorted((max(1, math.ceil(p * n)), p) for p in ps)
+    out: dict[float, float] = {}
+    cum = 0
+    it = counts.iter_batches(batch_size=4096, batch_format="pyarrow")
+    ti = 0
+    for b in it:
+        vals = np.asarray(b[col])
+        cs = np.cumsum(np.asarray(b["c"])) + cum
+        while ti < len(targets) and targets[ti][0] <= cs[-1]:
+            pos, p = targets[ti]
+            out[p] = float(vals[np.searchsorted(cs, pos, side="left")])
+            ti += 1
+        cum = int(cs[-1])
+        if ti >= len(targets):
+            break  # early exit: rest of the sorted stream never consumed
+    return [(p, out[p]) for p in ps]

@@ -107,3 +107,27 @@ def test_content_hash_null_handling():
     h1b, _ = H.content_hash_128(pa.array([""], type=pa.string()),
                                 pa.array([b""], type=pa.binary()))
     assert h1a[0] == h1b[0]  # SPEC: NULLs key as empty
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """exact_quantiles == value at 1-based position ceil(p*n) of the sorted
+    column (DuckDB quantile_disc convention), including ties and nulls."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import exact_quantiles
+
+    rng = np.random.default_rng(8)
+    vals = np.round(rng.uniform(0, 1000, size=5000), 2)
+    vals[:100] = 42.0  # ties
+    rows = [{"x": float(v)} for v in vals] + [{"x": None}] * 25
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    ps = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = dict(exact_quantiles(ds, "x", ps))
+    s = np.sort(vals)
+    for p in ps:
+        want = float(s[max(1, math.ceil(p * len(s))) - 1])
+        assert got[p] == want, (p, got[p], want)
