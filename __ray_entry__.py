@@ -570,6 +570,46 @@ def _q_dedup_jaccard(sf_dir: str):
          "cluster_rep": pa.array([], type=pa.int64())})
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct orders in lineitem (p=12 → ~1.6 %
+    typical error; the harness gates |approx−exact|/exact ≤ 5 %). Per-batch
+    registers, no shuffle of values — the scale path an exact distinct
+    can't take."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions.sketches import approx_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    est = approx_distinct(ds, "l_orderkey", p=12)
+    return pa.table({"approx": pa.array([float(est)], type=pa.float64())})
+
+
+def _q_range_join(sf_dir: str):
+    """Interval join: events matched to overlapping review windows
+    (broadcast small side + polars inequality join per batch), then a
+    per-window count. Windows overlap deliberately (weekly, 10-day span)
+    so rows multiply — the semantics SQL BETWEEN can restate."""
+    import datetime as dt
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray.pipelines.joins import range_join_broadcast
+
+    base = dt.datetime(2024, 1, 1)
+    windows = pa.table({
+        "window_id": pa.array(range(4), type=pa.int64()),
+        "w_start": pa.array([base + dt.timedelta(days=7 * i) for i in range(4)],
+                            type=pa.timestamp("us")),
+        "w_end": pa.array([base + dt.timedelta(days=7 * i + 10) for i in range(4)],
+                          type=pa.timestamp("us")),
+    })
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    j = range_join_broadcast(ds, windows, "ts", "w_start", "w_end")
+    out = j.groupby("window_id").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pylist(out.take_all()).sort_by("window_id")
+
+
 def _q_window_rank(sf_dir: str):
     """Window function: top-3 orders by totalprice per orderstatus with
     rank — one polars sort+row-index per GROUP (3 statuses, so per-group
@@ -640,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "window_rank": _q_window_rank,
         "quantiles_price": _q_quantiles_price,
+        "range_join": _q_range_join,
+        "approx_distinct": _q_approx_distinct,
         "clips_decisions": _q_clips_decisions,
         "personnes_expectations": _q_personnes_expectations,
         "join_broadcast": _q_join_broadcast,
@@ -819,6 +861,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "range_join": (
+            "SELECT w.window_id, count(*) AS n FROM events e JOIN ("
+            " VALUES (CAST(0 AS BIGINT), TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11'),"
+            " (1, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-18'),"
+            " (2, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-25'),"
+            " (3, TIMESTAMP '2024-01-22', TIMESTAMP '2024-02-01')"
+            ") AS w(window_id, w_start, w_end)"
+            " ON e.ts >= w.w_start AND e.ts < w.w_end"
+            " GROUP BY w.window_id ORDER BY w.window_id"),
         "quantiles_price": (
             "SELECT 0.5 AS p, CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE)"
             " AS value FROM lineitem"

@@ -1,0 +1,96 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+Standard HLL (Flajolet et al. 2007, public algorithm): 64-bit hash per
+value, p leading bits pick a register, the register keeps the max leading-
+zero rank of the remainder. Registers from different batches merge with an
+elementwise max — the shape Ray Data needs: per-batch partials, one tiny
+combine, no shuffle of values.
+
+Not in the reference (its distinct count is exact and driver-bound,
+/root/reference/core/quality_checks.py:861-883); at 100 TB an exact distinct
+of a high-cardinality key is an all-to-all shuffle, while HLL ships
+2^p bytes per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hashes of an arbitrary column (string cast +
+    FNV-1a over the concatenated bytes, vectorized via numpy)."""
+    from data_quality_framework_ray.functions.hashing import content_hash_128
+
+    h1, _ = content_hash_128(col if pa.types.is_string(col.type)
+                             or pa.types.is_binary(col.type)
+                             else pc.cast(col, pa.string()))
+    return h1
+
+
+def hll_partial(col, p: int = 12) -> np.ndarray:
+    """Registers (uint8[2^p]) for one batch of values; drops nulls."""
+    m = 1 << p
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(col) == 0:
+        return regs
+    h = np.asarray(_hash64(col)).astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad so rank <= 64-p
+    # rank = leading zeros of the remaining 64-p bits + 1
+    nlz = np.zeros(len(rest), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rest.copy()
+    alive = np.ones(len(rest), dtype=bool)
+    for _ in range(64 - p + 1):
+        zero_top = alive & ((cur & mask) == 0)
+        nlz[zero_top] += 1
+        alive &= zero_top
+        if not alive.any():
+            break
+        cur = cur << np.uint64(1)
+    rank = (nlz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for r in parts[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with small/large-range corrections."""
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    inv = np.power(2.0, -regs.astype(np.float64))
+    raw = alpha * m * m / inv.sum()
+    if raw <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    if raw > (1 << 32) / 30.0:  # pragma: no cover - 64-bit hash rarely needs it
+        return -(1 << 32) * np.log(1 - raw / (1 << 32))
+    return raw
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate distinct count: per-batch HLL registers
+    (2^p bytes each) streamed back and merged on the driver. Typical
+    relative error 1.04/sqrt(2^p) ≈ 1.6 % at p=12."""
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch[col], p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return 0.0
+    parts = [np.frombuffer(r["regs"], dtype=np.uint8) for r in rows]
+    return hll_estimate(hll_merge(parts))

@@ -67,6 +67,35 @@ def hash_join(left, right, on: str | tuple[str, ...],
                      on=on_t, right_on=r_t)
 
 
+def range_join_broadcast(ds, intervals: pd.DataFrame | pa.Table, ts_col: str,
+                         start_col: str, end_col: str):
+    """Interval join: each left row matched to every (small-side) interval
+    with ``start <= ts < end`` — overlapping intervals emit multiple rows.
+
+    The interval table is broadcast once via ``ray.put`` (same pattern as
+    broadcast_hash_join); the per-batch match is ONE polars ``join_where``
+    (Rust inequality join) — no shuffle, no per-row Python. For a LARGE
+    interval side, pre-bucket both sides by coarse time range and use
+    ``Dataset.join`` on the bucket key instead."""
+    import polars as pl
+    import ray
+
+    tbl = (pa.Table.from_pandas(intervals, preserve_index=False)
+           if isinstance(intervals, pd.DataFrame) else intervals)
+    ref = ray.put(tbl)
+
+    def match(batch: pa.Table) -> pa.Table:
+        right = pl.from_arrow(ray.get(ref) if not isinstance(ref, pa.Table) else ref)
+        left = pl.from_arrow(batch)
+        out = left.join_where(right,
+                              pl.col(ts_col) >= pl.col(start_col),
+                              pl.col(ts_col) < pl.col(end_col))
+        return out.to_arrow()
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+
+
 def asof_join_prev(ds, key: str, ts: str, value_cols: list[str] | None = None,
                    num_partitions: int | None = None):
     """For every row, attach ``prev_<ts>`` = the greatest ts of an EARLIER row

@@ -86,6 +86,19 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
                       f"vs exact top-k [{el:.1f}s]")
             continue
+        if name == "approx_distinct":
+            exact = con.execute(
+                "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+            approx = float(got["approx"].iloc[0])
+            rel = abs(approx - exact) / max(exact, 1)
+            if rel > 0.05:
+                print(f"FAIL {name}: HLL rel error {rel:.3f} > 0.05 "
+                      f"(approx={approx:.0f}, exact={exact})")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: approx={approx:.0f} exact={exact} "
+                      f"rel_err={rel:.3f} [{el:.1f}s]")
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle) [{el:.1f}s]")
             continue

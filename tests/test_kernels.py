@@ -131,3 +131,26 @@ def test_exact_quantiles_matches_numpy(ray_session):
     for p in ps:
         want = float(s[max(1, math.ceil(p * len(s))) - 1])
         assert got[p] == want, (p, got[p], want)
+
+
+def test_hll_approx_distinct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.functions.sketches import (approx_distinct,
+                                                               hll_estimate,
+                                                               hll_merge,
+                                                               hll_partial)
+
+    # merge property: partials over splits == single-pass registers
+    vals = pa.array([f"k{i % 3000}" for i in range(10000)], type=pa.string())
+    whole = hll_partial(vals)
+    parts = [hll_partial(vals.slice(i * 2500, 2500)) for i in range(4)]
+    np.testing.assert_array_equal(hll_merge(parts), whole)
+    assert abs(hll_estimate(whole) - 3000) / 3000 < 0.05
+
+    rows = [{"k": f"key_{i % 1200}"} for i in range(6000)] + [{"k": None}] * 10
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    est = approx_distinct(ds, "k")
+    assert abs(est - 1200) / 1200 < 0.05
