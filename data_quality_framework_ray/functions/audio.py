@@ -185,6 +185,49 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(sig / noise) if sig > 0 else float("-inf")
 
 
+# ---- transform kernels (ad-hoc audio stages; not in the flagship rule set) ----
+
+def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample of float PCM. Vectorized: one
+    ``np.interp`` over the target time grid; O(row) temporaries (the
+    sandbox memcg constraint — see decode_stats note)."""
+    if sr_in == sr_out or len(pcm) == 0:
+        return np.asarray(pcm, dtype=np.float32)
+    n_out = int(round(len(pcm) * sr_out / sr_in))
+    if n_out <= 0:
+        return np.empty(0, dtype=np.float32)
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(t_out, np.arange(len(pcm), dtype=np.float64),
+                     np.asarray(pcm, dtype=np.float64)).astype(np.float32)
+
+
+def frame_energies(pcm: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndarray:
+    """Per-frame RMS energies (frame/hop in samples), vectorized via a
+    cumulative-sum-of-squares difference — no strided copies."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if len(x) < frame:
+        return (np.sqrt(np.mean(x * x))[None] if len(x) else
+                np.empty(0, dtype=np.float64))
+    csq = np.concatenate([[0.0], np.cumsum(x * x)])
+    starts = np.arange(0, len(x) - frame + 1, hop)
+    sums = csq[starts + frame] - csq[starts]
+    return np.sqrt(sums / frame)
+
+
+def speech_ratio(pcm: np.ndarray, sr: int, *, threshold_db: float = -35.0,
+                 frame_ms: int = 25, hop_ms: int = 10) -> float:
+    """Energy-gate VAD: fraction of frames whose RMS exceeds
+    ``threshold_db`` relative to full scale. A deterministic, model-free
+    speech-activity proxy (public energy-gating technique)."""
+    frame = max(int(sr * frame_ms / 1000), 1)
+    hop = max(int(sr * hop_ms / 1000), 1)
+    e = frame_energies(pcm, frame=frame, hop=hop)
+    if len(e) == 0:
+        return float("nan")
+    gate = 10.0 ** (threshold_db / 20.0)
+    return float(np.count_nonzero(e > gate)) / len(e)
+
+
 # ---- encoders (datagen-side; not in the hot path) ----
 
 def encode_pcm16(x: np.ndarray) -> bytes:

@@ -100,3 +100,40 @@ def test_per_row_pcm_audit_vs_oracle(clips_dir):
         assert A.snr_db(ref, ours) >= 30.0
         n_checked += 1
     assert n_checked > 50
+
+
+def test_resample_linear_tone():
+    """Resampling a pure tone preserves frequency content: a 440 Hz tone at
+    16 kHz resampled to 8 kHz still correlates >0.99 with an analytically
+    generated 440 Hz tone at 8 kHz."""
+    sr_in, sr_out, f = 16000, 8000, 440.0
+    t_in = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * f * t_in).astype(np.float32)
+    y = A.resample_linear(x, sr_in, sr_out)
+    assert len(y) == sr_out
+    t_out = np.arange(sr_out) / sr_out
+    ref = np.sin(2 * np.pi * f * t_out)
+    corr = np.corrcoef(y, ref)[0, 1]
+    assert corr > 0.99
+    # identity + empty edge cases
+    np.testing.assert_array_equal(A.resample_linear(x, sr_in, sr_in), x)
+    assert len(A.resample_linear(np.empty(0), 8000, 16000)) == 0
+
+
+def test_frame_energies_and_speech_ratio():
+    sr = 16000
+    rng = np.random.default_rng(4)
+    speech = 0.3 * np.sin(np.arange(sr) * 0.2)          # 1 s loud
+    silence = 0.0001 * rng.standard_normal(sr)           # 1 s near-silence
+    clip = np.concatenate([speech, silence]).astype(np.float32)
+    r = A.speech_ratio(clip, sr)
+    assert 0.4 < r < 0.6  # about half the frames are speech
+    assert A.speech_ratio(np.zeros(sr, dtype=np.float32), sr) == 0.0
+    assert np.isnan(A.speech_ratio(np.empty(0, dtype=np.float32), sr))
+    # cumulative-sum framing matches a naive loop
+    e = A.frame_energies(clip, frame=400, hop=160)
+    naive = [np.sqrt(np.mean(clip[s:s+400] ** 2))
+             for s in range(0, len(clip) - 400 + 1, 160)]
+    # cumsum-difference framing carries benign cancellation error (~1e-13
+    # absolute) relative to the naive per-frame sum
+    np.testing.assert_allclose(e, naive, rtol=1e-5, atol=1e-9)
