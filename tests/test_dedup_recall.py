@@ -230,10 +230,11 @@ def test_components_distributed_matches_union_find(ray_session):
                                                             components_distributed)
 
     rng = np.random.default_rng(2)
-    # random graph over 60 nodes: several chains + isolated pairs
+    # several 4-node chains + an isolated pair (label diameter 3 keeps the
+    # propagation loop short — each iteration is 2 joins + 2 groupbys)
     edges = []
-    for start in range(0, 50, 10):  # 5 chains of 10
-        for i in range(start, start + 9):
+    for start in range(0, 20, 4):  # 5 chains of 4
+        for i in range(start, start + 3):
             edges.append((f"v{i:03d}", f"v{i + 1:03d}"))
     edges.append(("v900", "v901"))
     rng.shuffle(edges)
