@@ -570,6 +570,63 @@ def _q_dedup_jaccard(sf_dir: str):
          "cluster_rep": pa.array([], type=pa.int64())})
 
 
+def _q_join_anti(sf_dir: str):
+    """Anti join: customers with NO order before 1996 (predicate pushed to
+    the read, then distinct-key reduction + broadcast/hash anti filter)."""
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    import datetime as dt
+
+    import pyarrow as pa
+
+    cutoff = pa.scalar(dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    out = semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                    anti=True)
+    import pyarrow as pa
+
+    rows = out.select_columns(["c_custkey"]).take_all()
+    return pa.table({"c_custkey": pa.array(
+        sorted(r["c_custkey"] for r in rows), type=pa.int64())})
+
+
+def _q_set_ops(sf_dir: str):
+    """INTERSECT and EXCEPT over distinct status values (orders vs
+    lineitem): one row per (op, value)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import distinct_intersect
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_linestatus"])
+    inter = distinct_intersect(orders, "o_orderstatus", li, "l_linestatus")
+    exc = distinct_intersect(orders, "o_orderstatus", li, "l_linestatus",
+                             except_=True)
+    rows = ([{"op": "intersect", "value": r["o_orderstatus"]}
+             for r in inter.take_all()]
+            + [{"op": "except", "value": r["o_orderstatus"]}
+               for r in exc.take_all()])
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["op"], r["value"])))
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-group exact discrete quantiles: p50/p90 of l_extendedprice per
+    l_linestatus."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_extendedprice"])
+    out = grouped_quantiles(ds, "l_linestatus", "l_extendedprice", [0.5, 0.9])
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("l_linestatus", "ascending"), ("p", "ascending")])
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct orders in lineitem (p=12 → ~1.6 %
     typical error; the harness gates |approx−exact|/exact ≤ 5 %). Per-batch
@@ -682,6 +739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_price": _q_quantiles_price,
         "range_join": _q_range_join,
         "approx_distinct": _q_approx_distinct,
+        "join_anti": _q_join_anti,
+        "set_ops": _q_set_ops,
+        "grouped_quantiles": _q_grouped_quantiles,
         "clips_decisions": _q_clips_decisions,
         "personnes_expectations": _q_personnes_expectations,
         "join_broadcast": _q_join_broadcast,
@@ -861,6 +921,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "join_anti": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+            " AND o.o_orderdate < TIMESTAMP '1996-01-01') "
+            "ORDER BY c_custkey"),
+        "set_ops": (
+            "SELECT 'intersect' AS op, v AS value FROM ("
+            " SELECT o_orderstatus AS v FROM orders"
+            " INTERSECT SELECT l_linestatus FROM lineitem)"
+            " UNION ALL "
+            "SELECT 'except', v FROM ("
+            " SELECT o_orderstatus AS v FROM orders"
+            " EXCEPT SELECT l_linestatus FROM lineitem)"
+            " ORDER BY op, value"),
+        "grouped_quantiles": (
+            "SELECT l_linestatus, 0.5 AS p, CAST(quantile_disc(l_extendedprice,"
+            " 0.5) AS DOUBLE) AS value FROM lineitem GROUP BY l_linestatus"
+            " UNION ALL SELECT l_linestatus, 0.9,"
+            " CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE)"
+            " FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, p"),
         "range_join": (
             "SELECT w.window_id, count(*) AS n FROM events e JOIN ("
             " VALUES (CAST(0 AS BIGINT), TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11'),"

@@ -67,6 +67,86 @@ def hash_join(left, right, on: str | tuple[str, ...],
                      on=on_t, right_on=r_t)
 
 
+def semi_join(left, right, on: str, right_on: str | None = None, *,
+              anti: bool = False, num_partitions: int | None = None):
+    """Keep left rows whose key exists (semi) / does not exist (anti) in
+    ``right``. The right side is reduced to DISTINCT keys first (per-batch
+    unique partial + one distributed groupby), so nothing downstream ever
+    sees right-side payloads.
+
+    Two execution paths picked by distinct-key cardinality:
+    - keys fit the broadcast limit → ``ray.put`` the key set once, vectorized
+      ``pc.is_in`` per left batch. No join, no second shuffle. This is ALSO
+      the correctness workaround for a Ray 2.49.2 bug: ``Dataset.join``
+      raises ArrowInvalid when a right hash partition is EMPTY (inevitable
+      when distinct keys < num_partitions — reproduced at 2 keys / 3
+      partitions).
+    - keys too large to broadcast → left-outer ``Dataset.join`` against the
+      (key, marker) table; at that cardinality every partition is non-empty
+      with probability ~1, away from the bug."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import _join_partitions
+
+    right_on = right_on or on
+    keys = (right.select_columns([right_on])
+            .map_batches(lambda t: t.group_by(right_on).aggregate([]),
+                         batch_format="pyarrow")
+            .groupby(right_on).aggregate(Count(alias_name="__m"))
+            .materialize())
+
+    if keys.count() <= config.BROADCAST_DUP_LIMIT:
+        import ray
+
+        # skip the SCHEMA-LESS empty blocks Ray's aggregate emits for empty
+        # hash partitions (keys << partitions)
+        tabs = [t.select([right_on]) for t in ray.get(keys.to_arrow_refs())
+                if t.num_rows and right_on in t.column_names]
+        if tabs:
+            key_arr = pa.concat_tables(tabs)[right_on].combine_chunks()
+        else:
+            rs = right.schema()
+            key_arr = pa.array([], type=dict(zip(rs.names, rs.types))[right_on])
+        ref = ray.put(key_arr)
+
+        def bfilter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+            present = pc.is_in(batch[on], value_set=ks)
+            keep = pc.invert(present) if anti else present
+            return batch.filter(pc.fill_null(keep, not anti))
+
+        return left.map_batches(bfilter, batch_format="pyarrow",
+                                batch_size=config.TEXT_BATCH_SIZE)
+
+    joined = left.join(keys, "left_outer", _join_partitions(num_partitions),
+                       on=(on,), right_on=(right_on,))
+
+    def f(batch: pa.Table) -> pa.Table:
+        present = pc.is_valid(batch["__m"])
+        keep = pc.invert(present) if anti else present
+        return batch.filter(keep).drop_columns(["__m"])
+
+    return joined.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_intersect(left, left_col: str, right, right_col: str, *,
+                       except_: bool = False, num_partitions: int | None = None):
+    """DISTINCT left values ∩ right values (or ∖ when ``except_``): both
+    sides reduce to distinct keys per batch, then one hash join."""
+    out = semi_join(
+        left.select_columns([left_col])
+        .map_batches(lambda t: t.group_by(left_col).aggregate([]),
+                     batch_format="pyarrow"),
+        right, on=left_col, right_on=right_col, anti=except_,
+        num_partitions=num_partitions)
+    from ray.data.aggregate import Count
+
+    return (out.groupby(left_col).aggregate(Count(alias_name="__c"))
+            .map_batches(lambda t: t.select([left_col]), batch_format="pyarrow"))
+
+
 def range_join_broadcast(ds, intervals: pd.DataFrame | pa.Table, ts_col: str,
                          start_col: str, end_col: str):
     """Interval join: each left row matched to every (small-side) interval

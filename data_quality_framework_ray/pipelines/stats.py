@@ -58,3 +58,26 @@ def exact_quantiles(ds, col: str, ps: list[float]) -> list[tuple[float, float]]:
         if ti >= len(targets):
             break  # early exit: rest of the sorted stream never consumed
     return [(p, out[p]) for p in ps]
+
+
+def grouped_quantiles(ds, key: str, col: str, ps: list[float]):
+    """Per-group exact discrete quantiles (same ceil(p·n) convention):
+    groupby(key) shuffle, then one numpy sort per group. Appropriate for a
+    MODERATE number of groups (each group's values fit one worker); for
+    millions of tiny groups pre-aggregate value counts per (key, value)
+    first and reuse the exact_quantiles scan per key."""
+    import math as _math
+
+    def per_group(g: pa.Table) -> pa.Table:
+        vals = np.asarray(g[col].to_pandas(), dtype=np.float64)
+        vals = np.sort(vals[~np.isnan(vals)])
+        n = len(vals)
+        kv = g[key][0].as_py()
+        out = {key: [kv] * len(ps),
+               "p": np.asarray(ps, dtype=np.float64),
+               "value": np.asarray(
+                   [vals[max(1, _math.ceil(p * n)) - 1] if n else float("nan")
+                    for p in ps], dtype=np.float64)}
+        return pa.table(out)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")

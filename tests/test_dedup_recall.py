@@ -292,3 +292,29 @@ def test_verify_emb_members_recursion_matches_bruteforce():
     pairs = _verify_emb_members(emb, norm, ids, 0.995, cap=64, seed=3)
     got = _components(pairs, {x for p in pairs for x in p})
     assert got == truth
+
+
+def test_semi_anti_join_paths_agree(ray_session, monkeypatch):
+    """semi_join broadcast path ≡ Dataset.join path (forced by dropping the
+    broadcast limit; high-cardinality keys keep every partition non-empty,
+    away from the Ray 2.49 empty-partition join bug)."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    rng = np.random.default_rng(3)
+    left = rd.from_items([{"k": int(k), "v": i}
+                          for i, k in enumerate(rng.integers(0, 500, size=800))])
+    right = rd.from_items([{"rk": int(k)}
+                           for k in rng.integers(0, 500, size=600)])
+
+    def run(anti):
+        out = semi_join(left, right, on="k", right_on="rk", anti=anti).take_all()
+        return sorted((r["k"], r["v"]) for r in out)
+
+    semi_b, anti_b = run(False), run(True)
+    assert len(semi_b) + len(anti_b) == 800
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    assert run(False) == semi_b
+    assert run(True) == anti_b
