@@ -143,8 +143,16 @@ def distinct_intersect(left, left_col: str, right, right_col: str, *,
         num_partitions=num_partitions)
     from ray.data.aggregate import Count
 
+    ls = left.schema()
+    key_type = dict(zip(ls.names, ls.types))[left_col]
+
+    def sel(t: pa.Table) -> pa.Table:
+        if left_col not in t.column_names:  # Ray schema-less empty block
+            return pa.table({left_col: pa.array([], type=key_type)})
+        return t.select([left_col])
+
     return (out.groupby(left_col).aggregate(Count(alias_name="__c"))
-            .map_batches(lambda t: t.select([left_col]), batch_format="pyarrow"))
+            .map_batches(sel, batch_format="pyarrow"))
 
 
 def range_join_broadcast(ds, intervals: pd.DataFrame | pa.Table, ts_col: str,

@@ -22,8 +22,9 @@ Composition (all streaming; the audio payload never enters the object store):
 
 Shuffle inventory (SURVEY.md §7.3): the only all-to-all is the dedup combine,
 and it ships (h1, h2, min_clip, cnt) partials — never data rows, never audio.
-Dup winners broadcast via ``ray.put`` (config.BROADCAST_DUP_LIMIT guard; the
-documented fallback is Dataset.join on (h1, h2)).
+Dup winners broadcast via ``ray.put`` while they fit config.BROADCAST_DUP_LIMIT;
+above it phase B switches AUTOMATICALLY to the implemented Dataset.join path
+on (h1, h2) (see ``run``; equivalence proven by tests/test_phase_b_join.py).
 
 Resume: per-fragment DONE markers (LineageLog) written while phase A streams;
 phase B is derived + cheap and reruns every time, so fragment restarts can
