@@ -96,27 +96,35 @@ def decode_image(b: bytes) -> np.ndarray:
     raise ValueError(f"unsupported image magic {b[:2]!r}")
 
 
+def _resize_axis(img: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    """One axis: area-average when downsampling, nearest when upsampling —
+    handled independently per axis so a mixed resize (one axis down, one up)
+    still area-averages the downsampled axis and never computes work it
+    then discards."""
+    n = img.shape[axis]
+    if out_n == n:
+        return img
+    moved = np.moveaxis(img, axis, 0)
+    if out_n < n:  # area average: bincount rows into target bins
+        bins = (np.arange(n) * out_n) // n
+        counts = np.bincount(bins, minlength=out_n).astype(np.float64)
+        flat = moved.reshape(n, -1)
+        out = np.zeros((out_n, flat.shape[1]))
+        np.add.at(out, bins, flat)
+        out /= counts[:, None]
+        res = out.reshape((out_n,) + moved.shape[1:])
+    else:  # nearest upsample
+        idx = (np.arange(out_n) * n) // out_n
+        res = moved[idx]
+    return np.moveaxis(res, 0, axis)
+
+
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-average downsample (or nearest upsample) to (out_h, out_w, C),
-    fully vectorized via bincount over target-bin indices."""
+    """Resize to (out_h, out_w, C): per-axis area-average down / nearest up."""
     h, w = img.shape[:2]
     c = img.shape[2] if img.ndim == 3 else 1
     flat = img.reshape(h, w, c).astype(np.float64)
-    iy = (np.arange(h) * out_h) // h
-    ix = (np.arange(w) * out_w) // w
-    bin_idx = (iy[:, None] * out_w + ix[None, :]).ravel()
-    counts = np.bincount(bin_idx, minlength=out_h * out_w)
-    out = np.empty((out_h * out_w, c))
-    for ch in range(c):
-        out[:, ch] = np.bincount(bin_idx, weights=flat[:, :, ch].ravel(),
-                                 minlength=out_h * out_w)
-    out /= np.maximum(counts, 1)[:, None]
-    res = out.reshape(out_h, out_w, c)
-    if h < out_h or w < out_w:  # upsample: nearest (bins may be empty)
-        ys = (np.arange(out_h) * h) // out_h
-        xs = (np.arange(out_w) * w) // out_w
-        res = flat[ys][:, xs]
-    return res
+    return _resize_axis(_resize_axis(flat, out_h, 0), out_w, 1)
 
 
 def image_features(b: bytes, dim: int) -> np.ndarray:

@@ -36,6 +36,16 @@ from data_quality_framework_ray.functions import hashing as H
 
 # ---------------- shared ----------------
 
+def _empty_safe(t: pa.Table, required: str, schema: pa.Schema) -> pa.Table:
+    """Ray's hash aggregate emits SCHEMA-LESS empty blocks for hash
+    partitions that received no rows (distinct keys < partitions); any
+    downstream column access raises KeyError and Acero joins reject the
+    block. Normalize such blocks to the expected schema."""
+    if required not in t.column_names:
+        return pa.Table.from_pylist([], schema=schema)
+    return t
+
+
 def _join_partitions(requested: int | None = None) -> int:
     """Join/shuffle partition count sized to the cluster: the Join operator
     spins up one hash-aggregator actor per partition, and asking for more
@@ -63,22 +73,38 @@ def _exact_partials(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Tab
             .to_arrow())
 
 
-def exact_dup_winners(ds, key_cols: list[str], id_col: str) -> dict:
-    """(h1,h2) → min id, for content groups with >1 member (small).
-
-    Raises ``ValueError`` above BROADCAST_DUP_LIMIT — callers that can
-    degrade (``exact_dedup``) catch it and switch to the join path."""
+def _exact_dup_groups_ds(ds, key_cols: list[str], id_col: str):
+    """Materialized Dataset of (h1, h2, min(min_id), sum(cnt)) for content
+    groups with >1 member — shared by the broadcast and join paths so the
+    hash+aggregate runs once either way."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                        ("min(min_id)", id_type), ("sum(cnt)", pa.int64())])
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = _empty_safe(t, "sum(cnt)", schema)
+        return t.filter(pc.greater(t["sum(cnt)"], 1))
+
     pairs = ds.map_batches(partial(_exact_partials, key_cols=key_cols, id_col=id_col),
                            batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
-    g = pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
-    dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
-                         batch_format="pyarrow").take_all()
-    if len(dups) > config.BROADCAST_DUP_LIMIT:
-        raise ValueError(f"{len(dups)} dup groups exceed broadcast limit")
-    return {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups}
+    return (pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
+            .map_batches(only_dups, batch_format="pyarrow").materialize())
+
+
+def exact_dup_winners(ds, key_cols: list[str], id_col: str) -> dict:
+    """(h1,h2) → min id, for content groups with >1 member (small).
+
+    Raises ``ValueError`` above BROADCAST_DUP_LIMIT — BEFORE collecting
+    anything to the driver (the count comes from materialized metadata);
+    callers that can degrade (``exact_dedup``) catch it and switch to the
+    join path, reusing the same materialized dup-group table."""
+    dups = _exact_dup_groups_ds(ds, key_cols, id_col)
+    if dups.count() > config.BROADCAST_DUP_LIMIT:
+        raise ValueError("dup groups exceed broadcast limit")
+    return {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups.take_all()}
 
 
 def _tag_hashes(batch: pa.Table, key_cols: list[str]) -> pa.Table:
@@ -88,29 +114,28 @@ def _tag_hashes(batch: pa.Table, key_cols: list[str]) -> pa.Table:
 
 
 def _exact_dedup_join(ds, key_cols: list[str], id_col: str,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None, dups=None):
     """Distributed exact dedup: tag (h1,h2), left-join the winner table,
     keep non-losers. Same survivors as the broadcast path (winner = min id is
     order-free); the cost is shuffling the payload through the join.
+    ``dups`` (a materialized dup-group Dataset from
+    :func:`_exact_dup_groups_ds`) is reused when the caller already computed
+    it — the aggregate never runs twice.
 
     Scale note: the winner aggregate is Min over the string id — for >10^9
     groups map ids to int64 surrogates first (Ray's sort-based string
     aggregate is the bottleneck, measured round 1)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
 
     num_partitions = _join_partitions(num_partitions)
     tagged = ds.map_batches(partial(_tag_hashes, key_cols=key_cols),
                             batch_format="pyarrow",
                             batch_size=config.TEXT_BATCH_SIZE)
-    pairs = tagged.map_batches(
-        partial(_exact_partials, key_cols=key_cols, id_col=id_col),
-        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
-    winners = (pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
-               .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
-                            .select(["h1", "h2", "min(min_id)"])
-                            .rename_columns(["h1", "h2", "winner"]),
-                            batch_format="pyarrow"))
+    if dups is None:
+        dups = _exact_dup_groups_ds(ds, key_cols, id_col)
+    winners = dups.map_batches(
+        lambda t: t.select(["h1", "h2", "min(min_id)"])
+        .rename_columns(["h1", "h2", "winner"]), batch_format="pyarrow")
     joined = tagged.join(winners, "left_outer", num_partitions,
                          on=("h1", "h2"))
 
@@ -130,10 +155,10 @@ def exact_dedup(ds, key_cols: list[str], id_col: str):
     distributed join path when the winner set exceeds the broadcast limit."""
     import ray
 
-    try:
-        winners = exact_dup_winners(ds, key_cols, id_col)
-    except ValueError:
-        return _exact_dedup_join(ds, key_cols, id_col)
+    dups = _exact_dup_groups_ds(ds, key_cols, id_col)
+    if dups.count() > config.BROADCAST_DUP_LIMIT:
+        return _exact_dedup_join(ds, key_cols, id_col, dups=dups)
+    winners = {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups.take_all()}
     ref = ray.put(winners)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -199,6 +224,10 @@ def components_distributed(pairs_ds, max_iter: int = 30):
                          "v": pa.concat_arrays([bb, a])})
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    ps = pairs_ds.schema()
+    id_type = dict(zip(ps.names, ps.types))["a"]
+    agg_schema = pa.schema([("u", id_type), ("min(lbl)", id_type)])
+    lbl_schema = pa.schema([("u", id_type), ("lbl", id_type)])
 
     def min_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("u").aggregate([("v", "min")])
@@ -207,13 +236,15 @@ def components_distributed(pairs_ds, max_iter: int = 30):
     # init: label(u) = min(u, min neighbor)
     labels = (edges.map_batches(min_partial, batch_format="pyarrow")
               .groupby("u").aggregate(Min("lbl"))
-              .map_batches(lambda t: pa.table({
-                  "u": t["u"],
-                  "lbl": pc.min_element_wise(t["u"], t["min(lbl)"])}),
+              .map_batches(lambda t: (lambda s: pa.table({
+                  "u": s["u"],
+                  "lbl": pc.min_element_wise(s["u"], s["min(lbl)"])}))(
+                      _empty_safe(t, "min(lbl)", agg_schema)),
                   batch_format="pyarrow")
               .materialize())
 
     def lbl_partial(b: pa.Table) -> pa.Table:
+        b = _empty_safe(b, "lbl", lbl_schema)
         g = b.group_by("u").aggregate([("lbl", "min")])
         return g.rename_columns(["u", "lbl"])
 
@@ -227,8 +258,9 @@ def components_distributed(pairs_ds, max_iter: int = 30):
                 .union(labels)
                 .map_batches(lbl_partial, batch_format="pyarrow"))
         new_labels = (both.groupby("u").aggregate(Min("lbl"))
-                      .map_batches(lambda t: t.rename_columns(["u", "lbl"]),
-                                   batch_format="pyarrow")
+                      .map_batches(lambda t: _empty_safe(
+                          t, "min(lbl)", agg_schema).rename_columns(["u", "lbl"]),
+                          batch_format="pyarrow")
                       .materialize())
         changed = (labels.join(new_labels, "inner", _join_partitions(), on=("u",),
                                left_suffix="", right_suffix="_new")
@@ -309,26 +341,34 @@ def _emit_pairs_arrays(band: np.ndarray, bh: np.ndarray, ids: np.ndarray,
     return id_s[ia], id_s[ib], extra_pairs
 
 
+def _pair_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema([("a", id_type), ("b", id_type)])
+
+
 def _emit_group_pairs(group: pa.Table, id_name: str = "id",
                       extra_cols: tuple[str, ...] = (),
                       max_pairs: int | None = None) -> pa.Table:
     """All (capped) within-bucket pairs for one groupby group; ids sorted so
-    a < b. ``extra_cols`` are carried for both sides (suffixes _a/_b)."""
+    a < b. ``extra_cols`` are carried for both sides (suffixes _a/_b).
+    The pair columns keep the id column's TYPE (string ids and int64 ids
+    both occur — documents use int64 doc_id)."""
     max_pairs = max_pairs or config.MAX_PAIRS_PER_BUCKET
+    id_type = group.schema.field(id_name).type
     ids = np.asarray(group[id_name].to_pandas())
     order = np.argsort(ids, kind="stable")
     k = len(ids)
-    empty_schema = ([("a", pa.string()), ("b", pa.string())] +
-                    [(c + s, group.schema.field(c).type)
-                     for c in extra_cols for s in ("_a", "_b")])
+    schema = pa.schema([("a", id_type), ("b", id_type)] +
+                       [(c + s, group.schema.field(c).type)
+                        for c in extra_cols for s in ("_a", "_b")])
     if k < 2:
-        return pa.Table.from_pylist([], schema=pa.schema(empty_schema))
+        return pa.Table.from_pylist([], schema=schema)
     ia, ib = _pair_indices(k, max_pairs)
-    cols = {"a": pa.array(ids[order[ia]]), "b": pa.array(ids[order[ib]])}
+    cols = {"a": pa.array(ids[order[ia]], type=id_type),
+            "b": pa.array(ids[order[ib]], type=id_type)}
     for c in extra_cols:
         vals = np.asarray(group[c].to_pandas())
-        cols[c + "_a"] = pa.array(vals[order[ia]])
-        cols[c + "_b"] = pa.array(vals[order[ib]])
+        cols[c + "_a"] = pa.array(vals[order[ia]], type=group.schema.field(c).type)
+        cols[c + "_b"] = pa.array(vals[order[ib]], type=group.schema.field(c).type)
     return pa.table(cols)
 
 
@@ -403,8 +443,12 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     if agg.height == 0:
         return {}
     membership_est = int(agg["cnt"].sum())
+    cnts = agg["cnt"].to_numpy()
+    pairs_est = int(np.minimum(cnts * (cnts - 1) // 2,
+                               config.MAX_PAIRS_PER_BUCKET).sum())
     if (agg.height > config.BROADCAST_DUP_LIMIT
-            or membership_est > config.BROADCAST_DUP_LIMIT):
+            or membership_est > config.BROADCAST_DUP_LIMIT
+            or pairs_est > config.DRIVER_PAIR_LIMIT):
         return _minhash_distributed(ds, bands_ds, text_col, id_col,
                                     num_perm=num_perm, shingle_k=shingle_k,
                                     threshold=threshold, verify=verify)
@@ -497,64 +541,87 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
         → inner join membership on (band, bh)
         → per-bucket map_groups: capped all-pairs emission
         → per-batch pair dedupe (cross-band dupes only cost re-verification)
-        → join each side against the per-doc signature table
-        → vectorized signature verify inside map_batches
+        → join each side against the per-doc feature table (minhash
+          signature, or the TEXT itself when verify="exact")
+        → verify inside map_batches (vectorized signature compare, or exact
+          n-gram Jaccard per pair — same semantics as the broadcast path)
         → connected components (driver under DRIVER_PAIR_LIMIT, else
           min-label propagation)
 
-    Only (band, bh, id) rows, (a, b) pairs and num_perm×8-byte signatures of
-    PAIRED docs ever move; driver holds nothing but the final cluster map.
+    Only (band, bh, id) rows, (a, b) pairs and the PAIRED docs' features
+    ever move; driver holds nothing but the final cluster map. Pair columns
+    keep the id column's type (string or int64 ids both work).
     """
     import polars as pl
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     num_partitions = _join_partitions(num_partitions)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    hot_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
+                            ("sum(cnt)", pa.int64())])
     counts = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    def hot_filter(t: pa.Table) -> pa.Table:
+        t = _empty_safe(t, "sum(cnt)", hot_schema)
+        return t.filter(pc.greater(t["sum(cnt)"], 1)).select(["band", "bh"])
+
     hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
-           .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
-                        .select(["band", "bh"]), batch_format="pyarrow"))
+           .map_batches(hot_filter, batch_format="pyarrow"))
     membership = bands_ds.join(hot, "inner", num_partitions,
                                on=("band", "bh"))
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    pair_schema = _pair_schema(id_type)
     pairs = (membership.groupby(["band", "bh"])
              .map_groups(partial(_emit_group_pairs, id_name="id"),
                          batch_format="pyarrow")
-             # polars emits large_string; cast back so the join keys match
+             # polars promotes string→large_string; cast back so join keys match
              .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                           .cast(pair_schema), batch_format="pyarrow"))
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
+    exact = verify == "exact"
+
+    def feat_stage(batch: pa.Table) -> pa.Table:
+        if exact:
+            return pa.table({"sid": batch[id_col], "f": batch[text_col]})
         sh, off = H.shingle_hashes(batch[text_col], shingle_k)
         sig = H.minhash_signatures(sh, off, num_perm=num_perm)
         return pa.table({"sid": batch[id_col],
-                         "sig": pa.array([s.tobytes() for s in sig],
-                                         type=pa.binary())})
+                         "f": pa.array([s.tobytes() for s in sig],
+                                       type=pa.binary())})
 
-    sigs = ds.map_batches(sig_stage, batch_format="pyarrow",
-                          batch_size=config.TEXT_BATCH_SIZE)
-    j1 = (pairs.join(sigs, "inner", num_partitions, on=("a",),
+    feats = ds.map_batches(feat_stage, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE)
+    j1 = (pairs.join(feats, "inner", num_partitions, on=("a",),
                      right_on=("sid",))
           .map_batches(lambda t: t.rename_columns(
-              ["sig_a" if c == "sig" else c for c in t.column_names]),
+              ["f_a" if c == "f" else c for c in t.column_names]),
               batch_format="pyarrow"))
-    j2 = j1.join(sigs, "inner", num_partitions, on=("b",), right_on=("sid",))
+    j2 = j1.join(feats, "inner", num_partitions, on=("b",), right_on=("sid",))
 
     def verify_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string())})
-        sa = np.stack([np.frombuffer(x, dtype=np.uint64)
-                       for x in t["sig_a"].to_pylist()])
-        sb = np.stack([np.frombuffer(x, dtype=np.uint64)
-                       for x in t["sig"].to_pylist()])
-        est = (sa == sb).mean(axis=1)
-        keep = est >= threshold
+            return pa.Table.from_pylist([], schema=pair_schema)
+        if exact:
+            def jac(ta: str, tb: str) -> float:
+                wa, wb = ta.split(), tb.split()
+                sa = set(zip(*[wa[j:] for j in range(shingle_k)])) or {tuple(wa)}
+                sb = set(zip(*[wb[j:] for j in range(shingle_k)])) or {tuple(wb)}
+                return len(sa & sb) / max(len(sa | sb), 1)
+
+            keep = np.fromiter(
+                (jac(x, y) >= threshold
+                 for x, y in zip(t["f_a"].to_pylist(), t["f"].to_pylist())),
+                dtype=bool, count=t.num_rows)
+        else:
+            sa = np.stack([np.frombuffer(x, dtype=np.uint64)
+                           for x in t["f_a"].to_pylist()])
+            sb = np.stack([np.frombuffer(x, dtype=np.uint64)
+                           for x in t["f"].to_pylist()])
+            keep = (sa == sb).mean(axis=1) >= threshold
         return pa.table({"a": t["a"].filter(pa.array(keep)),
-                         "b": t["b"].filter(pa.array(keep))})
+                         "b": t["b"].filter(pa.array(keep))}).cast(pair_schema)
 
     verified_ds = j2.map_batches(verify_batch, batch_format="pyarrow")
     verified = [(r["a"], r["b"]) for r in verified_ds.take_all()]
@@ -623,8 +690,14 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
            .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1))
     if agg.height == 0:
         return {}
-    if int(agg["cnt"].sum()) > config.BROADCAST_DUP_LIMIT:
-        return _simhash_distributed(bands_ds, hamming_max=hamming_max)
+    s_cnts = agg["cnt"].to_numpy()
+    s_pairs_est = int(np.minimum(s_cnts * (s_cnts - 1) // 2,
+                                 config.MAX_PAIRS_PER_BUCKET).sum())
+    if (int(agg["cnt"].sum()) > config.BROADCAST_DUP_LIMIT
+            or s_pairs_est > config.DRIVER_PAIR_LIMIT):
+        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+        return _simhash_distributed(bands_ds, hamming_max=hamming_max,
+                                    id_type=id_type)
 
     multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
     mk_ref = ray.put(multi_keys)
@@ -655,36 +728,43 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 
 
 def _simhash_distributed(bands_ds, *, hamming_max: int,
+                         id_type: pa.DataType | None = None,
                          num_partitions: int | None = None) -> dict:
     """Distributed SimHash fallback: hot buckets via distributed groupby,
     membership join, per-bucket map_groups emits AND verifies (the sim value
-    is in the group), then components."""
+    is in the group), then components. Pair columns keep the id type."""
     import polars as pl
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     num_partitions = _join_partitions(num_partitions)
+    id_type = id_type or pa.string()
+    pair_schema = _pair_schema(id_type)
+    hot_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
+                            ("sum(cnt)", pa.int64())])
     counts = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        t = _empty_safe(t, "sum(cnt)", hot_schema)
+        return t.filter(pc.greater(t["sum(cnt)"], 1)).select(["band", "bh"])
+
     hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
-           .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
-                        .select(["band", "bh"]), batch_format="pyarrow"))
+           .map_batches(hot_filter, batch_format="pyarrow"))
     membership = bands_ds.join(hot, "inner", num_partitions, on=("band", "bh"))
 
     def emit_verify(group: pa.Table) -> pa.Table:
         pairs = _emit_group_pairs(group, id_name="id", extra_cols=("sim",))
         if pairs.num_rows == 0:
-            return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string())})
+            return pa.Table.from_pylist([], schema=pair_schema)
         sa = pairs["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         sb = pairs["sim_b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         hit = H.hamming64(sa, sb) <= hamming_max
         return pa.table({"a": pairs["a"].filter(pa.array(hit)),
-                         "b": pairs["b"].filter(pa.array(hit))})
+                         "b": pairs["b"].filter(pa.array(hit))}).cast(pair_schema)
 
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
     verified_ds = (membership.groupby(["band", "bh"])
                    .map_groups(emit_verify, batch_format="pyarrow")
                    .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()

@@ -508,14 +508,22 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
         # when the winner map itself would not fit a broadcast.
         from ray.data.aggregate import Min, Sum
 
-        from data_quality_framework_ray.pipelines.dedup import _join_partitions
+        from data_quality_framework_ray.pipelines.dedup import (_empty_safe,
+                                                                _join_partitions)
+
+        w_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                              ("min(min_clip)", pa.string()),
+                              ("sum(cnt)", pa.int64())])
+
+        def winners_only(t: pa.Table) -> pa.Table:
+            t = _empty_safe(t, "sum(cnt)", w_schema)
+            return (t.filter(pc.greater(t["sum(cnt)"], 1))
+                    .select(["h1", "h2", "min(min_clip)"])
+                    .rename_columns(["h1", "h2", "winner"]))
 
         winner_ds = (pairs.groupby(["h1", "h2"])
                      .aggregate(Min("min_clip"), Sum("cnt"))
-                     .map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1))
-                                  .select(["h1", "h2", "min(min_clip)"])
-                                  .rename_columns(["h1", "h2", "winner"]),
-                                  batch_format="pyarrow"))
+                     .map_batches(winners_only, batch_format="pyarrow"))
 
         # Acero joins reject list<> payload columns — pack drop_reasons into
         # a \x1f-delimited string across the join, unpack after

@@ -98,8 +98,10 @@ def write_run_report(out_dir: str, suite_outputs: dict[str, dict],
     from data_quality_framework_ray.pipelines import reporting
 
     all_results = [r for s in suite_outputs.values() for r in s["results"]]
-    reporting.write_report(out_dir, all_results, run_id)
     if email_config:
+        # send_report writes the markdown report itself (once) and attaches it
         reporting.EmailNotifier(email_config).send_report(
             all_results, run_id, report_dir=out_dir)
+    else:
+        reporting.write_report(out_dir, all_results, run_id)
     return path

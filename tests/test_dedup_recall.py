@@ -318,3 +318,63 @@ def test_semi_anti_join_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
     assert run(False) == semi_b
     assert run(True) == anti_b
+
+
+@pytest.fixture()
+def planted_docs_int_ids(ray_session):
+    """Same planted corpus but with INT64 ids (the documents-table shape)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, size=40)) for _ in range(100)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [{"doc_id": 1000 + i, "text": base[i]} for i in range(10)]
+    for i in range(20, 30):
+        toks = base[i].split()
+        toks[5] = "CHANGED"
+        rows.append({"doc_id": 2000 + i, "text": " ".join(toks)})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_minhash_distributed_int_ids(planted_docs_int_ids, monkeypatch):
+    """Regression (round-2 review): the distributed fallback used to cast
+    pair ids to string and join them against the int64 id column — crash or
+    silent no-op. Must now produce identical clusters for int64 ids."""
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds = planted_docs_int_ids
+    comp_b = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.7)
+    assert comp_b, "expected planted clusters"
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 10)
+    comp_d = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.7)
+    assert comp_d == comp_b
+    for i in range(10):
+        assert comp_d.get(1000 + i) == i
+
+
+def test_simhash_distributed_int_ids(planted_docs_int_ids, monkeypatch):
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds = planted_docs_int_ids
+    comp_b = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    assert comp_b
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 10)
+    comp_d = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    assert comp_d == comp_b
+
+
+def test_minhash_distributed_exact_verify(planted_docs_int_ids, monkeypatch):
+    """verify='exact' must keep exact n-gram Jaccard semantics in the
+    distributed path (it used to silently degrade to signature estimates)."""
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds = planted_docs_int_ids
+    comp_b = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id",
+                                          threshold=0.8, verify="exact")
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 10)
+    comp_d = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id",
+                                          threshold=0.8, verify="exact")
+    assert comp_d == comp_b
+    for i in range(10):  # exact dups have Jaccard 1.0 under both paths
+        assert comp_d.get(1000 + i) == i
