@@ -378,3 +378,49 @@ def test_minhash_distributed_exact_verify(planted_docs_int_ids, monkeypatch):
     assert comp_d == comp_b
     for i in range(10):  # exact dups have Jaccard 1.0 under both paths
         assert comp_d.get(1000 + i) == i
+
+
+def test_jaccard_dedup_matches_bruteforce(ray_session):
+    """Property check: exact-verify MinHash clusters == brute-force all-pairs
+    3-gram Jaccard union-find, across several random corpora with planted
+    dups at clear margins (J > 0.9 planted, random pairs ≪ 0.8 — away from
+    the LSH S-curve knee so candidate recall is ~1)."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import (_components,
+                                                            minhash_lsh_dup_groups)
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(400)]
+        base = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+        texts = list(base)
+        # planted: exact dups + one- and two-token variants
+        for i in range(8):
+            texts.append(base[i])
+        for i in range(10, 18):
+            toks = base[i].split()
+            for j in rng.choice(30, size=int(rng.integers(1, 3)), replace=False):
+                toks[j] = "ALT"
+            texts.append(" ".join(toks))
+        ids = [f"doc{i:03d}" for i in range(len(texts))]
+
+        # brute force ground truth
+        def sh_set(t):
+            w = t.split()
+            return set(zip(*[w[j:] for j in range(3)])) or {tuple(w)}
+
+        sets = [sh_set(t) for t in texts]
+        truth_pairs = []
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                jac = len(sets[i] & sets[j]) / max(len(sets[i] | sets[j]), 1)
+                if jac >= 0.8:
+                    truth_pairs.append((ids[i], ids[j]))
+        truth = _components(truth_pairs, {x for p in truth_pairs for x in p})
+
+        ds = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": d, "text": t} for d, t in zip(ids, texts)]))
+        comp = minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.8,
+                                      verify="exact")
+        assert comp == truth, f"seed {seed}"
