@@ -627,6 +627,52 @@ def _q_grouped_quantiles(sf_dir: str):
         [("l_linestatus", "ascending"), ("p", "ascending")])
 
 
+def _q_pivot(sf_dir: str):
+    """Pivot / crosstab: sum(l_quantity) per l_returnflag (rows) ×
+    l_linestatus (columns) — per-batch polars conditional partials, then one
+    tiny groupby sum (map-side combine keeps the shuffle at
+    #returnflags × #batches rows)."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (df.group_by("l_returnflag")
+                .agg(qty_F=pl.col("l_quantity").filter(pl.col("l_linestatus") == "F").sum(),
+                     qty_O=pl.col("l_quantity").filter(pl.col("l_linestatus") == "O").sum())
+                .to_arrow())
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("l_returnflag").aggregate(Sum("qty_F", alias_name="qty_F"),
+                                            Sum("qty_O", alias_name="qty_O")))
+    t = pa.Table.from_pylist(g.take_all())
+    import pyarrow.compute as pc
+
+    t = t.set_column(t.column_names.index("qty_F"), "qty_F",
+                     pc.round(t["qty_F"], 2))
+    t = t.set_column(t.column_names.index("qty_O"), "qty_O",
+                     pc.round(t["qty_O"], 2))
+    return t.sort_by("l_returnflag")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Stratified sampling: deterministic first-5-by-id per event_type
+    (resume-stable; polars per group, groups = #event types)."""
+    import polars as pl
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g).sort("event_id").head(5)).to_arrow()
+
+    out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("event_type", "ascending"), ("event_id", "ascending")])
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct orders in lineitem (p=12 → ~1.6 %
     typical error; the harness gates |approx−exact|/exact ≤ 5 %). Per-batch
@@ -742,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti": _q_join_anti,
         "set_ops": _q_set_ops,
         "grouped_quantiles": _q_grouped_quantiles,
+        "pivot": _q_pivot,
+        "stratified_sample": _q_stratified_sample,
         "clips_decisions": _q_clips_decisions,
         "personnes_expectations": _q_personnes_expectations,
         "join_broadcast": _q_join_broadcast,
@@ -921,6 +969,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "pivot": (
+            "SELECT l_returnflag,"
+            " round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2)"
+            " AS qty_F,"
+            " round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2)"
+            " AS qty_O"
+            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "stratified_sample": (
+            "SELECT event_type, event_id FROM events"
+            " QUALIFY row_number() OVER (PARTITION BY event_type"
+            " ORDER BY event_id) <= 5 ORDER BY event_type, event_id"),
         "join_anti": (
             "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
