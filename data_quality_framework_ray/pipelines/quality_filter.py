@@ -294,13 +294,23 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[in
 
     from ray.data.aggregate import Min, Sum
 
+    from data_quality_framework_ray.pipelines.dedup import _empty_safe
+
+    d_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                          ("min(min_clip)", pa.string()),
+                          ("sum(cnt)", pa.int64())])
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = _empty_safe(t, "sum(cnt)", d_schema)
+        return t.filter(pc.greater(t["sum(cnt)"], 1))
+
     g = pairs.groupby(["h1", "h2"]).aggregate(Min("min_clip"), Sum("cnt"))
-    dups = g.map_batches(lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
-                         batch_format="pyarrow")
-    rows = dups.take_all()
-    if len(rows) > config.BROADCAST_DUP_LIMIT:
-        raise ValueError(f"{len(rows)} dup groups exceed broadcast limit")
-    return {(r["h1"], r["h2"]): r["min(min_clip)"] for r in rows}
+    dups = g.map_batches(only_dups, batch_format="pyarrow").materialize()
+    if dups.count() > config.BROADCAST_DUP_LIMIT:
+        # count from materialized metadata — nothing over-limit ever reaches
+        # the driver; run() catches this and takes the Dataset.join path
+        raise ValueError("dup groups exceed broadcast limit")
+    return {(r["h1"], r["h2"]): r["min(min_clip)"] for r in dups.take_all()}
 
 
 def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
