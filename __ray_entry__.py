@@ -381,6 +381,48 @@ def _q_embedding_dedup(sf_dir: str):
          "cluster_rep": pa.array([], type=pa.int64())})
 
 
+def _q_speech_ratio(sf_dir: str):
+    """Energy-gate VAD over the clip table: per-clip speech-activity ratio
+    (decode inside the task from fragment paths — audio bytes never enter
+    the object store; rows-only check, SQL cannot decode G.711)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec", "sr_hz"])
+            ids, ratios = [], []
+            codecs = t["codec"].to_pylist()
+            srs = t["sr_hz"].to_pylist()
+            cids = t["clip_id"].to_pylist()
+            raw = t["bytes"].to_pylist()
+            for cid, bts, codec, sr in zip(cids, raw, codecs, srs):
+                if bts is None or codec not in A.CODEC_BPS or not sr:
+                    r = float("nan")
+                else:
+                    r = A.speech_ratio(A.decode_one(bts, codec), int(sr))
+                ids.append(cid)
+                ratios.append(round(r, 4) if r == r else None)
+            outs.append(pa.table({"clip_id": pa.array(ids, type=pa.string()),
+                                  "speech_ratio": pa.array(ratios,
+                                                           type=pa.float64())}))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow", batch_size=None)
+    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+
+
 def _q_clips_decisions(sf_dir: str):
     """Flagship clip pipeline at the matching scale (rows-only; the pytest
     oracle proves per-row fidelity — SPEC.md)."""
@@ -791,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "stratified_sample": _q_stratified_sample,
         "clips_decisions": _q_clips_decisions,
+        "speech_ratio": _q_speech_ratio,
         "personnes_expectations": _q_personnes_expectations,
         "join_broadcast": _q_join_broadcast,
         "join_hash": _q_join_hash,
