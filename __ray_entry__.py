@@ -328,11 +328,22 @@ def _q_langid_documents(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
-    """Document fingerprinting (rolling-hash bottom-k; rows-only)."""
+    """Document fingerprinting (rolling-hash bottom-k). The harness gates
+    the sketch's defining property: deterministic, and a full-fingerprint
+    COLLISION implies the two texts are near-duplicates (bottom-k of
+    char-8-gram hashes is a similarity sketch, not an id)."""
+    import pyarrow as pa
+
     from data_quality_framework_ray.pipelines.text_analysis import with_fingerprints
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return with_fingerprints(ds).select_columns(["doc_id", "fp_min"])
+    out = with_fingerprints(ds).select_columns(["doc_id", "fingerprint", "fp_min"])
+    t = pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    # stable string form of the bottom-k set (harness groups on it)
+    fp_str = pa.array(["-".join(f"{x:016x}" for x in fp)
+                       for fp in t["fingerprint"].to_pylist()], type=pa.string())
+    return (t.drop_columns(["fingerprint"])
+            .append_column("fingerprint", fp_str))
 
 
 def _q_minhash_dedup(sf_dir: str):

@@ -86,6 +86,38 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
                       f"vs exact top-k [{el:.1f}s]")
             continue
+        if name == "fingerprints":
+            # property gate (no SQL oracle — the rolling hash is engine-
+            # defined): deterministic across runs; full-fingerprint collision
+            # rate < 5 %; every colliding pair is a textual NEAR-DUPLICATE
+            # (word-3-gram Jaccard >= 0.5) — the sketch's defining property.
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            n_rows = len(got)
+            rate = (n_rows - got["fingerprint"].nunique()) / max(n_rows, 1)
+            texts = dict(con.execute(
+                "SELECT doc_id, text FROM documents").fetchall())
+
+            def sh(t):
+                w = t.split()
+                return set(zip(*[w[j:] for j in range(3)])) or {tuple(w)}
+
+            bad_pairs = 0
+            for _, grp in got.groupby("fingerprint"):
+                ids = [int(x) for x in grp["doc_id"]]
+                for i in range(1, len(ids)):
+                    a, b = sh(texts[ids[0]]), sh(texts[ids[i]])
+                    if len(a & b) / max(len(a | b), 1) < 0.5:
+                        bad_pairs += 1
+            if not det or rate > 0.05 or bad_pairs:
+                print(f"FAIL {name}: deterministic={det} "
+                      f"collision_rate={rate:.4f} non_neardup_collisions={bad_pairs}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={n_rows} deterministic, "
+                      f"collisions only between near-dups "
+                      f"(rate={rate:.4f}) [{el:.1f}s]")
+            continue
         if name == "approx_distinct":
             exact = con.execute(
                 "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
