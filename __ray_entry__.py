@@ -353,13 +353,12 @@ def _q_minhash_dedup(sf_dir: str):
     from data_quality_framework_ray.pipelines.dedup import minhash_lsh_dup_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    comp = minhash_lsh_dup_groups(ds.map_batches(
-        lambda t: t.set_column(0, "doc_id", t["doc_id"].cast(pa.string())),
-        batch_format="pyarrow"), "text", "doc_id")
-    rows = [{"doc_id": k, "cluster_rep": v} for k, v in sorted(comp.items())]
+    comp = minhash_lsh_dup_groups(ds, "text", "doc_id")
+    rows = [{"doc_id": int(k), "cluster_rep": int(v)}
+            for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"doc_id": pa.array([], type=pa.string()),
-         "cluster_rep": pa.array([], type=pa.string())})
+        {"doc_id": pa.array([], type=pa.int64()),
+         "cluster_rep": pa.array([], type=pa.int64())})
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -369,13 +368,12 @@ def _q_simhash_dedup(sf_dir: str):
     from data_quality_framework_ray.pipelines.dedup import simhash_dup_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    comp = simhash_dup_groups(ds.map_batches(
-        lambda t: t.set_column(0, "doc_id", t["doc_id"].cast(pa.string())),
-        batch_format="pyarrow"), "text", "doc_id", hamming_max=3)
-    rows = [{"doc_id": k, "cluster_rep": v} for k, v in sorted(comp.items())]
+    comp = simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    rows = [{"doc_id": int(k), "cluster_rep": int(v)}
+            for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"doc_id": pa.array([], type=pa.string()),
-         "cluster_rep": pa.array([], type=pa.string())})
+        {"doc_id": pa.array([], type=pa.int64()),
+         "cluster_rep": pa.array([], type=pa.int64())})
 
 
 def _q_embedding_dedup(sf_dir: str):

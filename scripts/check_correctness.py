@@ -118,6 +118,123 @@ def main() -> None:
                       f"collisions only between near-dups "
                       f"(rate={rate:.4f}) [{el:.1f}s]")
             continue
+        if name == "dedup_minhash":
+            # gate: signature-verified clusters must agree with the EXACT
+            # all-pairs Jaccard components (the dedup_jaccard SQL oracle) —
+            # at sf0.01 every planted dup sits far from the 0.8 knee, so
+            # agreement should be near-total
+            want = canon(con.execute(oracles["dedup_jaccard"]).fetchdf())
+            got_map = dict(zip(got["doc_id"].astype(int), got["cluster_rep"].astype(int)))
+            want_map = dict(zip(want["doc_id"].astype(int), want["cluster_rep"].astype(int)))
+            inter = set(got_map) & set(want_map)
+            agree = sum(got_map[k] == want_map[k] for k in inter)
+            denom = max(len(set(got_map) | set(want_map)), 1)
+            rate = agree / denom
+            if rate < 0.95:
+                print(f"FAIL {name}: cluster agreement {rate:.3f} < 0.95 vs "
+                      f"exact-Jaccard components")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} agreement={rate:.3f} "
+                      f"vs exact-Jaccard components [{el:.1f}s]")
+            continue
+        if name == "dedup_simhash":
+            # gate: every clustered (member, rep) pair has heavy TOKEN-BAG
+            # overlap (unigram Jaccard >= 0.5) — the property hamming<=3 on
+            # a token-unigram simhash actually implies (simhash is order-
+            # insensitive, so word-3-gram overlap would be the wrong check)
+            texts = dict(con.execute(
+                "SELECT doc_id, text FROM documents").fetchall())
+
+            bad = 0
+            for _, r in got.iterrows():
+                m, rep = int(r["doc_id"]), int(r["cluster_rep"])
+                if m == rep:
+                    continue
+                a, b = set(texts[m].split()), set(texts[rep].split())
+                if len(a & b) / max(len(a | b), 1) < 0.5:
+                    bad += 1
+            if bad:
+                print(f"FAIL {name}: {bad} clustered pairs lack token-bag overlap")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} all clustered pairs share "
+                      f">=50% token bags [{el:.1f}s]")
+            continue
+        if name == "speech_ratio":
+            # gate: sampled independent recomputation — stdlib audioop decode
+            # + naive frame-RMS loop must match the engine's value
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                    columns=["clip_id", "bytes", "codec", "sr_hz"])
+            by_id = dict(zip(got["clip_id"], got["speech_ratio"]))
+            import audioop as _audioop
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                sr = t0_tbl["sr_hz"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw") or not sr:
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
+                frame = max(int(sr * 25 / 1000), 1)
+                hop = max(int(sr * 10 / 1000), 1)
+                if len(x) < frame:
+                    continue
+                gate_amp = 10.0 ** (-35.0 / 20.0)
+                e = [(_np.sqrt(_np.mean(x[s:s + frame] ** 2)))
+                     for s in range(0, len(x) - frame + 1, hop)]
+                want_r = round(sum(v > gate_amp for v in e) / len(e), 4)
+                if abs(by_id.get(cid, float("nan")) - want_r) > 1e-3:
+                    bad += 1
+                checked += 1
+            if bad or checked < 10:
+                print(f"FAIL {name}: {bad} mismatches vs audioop oracle "
+                      f"({checked} checked)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled oracle match "
+                      f"({checked} clips) [{el:.1f}s]")
+            continue
+        if name == "clips_decisions":
+            # gate: keep/drop decisions vs the INDEPENDENT oracle labeler
+            # (tests/oracle.py — audioop decode, its own rule/model impl)
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+            from tests import oracle as _oracle
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            raw = _pd.concat([_pq.read_table(p).to_pandas()
+                              for p in fragment_paths(clips_dir)],
+                             ignore_index=True)
+            labels = _oracle.label_clips(raw, _em.MODELS_DIR)
+            want_keep = dict(zip(labels["clip_id"], labels["keep"]))
+            got_keep = dict(zip(got["clip_id"], got["keep"]))
+            mism = sum(1 for k, v in got_keep.items() if want_keep.get(k) != v)
+            if mism or len(got_keep) != len(want_keep):
+                print(f"FAIL {name}: {mism} keep/drop mismatches vs oracle "
+                      f"labeler ({len(got_keep)}/{len(want_keep)} rows)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} keep/drop ≡ oracle "
+                      f"labeler (F1=1.0) [{el:.1f}s]")
+            continue
         if name == "approx_distinct":
             exact = con.execute(
                 "SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
