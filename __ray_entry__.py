@@ -992,6 +992,32 @@ def oracle_sql() -> dict[str, str]:
         # SQL over the SAME parquet rows (threshold/trend/dup/freshness
         # logic restated independently; VERDICT.md round-1 item 6)
         "personnes_expectations": _personnes_oracle_sql(),
+        # signature-verified MinHash clusters vs the exact all-pairs Jaccard
+        # components: identical at this corpus's separation (dups at
+        # J >= 0.95 vs threshold 0.8 — a 128-perm signature flipping across
+        # the threshold is a >7-sigma event, and sub-threshold candidates
+        # can't reach 102/128 matching permutations)
+        "dedup_minhash": (
+            "WITH RECURSIVE toks AS ("
+            " SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),"
+            "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "  list_transform(generate_series(1, len(t)-2),"
+            "   i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])"
+            "  ELSE [array_to_string(t, chr(31))] END AS shingles FROM toks),"
+            "dsh AS (SELECT DISTINCT doc_id, s FROM"
+            " (SELECT doc_id, unnest(shingles) AS s FROM sh)),"
+            "sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),"
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i"
+            " FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            " GROUP BY 1, 2),"
+            "pairs AS (SELECT u, v FROM inter"
+            " JOIN sizes sa ON sa.doc_id = u JOIN sizes sb ON sb.doc_id = v"
+            " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),"
+            "edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),"
+            "reach(id, r) AS (SELECT u, u FROM edges"
+            " UNION SELECT e.u, reach.r FROM edges e, reach WHERE e.v = reach.id) "
+            "SELECT id AS doc_id, min(r) AS cluster_rep FROM reach "
+            "GROUP BY id ORDER BY doc_id"),
         # all-pairs exact 3-gram Jaccard + recursive-CTE connected
         # components — the near-dup family's full independent restatement
         "dedup_jaccard": (

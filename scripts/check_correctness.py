@@ -118,26 +118,6 @@ def main() -> None:
                       f"collisions only between near-dups "
                       f"(rate={rate:.4f}) [{el:.1f}s]")
             continue
-        if name == "dedup_minhash":
-            # gate: signature-verified clusters must agree with the EXACT
-            # all-pairs Jaccard components (the dedup_jaccard SQL oracle) —
-            # at sf0.01 every planted dup sits far from the 0.8 knee, so
-            # agreement should be near-total
-            want = canon(con.execute(oracles["dedup_jaccard"]).fetchdf())
-            got_map = dict(zip(got["doc_id"].astype(int), got["cluster_rep"].astype(int)))
-            want_map = dict(zip(want["doc_id"].astype(int), want["cluster_rep"].astype(int)))
-            inter = set(got_map) & set(want_map)
-            agree = sum(got_map[k] == want_map[k] for k in inter)
-            denom = max(len(set(got_map) | set(want_map)), 1)
-            rate = agree / denom
-            if rate < 0.95:
-                print(f"FAIL {name}: cluster agreement {rate:.3f} < 0.95 vs "
-                      f"exact-Jaccard components")
-                n_fail += 1
-            else:
-                print(f"ok   {name}: rows={len(got)} agreement={rate:.3f} "
-                      f"vs exact-Jaccard components [{el:.1f}s]")
-            continue
         if name == "dedup_simhash":
             # gate: every clustered (member, rep) pair has heavy TOKEN-BAG
             # overlap (unigram Jaccard >= 0.5) — the property hamming<=3 on
