@@ -1073,9 +1073,9 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT SELECT l_linestatus FROM lineitem)"
             " ORDER BY op, value"),
         "grouped_quantiles": (
-            "SELECT l_linestatus, 0.5 AS p, CAST(quantile_disc(l_extendedprice,"
-            " 0.5) AS DOUBLE) AS value FROM lineitem GROUP BY l_linestatus"
-            " UNION ALL SELECT l_linestatus, 0.9,"
+            "SELECT l_linestatus, CAST(0.5 AS DOUBLE) AS p, CAST(quantile_disc("
+            "l_extendedprice, 0.5) AS DOUBLE) AS value FROM lineitem GROUP BY l_linestatus"
+            " UNION ALL SELECT l_linestatus, CAST(0.9 AS DOUBLE),"
             " CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE)"
             " FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, p"),
         "range_join": (
@@ -1088,12 +1088,12 @@ def oracle_sql() -> dict[str, str]:
             " ON e.ts >= w.w_start AND e.ts < w.w_end"
             " GROUP BY w.window_id ORDER BY w.window_id"),
         "quantiles_price": (
-            "SELECT 0.5 AS p, CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE)"
-            " AS value FROM lineitem"
-            " UNION ALL SELECT 0.9, CAST(quantile_disc(l_extendedprice, 0.9) AS"
-            " DOUBLE) FROM lineitem"
-            " UNION ALL SELECT 0.99, CAST(quantile_disc(l_extendedprice, 0.99) AS"
-            " DOUBLE) FROM lineitem ORDER BY p"),
+            "SELECT CAST(0.5 AS DOUBLE) AS p, CAST(quantile_disc(l_extendedprice, 0.5)"
+            " AS DOUBLE) AS value FROM lineitem"
+            " UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(l_extendedprice,"
+            " 0.9) AS DOUBLE) FROM lineitem"
+            " UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(l_extendedprice,"
+            " 0.99) AS DOUBLE) FROM lineitem ORDER BY p"),
     }
 
 
