@@ -500,7 +500,7 @@ def _q_join_hash(sf_dir: str):
 
     j = hash_join(_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
                   _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-                  on="o_custkey", right_on="c_custkey", num_partitions=8)
+                  on="o_custkey", right_on="c_custkey", num_partitions=16)
     out = (j.groupby(["c_mktsegment", "o_orderstatus"])
            .aggregate(Count(alias_name="n")))
     return pa.Table.from_pylist(out.take_all()).sort_by(
