@@ -372,6 +372,69 @@ def _emit_group_pairs(group: pa.Table, id_name: str = "id",
     return pa.table(cols)
 
 
+_HOT_SCHEMA = pa.schema([("band", pa.int64()), ("bh", pa.int64())])
+
+
+def _bucket_part_col(t: pa.Table, num_partitions: int) -> pa.Table:
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = t["bh"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    part = ((band * np.uint64(1099511628211) ^ bh)
+            % np.uint64(num_partitions)).astype(np.int64)
+    return t.append_column("__part", pa.array(part))
+
+
+def _hot_buckets(counts, num_partitions: int):
+    """(band, bh, cnt) partials → buckets with total cnt > 1. Hash-partition
+    + ONE polars combine per partition — Ray's sort-based
+    groupby().aggregate() took 14.8 s on 160k band rows where this path
+    takes ~1 s (round-1 finding, still true in 2.49.2)."""
+    import polars as pl
+
+    def combine(part_tbl: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part_tbl).group_by(["band", "bh"])
+              .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1)
+              .select(["band", "bh"]))
+        return df.to_arrow().cast(_HOT_SCHEMA)
+
+    return (counts.map_batches(partial(_bucket_part_col,
+                                       num_partitions=num_partitions),
+                               batch_format="pyarrow")
+            .groupby("__part").map_groups(combine, batch_format="pyarrow"))
+
+
+def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
+                              num_partitions: int,
+                              extra_cols: tuple[str, ...] = ()):
+    """Distributed capped within-bucket pair emission WITHOUT per-bucket
+    Python: hash-partition band rows on (band, bh), then run the vectorized
+    lexsort+boundary-scan emitter once per PARTITION (a per-bucket
+    map_groups cost ~95 s vs ~7 s broadcast on 6.6k hot buckets at sf0.1 —
+    Ray invokes the UDF once per group)."""
+
+    def emit_part(part_tbl: pa.Table) -> pa.Table:
+        band = part_tbl["band"].to_numpy(zero_copy_only=False)
+        bh = part_tbl["bh"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(part_tbl["id"].to_pandas())
+        extras = tuple(np.asarray(part_tbl[c].to_pandas()) for c in extra_cols)
+        a, b, extra_pairs = _emit_pairs_arrays(band, bh, ids, extras=extras)
+        cols = {"a": pa.array(a, type=pair_schema.field("a").type),
+                "b": pa.array(b, type=pair_schema.field("b").type)}
+        for c, (ea, eb) in zip(extra_cols, extra_pairs):
+            cols[c + "_a"] = pa.array(ea)
+            cols[c + "_b"] = pa.array(eb)
+        out_schema = pa.schema(
+            list(pair_schema) + [(c + s, part_tbl.schema.field(c).type)
+                                 for c in extra_cols for s in ("_a", "_b")])
+        if len(a) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        return pa.table(cols).cast(out_schema)
+
+    return (membership.map_batches(partial(_bucket_part_col,
+                                           num_partitions=num_partitions),
+                                   batch_format="pyarrow")
+            .groupby("__part").map_groups(emit_part, batch_format="pyarrow"))
+
+
 # ---------------- MinHash + LSH ----------------
 
 def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
@@ -573,9 +636,7 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
     membership = bands_ds.join(hot, "inner", num_partitions,
                                on=("band", "bh"))
     pair_schema = _pair_schema(id_type)
-    pairs = (membership.groupby(["band", "bh"])
-             .map_groups(partial(_emit_group_pairs, id_name="id"),
-                         batch_format="pyarrow")
+    pairs = (_partitioned_bucket_pairs(membership, pair_schema, num_partitions)
              # polars promotes string→large_string; cast back so join keys match
              .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                           .cast(pair_schema), batch_format="pyarrow"))
@@ -740,23 +801,14 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
     num_partitions = _join_partitions(num_partitions)
     id_type = id_type or pa.string()
     pair_schema = _pair_schema(id_type)
-    hot_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
-                            ("sum(cnt)", pa.int64())])
     counts = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
-
-    def hot_filter(t: pa.Table) -> pa.Table:
-        t = _empty_safe(t, "sum(cnt)", hot_schema)
-        return t.filter(pc.greater(t["sum(cnt)"], 1)).select(["band", "bh"])
-
-    hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
-           .map_batches(hot_filter, batch_format="pyarrow"))
+    hot = _hot_buckets(counts, num_partitions)
     membership = bands_ds.join(hot, "inner", num_partitions, on=("band", "bh"))
 
-    def emit_verify(group: pa.Table) -> pa.Table:
-        pairs = _emit_group_pairs(group, id_name="id", extra_cols=("sim",))
+    def verify_pairs(pairs: pa.Table) -> pa.Table:
         if pairs.num_rows == 0:
             return pa.Table.from_pylist([], schema=pair_schema)
         sa = pairs["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
@@ -765,8 +817,9 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
         return pa.table({"a": pairs["a"].filter(pa.array(hit)),
                          "b": pairs["b"].filter(pa.array(hit))}).cast(pair_schema)
 
-    verified_ds = (membership.groupby(["band", "bh"])
-                   .map_groups(emit_verify, batch_format="pyarrow")
+    verified_ds = (_partitioned_bucket_pairs(membership, pair_schema,
+                                             num_partitions, extra_cols=("sim",))
+                   .map_batches(verify_pairs, batch_format="pyarrow")
                    .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                                 .cast(pair_schema), batch_format="pyarrow"))
     verified = sorted({(r["a"], r["b"]) for r in verified_ds.take_all()})
