@@ -600,9 +600,10 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
     """Fully distributed MinHash near-dup (the documented scale path beyond
     BROADCAST_DUP_LIMIT; exercised in tests by forcing the limit down):
 
-      hot buckets (distributed groupby over per-batch count partials)
+      hot buckets (hash-partitioned combine over per-batch count partials)
         → inner join membership on (band, bh)
-        → per-bucket map_groups: capped all-pairs emission
+        → partition-level vectorized capped all-pairs emission
+          (:func:`_partitioned_bucket_pairs` — no per-bucket Python)
         → per-batch pair dedupe (cross-band dupes only cost re-verification)
         → join each side against the per-doc feature table (minhash
           signature, or the TEXT itself when verify="exact")
@@ -616,23 +617,14 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
     keep the id column's type (string or int64 ids both work).
     """
     import polars as pl
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     num_partitions = _join_partitions(num_partitions)
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
-    hot_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
-                            ("sum(cnt)", pa.int64())])
     counts = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
-    def hot_filter(t: pa.Table) -> pa.Table:
-        t = _empty_safe(t, "sum(cnt)", hot_schema)
-        return t.filter(pc.greater(t["sum(cnt)"], 1)).select(["band", "bh"])
-
-    hot = (counts.groupby(["band", "bh"]).aggregate(Sum("cnt"))
-           .map_batches(hot_filter, batch_format="pyarrow"))
+    hot = _hot_buckets(counts, num_partitions)
     membership = bands_ds.join(hot, "inner", num_partitions,
                                on=("band", "bh"))
     pair_schema = _pair_schema(id_type)
@@ -791,12 +783,11 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 def _simhash_distributed(bands_ds, *, hamming_max: int,
                          id_type: pa.DataType | None = None,
                          num_partitions: int | None = None) -> dict:
-    """Distributed SimHash fallback: hot buckets via distributed groupby,
-    membership join, per-bucket map_groups emits AND verifies (the sim value
-    is in the group), then components. Pair columns keep the id type."""
+    """Distributed SimHash fallback: hot buckets via hash-partitioned
+    combine, membership join, partition-level vectorized pair emission AND
+    hamming verification (the sim value rides in the band rows), then
+    components. Pair columns keep the id type."""
     import polars as pl
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     num_partitions = _join_partitions(num_partitions)
     id_type = id_type or pa.string()
