@@ -345,6 +345,96 @@ def _pair_schema(id_type: pa.DataType) -> pa.Schema:
     return pa.schema([("a", id_type), ("b", id_type)])
 
 
+def _emit_group_pairs(group: pa.Table, id_name: str = "id",
+                      extra_cols: tuple[str, ...] = (),
+                      max_pairs: int | None = None) -> pa.Table:
+    """All (capped) within-bucket pairs for one groupby group; ids sorted so
+    a < b. ``extra_cols`` are carried for both sides (suffixes _a/_b).
+    The pair columns keep the id column's TYPE (string ids and int64 ids
+    both occur — documents use int64 doc_id)."""
+    max_pairs = max_pairs or config.MAX_PAIRS_PER_BUCKET
+    id_type = group.schema.field(id_name).type
+    ids = np.asarray(group[id_name].to_pandas())
+    order = np.argsort(ids, kind="stable")
+    k = len(ids)
+    schema = pa.schema([("a", id_type), ("b", id_type)] +
+                       [(c + s, group.schema.field(c).type)
+                        for c in extra_cols for s in ("_a", "_b")])
+    if k < 2:
+        return pa.Table.from_pylist([], schema=schema)
+    ia, ib = _pair_indices(k, max_pairs)
+    cols = {"a": pa.array(ids[order[ia]], type=id_type),
+            "b": pa.array(ids[order[ib]], type=id_type)}
+    for c in extra_cols:
+        vals = np.asarray(group[c].to_pandas())
+        cols[c + "_a"] = pa.array(vals[order[ia]], type=group.schema.field(c).type)
+        cols[c + "_b"] = pa.array(vals[order[ib]], type=group.schema.field(c).type)
+    return pa.table(cols)
+
+
+_HOT_SCHEMA = pa.schema([("band", pa.int64()), ("bh", pa.int64())])
+
+
+def _bucket_part_col(t: pa.Table, num_partitions: int) -> pa.Table:
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = t["bh"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    part = ((band * np.uint64(1099511628211) ^ bh)
+            % np.uint64(num_partitions)).astype(np.int64)
+    return t.append_column("__part", pa.array(part))
+
+
+def _hot_buckets(counts, num_partitions: int):
+    """(band, bh, cnt) partials → buckets with total cnt > 1. Hash-partition
+    + ONE polars combine per partition — Ray's sort-based
+    groupby().aggregate() took 14.8 s on 160k band rows where this path
+    takes ~1 s (round-1 finding, still true in 2.49.2)."""
+    import polars as pl
+
+    def combine(part_tbl: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part_tbl).group_by(["band", "bh"])
+              .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1)
+              .select(["band", "bh"]))
+        return df.to_arrow().cast(_HOT_SCHEMA)
+
+    return (counts.map_batches(partial(_bucket_part_col,
+                                       num_partitions=num_partitions),
+                               batch_format="pyarrow")
+            .groupby("__part").map_groups(combine, batch_format="pyarrow"))
+
+
+def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
+                              num_partitions: int,
+                              extra_cols: tuple[str, ...] = ()):
+    """Distributed capped within-bucket pair emission WITHOUT per-bucket
+    Python: hash-partition band rows on (band, bh), then run the vectorized
+    lexsort+boundary-scan emitter once per PARTITION (a per-bucket
+    map_groups cost ~95 s vs ~7 s broadcast on 6.6k hot buckets at sf0.1 —
+    Ray invokes the UDF once per group)."""
+
+    def emit_part(part_tbl: pa.Table) -> pa.Table:
+        band = part_tbl["band"].to_numpy(zero_copy_only=False)
+        bh = part_tbl["bh"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(part_tbl["id"].to_pandas())
+        extras = tuple(np.asarray(part_tbl[c].to_pandas()) for c in extra_cols)
+        a, b, extra_pairs = _emit_pairs_arrays(band, bh, ids, extras=extras)
+        cols = {"a": pa.array(a, type=pair_schema.field("a").type),
+                "b": pa.array(b, type=pair_schema.field("b").type)}
+        for c, (ea, eb) in zip(extra_cols, extra_pairs):
+            cols[c + "_a"] = pa.array(ea)
+            cols[c + "_b"] = pa.array(eb)
+        out_schema = pa.schema(
+            list(pair_schema) + [(c + s, part_tbl.schema.field(c).type)
+                                 for c in extra_cols for s in ("_a", "_b")])
+        if len(a) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        return pa.table(cols).cast(out_schema)
+
+    return (membership.map_batches(partial(_bucket_part_col,
+                                           num_partitions=num_partitions),
+                                   batch_format="pyarrow")
+            .groupby("__part").map_groups(emit_part, batch_format="pyarrow"))
+
+
 # ---------------- MinHash + LSH ----------------
 
 def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
