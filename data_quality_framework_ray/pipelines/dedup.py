@@ -345,33 +345,6 @@ def _pair_schema(id_type: pa.DataType) -> pa.Schema:
     return pa.schema([("a", id_type), ("b", id_type)])
 
 
-def _emit_group_pairs(group: pa.Table, id_name: str = "id",
-                      extra_cols: tuple[str, ...] = (),
-                      max_pairs: int | None = None) -> pa.Table:
-    """All (capped) within-bucket pairs for one groupby group; ids sorted so
-    a < b. ``extra_cols`` are carried for both sides (suffixes _a/_b).
-    The pair columns keep the id column's TYPE (string ids and int64 ids
-    both occur — documents use int64 doc_id)."""
-    max_pairs = max_pairs or config.MAX_PAIRS_PER_BUCKET
-    id_type = group.schema.field(id_name).type
-    ids = np.asarray(group[id_name].to_pandas())
-    order = np.argsort(ids, kind="stable")
-    k = len(ids)
-    schema = pa.schema([("a", id_type), ("b", id_type)] +
-                       [(c + s, group.schema.field(c).type)
-                        for c in extra_cols for s in ("_a", "_b")])
-    if k < 2:
-        return pa.Table.from_pylist([], schema=schema)
-    ia, ib = _pair_indices(k, max_pairs)
-    cols = {"a": pa.array(ids[order[ia]], type=id_type),
-            "b": pa.array(ids[order[ib]], type=id_type)}
-    for c in extra_cols:
-        vals = np.asarray(group[c].to_pandas())
-        cols[c + "_a"] = pa.array(vals[order[ia]], type=group.schema.field(c).type)
-        cols[c + "_b"] = pa.array(vals[order[ib]], type=group.schema.field(c).type)
-    return pa.table(cols)
-
-
 _HOT_SCHEMA = pa.schema([("band", pa.int64()), ("bh", pa.int64())])
 
 
