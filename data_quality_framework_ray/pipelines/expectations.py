@@ -159,14 +159,36 @@ def check_freshness(ds, column: str, table: str = "",
 
 # ---------------- duplicates ----------------
 
+def _hashable_column(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Any column → a string/binary column with equal-value ⟺ equal-string
+    semantics, for full-row content hashing. list<string> joins on an
+    unprintable separator (vectorized); other nested types fall back to a
+    JSON stringification (slow path — exotic schemas only)."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        return col
+    if pa.types.is_list(t) and pa.types.is_string(t.value_type):
+        joined = pc.binary_join(col.combine_chunks()
+                                if isinstance(col, pa.ChunkedArray) else col,
+                                "\x1f")
+        return pc.fill_null(joined, "\x00null")
+    try:
+        return col.cast(pa.string())
+    except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+        import json as _json
+
+        return pa.array([_json.dumps(x, default=str, sort_keys=True)
+                         for x in col.to_pylist()], type=pa.string())
+
+
 def _dup_partials(batch: pa.Table) -> pa.Table:
     import polars as pl
 
     from data_quality_framework_ray.functions.hashing import content_hash_128
 
-    cols = [batch[c].cast(pa.string()) if not (pa.types.is_string(batch[c].type)
-                                               or pa.types.is_binary(batch[c].type))
-            else batch[c] for c in batch.column_names]
+    cols = [_hashable_column(batch[c]) for c in batch.column_names]
     h1, h2 = content_hash_128(*cols)
     df = pl.DataFrame({"h1": h1, "h2": h2})
     return df.group_by(["h1", "h2"]).agg(pl.len().alias("cnt")).to_arrow()
