@@ -336,9 +336,14 @@ def _q_fingerprints(sf_dir: str):
 
     from data_quality_framework_ray.pipelines.text_analysis import with_fingerprints
 
+    import ray
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = with_fingerprints(ds).select_columns(["doc_id", "fingerprint", "fp_min"])
-    t = pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    # keep the Arrow blocks: take_all + from_pylist would re-infer the
+    # list<uint64> fingerprints as list<int64> and OverflowError on
+    # hashes >= 2^63 (pyarrow does not promote nested ints)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("doc_id")
     # stable string form of the bottom-k set (harness groups on it)
     fp_str = pa.array(["-".join(f"{x:016x}" for x in fp)
                        for fp in t["fingerprint"].to_pylist()], type=pa.string())

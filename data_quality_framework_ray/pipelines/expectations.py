@@ -161,26 +161,41 @@ def check_freshness(ds, column: str, table: str = "",
 
 def _hashable_column(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Any column → a string/binary column with equal-value ⟺ equal-string
-    semantics, for full-row content hashing. list<string> joins on an
-    unprintable separator (vectorized); other nested types fall back to a
-    JSON stringification (slow path — exotic schemas only)."""
+    semantics, for full-row content hashing.
+
+    list<string> uses a vectorized injective encoding — ``len:`` prefix +
+    "\\x1f"-joined elements — ONLY when provably safe (no null lists, no
+    null elements, no element containing the separator; the length prefix
+    disambiguates [] vs [""] and nesting). Everything else falls back to a
+    JSON stringification (slow path — exotic schemas only); a plain
+    binary_join would collapse null-bearing lists together and alias
+    ["a\\x1fb"] with ["a","b"]."""
     import pyarrow.compute as pc
 
     t = col.type
     if pa.types.is_string(t) or pa.types.is_binary(t):
         return col
-    if pa.types.is_list(t) and pa.types.is_string(t.value_type):
-        joined = pc.binary_join(col.combine_chunks()
-                                if isinstance(col, pa.ChunkedArray) else col,
-                                "\x1f")
-        return pc.fill_null(joined, "\x00null")
-    try:
-        return col.cast(pa.string())
-    except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+
+    def _json_fallback() -> pa.Array:
         import json as _json
 
         return pa.array([_json.dumps(x, default=str, sort_keys=True)
                          for x in col.to_pylist()], type=pa.string())
+
+    if pa.types.is_list(t) and pa.types.is_string(t.value_type):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = arr.values
+        safe = (arr.null_count == 0 and vals.null_count == 0
+                and not pc.any(pc.match_substring(vals, "\x1f")).as_py())
+        if not safe:
+            return _json_fallback()
+        joined = pc.binary_join(arr, "\x1f")
+        lens = pc.cast(pc.list_value_length(arr), pa.string())
+        return pc.binary_join_element_wise(lens, joined, ":")
+    try:
+        return col.cast(pa.string())
+    except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+        return _json_fallback()
 
 
 def _dup_partials(batch: pa.Table) -> pa.Table:

@@ -195,7 +195,10 @@ def main() -> None:
                 e = [(_np.sqrt(_np.mean(x[s:s + frame] ** 2)))
                      for s in range(0, len(x) - frame + 1, hop)]
                 want_r = round(sum(v > gate_amp for v in e) / len(e), 4)
-                if abs(by_id.get(cid, float("nan")) - want_r) > 1e-3:
+                v = by_id.get(cid)
+                # None / NaN / missing rows must COUNT AS FAILURES (NaN
+                # comparisons are always False, which would silently pass)
+                if v is None or v != v or abs(v - want_r) > 1e-3:
                     bad += 1
                 checked += 1
             if bad or checked < 10:

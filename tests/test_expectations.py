@@ -128,3 +128,46 @@ def test_scoring_and_urgency():
     assert s["urgency"] == "LOW"  # 75 → LOW bucket [75, 100)
     assert E.score_results([{"passed": True, "dimension": "x"}])["urgency"] == "PASS"
     assert E.score_results([{"passed": False, "dimension": "x"}])["urgency"] == "CRITICAL"
+
+
+def test_hashable_column_list_injective(ray_session):
+    """Regression (round-2 review): the list<string> dup-hash encoding must
+    keep distinct values distinct — [] vs [""], ["a\\x1fb"] vs ["a","b"],
+    and null-bearing lists all collided under a plain binary_join."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.expectations import _hashable_column
+
+    col = pa.array([[], [""], ["a\x1fb"], ["a", "b"], ["a"], ["b"]],
+                   type=pa.list_(pa.string()))
+    enc = _hashable_column(col).to_pylist()
+    assert len(set(enc)) == len(enc), enc
+
+    with_nulls = pa.array([["x", None], ["y", None], None, ["x"]],
+                          type=pa.list_(pa.string()))
+    enc2 = _hashable_column(with_nulls).to_pylist()
+    assert len(set(map(str, enc2))) == len(enc2), enc2
+
+
+def test_fingerprint_uint64_roundtrip(ray_session):
+    """Regression (latent for ngram/base overrides): list<uint64> columns
+    with values >= 2^63 must survive Dataset collection via Arrow blocks —
+    take_all + from_pylist re-infers list<int64> and raises OverflowError
+    (the conversion _q_fingerprints previously used)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+    import ray.data as rd
+
+    big = 2**63 + 5
+    t_in = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                     "fingerprint": pa.array([[big, 7], [11]],
+                                             type=pa.list_(pa.uint64()))})
+    ds = rd.from_arrow(t_in)
+    # the safe path: keep Arrow blocks
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    assert t["fingerprint"].type == pa.list_(pa.uint64())
+    assert max(max(fp) for fp in t["fingerprint"].to_pylist()) == big
+    # the hazardous path this guards against
+    with _pytest.raises((OverflowError, pa.lib.ArrowInvalid)):
+        pa.Table.from_pylist(ds.take_all())
