@@ -424,3 +424,16 @@ def test_jaccard_dedup_matches_bruteforce(ray_session):
         comp = minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.8,
                                       verify="exact")
         assert comp == truth, f"seed {seed}"
+
+
+def test_resolve_components_distributed_path(ray_session, monkeypatch):
+    """Forcing DRIVER_PAIR_LIMIT to 0 routes _resolve_components through the
+    label-propagation Dataset path — result must equal union-find."""
+    from data_quality_framework_ray.pipelines.dedup import (_components,
+                                                            _resolve_components)
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("m", "n"), ("n", "o")]
+    want = _components(pairs, {v for p in pairs for v in p})
+    monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
+    got = _resolve_components(pairs)
+    assert got == want
