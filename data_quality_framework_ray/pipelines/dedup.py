@@ -15,9 +15,10 @@ Partitioning assumptions (documented per the brief):
   MAX_PAIRS_PER_BUCKET; above the cap a bucket emits star+chain
   connectivity pairs — documented recall tradeoff: an over-cap bucket at
   band-equality similarity is overwhelmingly mutually-near-dup, and
-  union-find restores the cluster transitively). Memberships above
-  BROADCAST_DUP_LIMIT switch to the distributed path: join + per-bucket
-  map_groups verification — no driver collection.
+  union-find restores the cluster transitively). Memberships or estimated
+  pairs above the limits switch to the distributed path: hot-bucket join +
+  partition-level vectorized pair emission + feature-join verification —
+  no driver collection.
 - connected components run driver-side union-find while verified pairs fit
   (DRIVER_PAIR_LIMIT); above it ``components_distributed`` runs min-label
   propagation as a groupby loop.
