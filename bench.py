@@ -61,11 +61,14 @@ def run_bench() -> dict:
                     pass
 
     # min of 2 repeats: host CPU availability swings ~2× between windows
-    # (BASELINE.md); a single sample can misreport the engine by that factor
+    # (BASELINE.md); a single sample can misreport the engine by that factor.
+    # --scaling invocations (BENCH_CLIPS_DIR set) already interleave repeats
+    # at the outer level, so they run the headline once per call.
     out_dir = f"/tmp/dqfr_bench_out_{NUM_CPUS}"
     headline = float("inf")
     run_summary = None
-    for _ in range(2):
+    n_repeats = 1 if os.environ.get("BENCH_CLIPS_DIR") else 2
+    for _ in range(n_repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         s = qf.run(clips_dir, out_dir, models_dir=os.path.join(REPO, "models"))
