@@ -437,3 +437,57 @@ def test_resolve_components_distributed_path(ray_session, monkeypatch):
     monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
     got = _resolve_components(pairs)
     assert got == want
+
+
+def test_emit_pairs_arrays_properties():
+    """Property fuzz over random bucket shapes: below-cap buckets emit ALL
+    within-bucket pairs with a < b; above-cap buckets still connect all
+    members; no cross-bucket pairs ever."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_framework_ray.pipelines.dedup import _emit_pairs_arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 4),
+                              st.integers(0, 30)),
+                    min_size=0, max_size=80),
+           st.integers(1, 40))
+    def run(rows, cap):
+        band = np.array([r[0] for r in rows], dtype=np.int64)
+        bh = np.array([r[1] for r in rows], dtype=np.int64)
+        ids = np.array([f"id{r[2]:03d}_{i}" for i, r in enumerate(rows)],
+                       dtype=object)
+        a, b, _ = _emit_pairs_arrays(band, bh, ids, max_pairs=cap)
+        by_id = {i: (bd, h) for bd, h, i in zip(band, bh, ids)}
+        buckets: dict = {}
+        for bd, h, i in zip(band, bh, ids):
+            buckets.setdefault((bd, h), []).append(i)
+        # no cross-bucket pairs; a < b always
+        for x, y in zip(a, b):
+            assert by_id[x] == by_id[y]
+            assert x < y
+        got = {(x, y) for x, y in zip(a, b)}
+        for key, members in buckets.items():
+            ms = sorted(members)
+            k = len(ms)
+            expect_all = k * (k - 1) // 2 <= cap
+            in_bucket = {(x, y) for x, y in got if by_id[x] == key}
+            if expect_all:
+                want = {(ms[i], ms[j]) for i in range(k) for j in range(i + 1, k)}
+                assert in_bucket == want
+            elif k >= 2:
+                # connectivity: union-find over emitted pairs joins the bucket
+                parent = {m: m for m in ms}
+
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for x, y in in_bucket:
+                    parent[find(x)] = find(y)
+                assert len({find(m) for m in ms}) == 1
+
+    run()
