@@ -171,3 +171,31 @@ def test_fingerprint_uint64_roundtrip(ray_session):
     # the hazardous path this guards against
     with _pytest.raises((OverflowError, pa.lib.ArrowInvalid)):
         pa.Table.from_pylist(ds.take_all())
+
+
+def test_hashable_column_fuzz_injective(ray_session):
+    """Property fuzz: distinct list<string> column values must encode to
+    distinct strings (fast and JSON paths both)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_framework_ray.pipelines.expectations import _hashable_column
+
+    elem = st.one_of(st.none(), st.text(alphabet="ab\x1f:", max_size=3))
+    val = st.one_of(st.none(), st.lists(elem, max_size=3))
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(val, min_size=2, max_size=12))
+    def run(vals):
+        col = pa.array(vals, type=pa.list_(pa.string()))
+        enc = [str(x) for x in _hashable_column(col).to_pylist()]
+        canon = [None if v is None else tuple(v) for v in vals]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                if canon[i] != canon[j]:
+                    assert enc[i] != enc[j], (vals[i], vals[j], enc[i])
+                else:
+                    assert enc[i] == enc[j]
+
+    run()

@@ -108,3 +108,24 @@ def test_image_decode_stage_real_backend(ray_session):
     # features must equal a direct driver-side decode (same kernel, via Ray)
     want = I.image_features(rows[0]["bytes"], 16)
     np.testing.assert_allclose(by_id["i0"], want, rtol=0, atol=0)
+
+
+def test_resize_area_matches_naive_block_mean():
+    """Property fuzz: for divisible shapes, area-resize equals the naive
+    reshaped block mean on both axes; mixed down/up keeps the down axis
+    area-averaged."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 6), st.integers(1, 4),
+           st.integers(1, 4), st.integers(0, 10**6))
+    def run(oh, ow, fy, fx, seed):
+        rng = np.random.default_rng(seed)
+        h, w = oh * fy, ow * fx
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.float64)
+        got = I.resize_area(img, oh, ow)
+        want = img.reshape(oh, fy, ow, fx, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    run()
