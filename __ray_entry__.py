@@ -683,6 +683,35 @@ def _q_grouped_quantiles(sf_dir: str):
         [("l_linestatus", "ascending"), ("p", "ascending")])
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) windows: 30-min windows every 15 min — each event
+    lands in exactly 2 windows (vectorized window-id fan-out per batch,
+    partial counts, one tiny groupby; the streaming-window shape Ray Data
+    lacks natively)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    HOP_US = 15 * 60 * 1_000_000
+
+    def fanout_partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (ts // HOP_US) * HOP_US
+        ws = np.concatenate([w0, w0 - HOP_US])  # k = 0, 1 (width = 2 hops)
+        df = (pl.DataFrame({"ws": ws}).group_by("ws")
+              .agg(pl.len().alias("n")))
+        return df.to_arrow()
+
+    ds = _read(sf_dir, "events", ["ts"])
+    g = (ds.map_batches(fanout_partials, batch_format="pyarrow")
+         .groupby("ws").aggregate(Sum("n", alias_name="n")))
+    t = pa.Table.from_pylist(g.take_all()).sort_by("ws")
+    return pa.table({"window_start": t["ws"].cast(pa.timestamp("us")),
+                     "n": t["n"]})
+
+
 def _q_pivot(sf_dir: str):
     """Pivot / crosstab: sum(l_quantity) per l_returnflag (rows) ×
     l_linestatus (columns) — per-batch polars conditional partials, then one
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "pivot": _q_pivot,
         "stratified_sample": _q_stratified_sample,
+        "hopping_window": _q_hopping_window,
         "clips_decisions": _q_clips_decisions,
         "speech_ratio": _q_speech_ratio,
         "personnes_expectations": _q_personnes_expectations,
@@ -1056,6 +1086,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "hopping_window": (
+            "SELECT make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS BIGINT)"
+            " - k) * 900 AS BIGINT) * 1000000) AS window_start, count(*) AS n"
+            " FROM events, (VALUES (0), (1)) AS o(k)"
+            " GROUP BY window_start ORDER BY window_start"),
         "pivot": (
             "SELECT l_returnflag,"
             " round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2)"
