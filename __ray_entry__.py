@@ -683,6 +683,35 @@ def _q_grouped_quantiles(sf_dir: str):
         [("l_linestatus", "ascending"), ("p", "ascending")])
 
 
+def _q_rollup(sf_dir: str):
+    """ROLLUP subtotal hierarchy (group, per-level subtotal, grand total) —
+    ONE partial pass over the data; all three levels derive from the same
+    tiny combined table on the driver (never re-scan for subtotals)."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by(["l_returnflag", "l_linestatus"])
+                .agg(pl.len().alias("n")).to_arrow())
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["l_returnflag", "l_linestatus"])
+         .aggregate(Sum("n", alias_name="n")))
+    base = pl.DataFrame(g.take_all())
+    lvl1 = (base.group_by("l_returnflag").agg(pl.col("n").sum())
+            .with_columns(pl.lit("(all)").alias("l_linestatus")))
+    lvl0 = pl.DataFrame({"l_returnflag": ["(all)"], "l_linestatus": ["(all)"],
+                         "n": [base["n"].sum()]})
+    out = pl.concat([base, lvl1.select(base.columns), lvl0.select(base.columns)],
+                    how="vertical_relaxed")
+    return (out.sort(["l_returnflag", "l_linestatus"])
+            .to_arrow().cast(pa.schema([("l_returnflag", pa.string()),
+                                        ("l_linestatus", pa.string()),
+                                        ("n", pa.int64())])))
+
+
 def _q_hopping_window(sf_dir: str):
     """Hopping (sliding) windows: 30-min windows every 15 min — each event
     lands in exactly 2 windows (vectorized window-id fan-out per batch,
@@ -880,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "stratified_sample": _q_stratified_sample,
         "hopping_window": _q_hopping_window,
+        "rollup": _q_rollup,
         "clips_decisions": _q_clips_decisions,
         "speech_ratio": _q_speech_ratio,
         "personnes_expectations": _q_personnes_expectations,
@@ -1086,6 +1116,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "rollup": (
+            "SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,"
+            " coalesce(l_linestatus, '(all)') AS l_linestatus, count(*) AS n"
+            " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+            " ORDER BY l_returnflag, l_linestatus"),
         "hopping_window": (
             "SELECT make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS BIGINT)"
             " - k) * 900 AS BIGINT) * 1000000) AS window_start, count(*) AS n"
