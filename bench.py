@@ -62,12 +62,12 @@ def run_bench() -> dict:
 
     # min of 2 repeats: host CPU availability swings ~2× between windows
     # (BASELINE.md); a single sample can misreport the engine by that factor.
-    # --scaling invocations (BENCH_CLIPS_DIR set) already interleave repeats
-    # at the outer level, so they run the headline once per call.
+    # --scaling subprocesses set BENCH_SINGLE_RUN (they interleave repeats at
+    # the outer level) — a custom BENCH_CLIPS_DIR alone keeps the min-of-2.
     out_dir = f"/tmp/dqfr_bench_out_{NUM_CPUS}"
     headline = float("inf")
     run_summary = None
-    n_repeats = 1 if os.environ.get("BENCH_CLIPS_DIR") else 2
+    n_repeats = 1 if os.environ.get("BENCH_SINGLE_RUN") else 2
     for _ in range(n_repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -153,7 +153,7 @@ def run_scaling() -> dict:
         # this sandbox's host CPU availability swings ~2× between windows
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-                       BENCH_CLIPS_DIR=SCALING_DIR)
+                       BENCH_SINGLE_RUN="1", BENCH_CLIPS_DIR=SCALING_DIR)
             p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                                env=env, capture_output=True, text=True, check=True)
             rec = json.loads(p.stdout.strip().splitlines()[-1])

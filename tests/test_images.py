@@ -112,8 +112,7 @@ def test_image_decode_stage_real_backend(ray_session):
 
 def test_resize_area_matches_naive_block_mean():
     """Property fuzz: for divisible shapes, area-resize equals the naive
-    reshaped block mean on both axes; mixed down/up keeps the down axis
-    area-averaged."""
+    reshaped block mean on both axes (downsample/identity coverage)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -129,3 +128,15 @@ def test_resize_area_matches_naive_block_mean():
         np.testing.assert_allclose(got, want, rtol=1e-12)
 
     run()
+
+
+def test_resize_area_mixed_down_up():
+    """Mixed resize: the DOWN axis stays area-averaged while the UP axis is
+    nearest-repeated (each source column repeated evenly)."""
+    img = np.zeros((4, 2, 1))
+    img[:2, 0, 0] = 100.0  # top half of column 0
+    out = I.resize_area(img, 2, 4)  # height 4->2 (down), width 2->4 (up)
+    assert out.shape == (2, 4, 1)
+    # height averaged: row 0 = mean of source rows 0-1 (100 in col 0)
+    np.testing.assert_allclose(out[0, :, 0], [100.0, 100.0, 0.0, 0.0])
+    np.testing.assert_allclose(out[1, :, 0], [0.0, 0.0, 0.0, 0.0])
