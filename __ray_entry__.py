@@ -683,6 +683,22 @@ def _q_grouped_quantiles(sf_dir: str):
         [("l_linestatus", "ascending"), ("p", "ascending")])
 
 
+def _q_correlation(sf_dir: str):
+    """Distributed Pearson correlation per group (algebraic second-moment
+    partials; shuffle carries six numbers per key per batch)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import grouped_correlation
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_linestatus", "l_quantity", "l_extendedprice"])
+    rows = grouped_correlation(ds, "l_linestatus", "l_quantity",
+                               "l_extendedprice")
+    rows = [{"l_linestatus": r["l_linestatus"], "corr": round(r["corr"], 6)}
+            for r in sorted(rows, key=lambda r: r["l_linestatus"])]
+    return pa.Table.from_pylist(rows)
+
+
 def _q_rollup(sf_dir: str):
     """ROLLUP subtotal hierarchy (group, per-level subtotal, grand total) —
     ONE partial pass over the data; all three levels derive from the same
@@ -910,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "hopping_window": _q_hopping_window,
         "rollup": _q_rollup,
+        "correlation": _q_correlation,
         "clips_decisions": _q_clips_decisions,
         "speech_ratio": _q_speech_ratio,
         "personnes_expectations": _q_personnes_expectations,
@@ -1116,6 +1133,9 @@ def oracle_sql() -> dict[str, str]:
             " CAST(row_number() OVER (PARTITION BY o_orderstatus"
             "  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
             " FROM orders) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk"),
+        "correlation": (
+            "SELECT l_linestatus, round(corr(l_quantity, l_extendedprice), 6)"
+            " AS corr FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
         "rollup": (
             "SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,"
             " coalesce(l_linestatus, '(all)') AS l_linestatus, count(*) AS n"

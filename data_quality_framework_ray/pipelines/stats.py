@@ -60,6 +60,45 @@ def exact_quantiles(ds, col: str, ps: list[float]) -> list[tuple[float, float]]:
     return [(p, out[p]) for p in ps]
 
 
+def grouped_correlation(ds, key: str, x: str, y: str):
+    """Pearson correlation of (x, y) per group via ALGEBRAIC partials:
+    each batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per key — six numbers,
+    exactly combinable — then one tiny groupby-sum and a closed-form driver
+    finish. The shuffle never carries data rows (the textbook distributed
+    second-moment pattern).
+
+    Numerics: the naive ΣxΣy/Σx² form loses precision when |mean| ≫ stddev;
+    for such columns pre-center per batch (subtract a first-pass approximate
+    mean) or switch to combinable Welford moments."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, x, y])).drop_nulls()
+        return (df.group_by(key)
+                .agg(n=pl.len().cast(pl.Int64),
+                     sx=pl.col(x).sum(), sy=pl.col(y).sum(),
+                     sxy=(pl.col(x) * pl.col(y)).sum(),
+                     sxx=(pl.col(x) ** 2).sum(),
+                     syy=(pl.col(y) ** 2).sum())
+                .to_arrow())
+
+    g = (ds.map_batches(partials, batch_format="pyarrow",
+                        batch_size=config.TEXT_BATCH_SIZE)
+         .groupby(key).aggregate(*[Sum(c, alias_name=c)
+                                   for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]))
+    rows = []
+    for r in g.take_all():
+        n = r["n"]
+        cov = r["sxy"] - r["sx"] * r["sy"] / n
+        vx = r["sxx"] - r["sx"] ** 2 / n
+        vy = r["syy"] - r["sy"] ** 2 / n
+        denom = math.sqrt(vx * vy)
+        rows.append({key: r[key],
+                     "corr": (cov / denom) if denom > 0 else float("nan")})
+    return rows
+
+
 def grouped_quantiles(ds, key: str, col: str, ps: list[float]):
     """Per-group exact discrete quantiles (same ceil(p·n) convention):
     groupby(key) shuffle, then one numpy sort per group. Appropriate for a
