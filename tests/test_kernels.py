@@ -154,3 +154,28 @@ def test_hll_approx_distinct(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     est = approx_distinct(ds, "k")
     assert abs(est - 1200) / 1200 < 0.05
+
+
+def test_grouped_correlation_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_correlation
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, slope in (("a", 2.0), ("b", -0.5)):
+        x = rng.uniform(0, 100, size=400)
+        y = slope * x + rng.normal(0, 5, size=400)
+        rows += [{"g": g, "x": float(a), "y": float(b)} for a, b in zip(x, y)]
+    rows += [{"g": "const", "x": 1.0, "y": float(v)} for v in rng.uniform(0, 1, 50)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = {r["g"]: r["corr"] for r in grouped_correlation(ds, "g", "x", "y")}
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g in ("a", "b"):
+        want = df[df.g == g][["x", "y"]].corr().iloc[0, 1]
+        assert abs(got[g] - want) < 1e-9, g
+    assert got["const"] != got["const"]  # zero x-variance -> NaN
