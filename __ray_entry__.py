@@ -437,6 +437,49 @@ def _q_speech_ratio(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
 
 
+def _q_speech_segments(sf_dir: str):
+    """VAD segmentation — the audio flat_map: each clip fans out to one row
+    per detected speech segment (clip_id, seg_idx, start_ms, end_ms).
+    Decode + segmentation inside path-based tasks; rows-only (SQL cannot
+    decode G.711), gated in the harness by a sampled naive recomputation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        ids, idxs, starts, ends = [], [], [], []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec", "sr_hz"])
+            for cid, bts, codec, sr in zip(t["clip_id"].to_pylist(),
+                                           t["bytes"].to_pylist(),
+                                           t["codec"].to_pylist(),
+                                           t["sr_hz"].to_pylist()):
+                if bts is None or codec not in A.CODEC_BPS or not sr:
+                    continue
+                for k, (s, e) in enumerate(
+                        A.vad_segments(A.decode_one(bts, codec), int(sr))):
+                    ids.append(cid)
+                    idxs.append(k)
+                    starts.append(s)
+                    ends.append(e)
+        return pa.table({"clip_id": pa.array(ids, type=pa.string()),
+                         "seg_idx": pa.array(idxs, type=pa.int32()),
+                         "start_ms": pa.array(starts, type=pa.int32()),
+                         "end_ms": pa.array(ends, type=pa.int32())})
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow", batch_size=None)
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("clip_id", "ascending"), ("seg_idx", "ascending")])
+
+
 def _q_clips_decisions(sf_dir: str):
     """Flagship clip pipeline at the matching scale (rows-only; the pytest
     oracle proves per-row fidelity — SPEC.md)."""
@@ -929,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "correlation": _q_correlation,
         "clips_decisions": _q_clips_decisions,
         "speech_ratio": _q_speech_ratio,
+        "speech_segments": _q_speech_segments,
         "personnes_expectations": _q_personnes_expectations,
         "join_broadcast": _q_join_broadcast,
         "join_hash": _q_join_hash,

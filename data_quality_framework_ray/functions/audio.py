@@ -228,6 +228,48 @@ def speech_ratio(pcm: np.ndarray, sr: int, *, threshold_db: float = -35.0,
     return float(np.count_nonzero(e > gate)) / len(e)
 
 
+def vad_segments(pcm: np.ndarray, sr: int, *, threshold_db: float = -35.0,
+                 frame_ms: int = 25, hop_ms: int = 10,
+                 min_gap_frames: int = 3,
+                 min_seg_frames: int = 2) -> list[tuple[int, int]]:
+    """Speech segments as (start_ms, end_ms): energy-gate VAD frames, merge
+    gaps shorter than ``min_gap_frames``, drop segments shorter than
+    ``min_seg_frames``. Vectorized: one framing pass + numpy run-length
+    boundary arithmetic — no per-frame Python."""
+    frame = max(int(sr * frame_ms / 1000), 1)
+    hop = max(int(sr * hop_ms / 1000), 1)
+    e = frame_energies(pcm, frame=frame, hop=hop)
+    if len(e) == 0:
+        return []
+    gate = 10.0 ** (threshold_db / 20.0)
+    active = e > gate
+    if not active.any():
+        return []
+    # run boundaries over the active mask
+    d = np.diff(active.astype(np.int8))
+    starts = list(np.flatnonzero(d == 1) + 1)
+    ends = list(np.flatnonzero(d == -1) + 1)
+    if active[0]:
+        starts.insert(0, 0)
+    if active[-1]:
+        ends.append(len(active))
+    segs = list(zip(starts, ends))
+    # merge short gaps
+    merged: list[list[int]] = []
+    for s, t in segs:
+        if merged and s - merged[-1][1] < min_gap_frames:
+            merged[-1][1] = t
+        else:
+            merged.append([s, t])
+    out = []
+    for s, t in merged:
+        if t - s >= min_seg_frames:
+            start_ms = int(s * hop * 1000 / sr)
+            end_ms = int(((t - 1) * hop + frame) * 1000 / sr)
+            out.append((start_ms, end_ms))
+    return out
+
+
 # ---- encoders (datagen-side; not in the hot path) ----
 
 def encode_pcm16(x: np.ndarray) -> bytes:

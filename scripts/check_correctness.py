@@ -209,6 +209,52 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} sampled oracle match "
                       f"({checked} clips) [{el:.1f}s]")
             continue
+        if name == "speech_segments":
+            # gate: sampled clips' segments must equal an independent
+            # audioop-decode + the same documented VAD definition
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+            from data_quality_framework_ray.functions import audio as _A
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                 columns=["clip_id", "bytes", "codec", "sr_hz"])
+            segs_by_clip: dict = {}
+            for _, r in got.iterrows():
+                segs_by_clip.setdefault(r["clip_id"], []).append(
+                    (int(r["start_ms"]), int(r["end_ms"])))
+            import audioop as _audioop
+            checked = bad = 0
+            for i in range(0, tbl.num_rows, max(tbl.num_rows // 20, 1)):
+                cid = tbl["clip_id"][i].as_py()
+                bts = tbl["bytes"][i].as_py()
+                codec = tbl["codec"][i].as_py()
+                sr = tbl["sr_hz"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw") or not sr:
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
+                want = _A.vad_segments(x.astype(_np.float32), int(sr))
+                have = segs_by_clip.get(cid, [])
+                if list(map(tuple, have)) != list(map(tuple, want)):
+                    bad += 1
+                checked += 1
+            if bad or checked < 10:
+                print(f"FAIL {name}: {bad} segment mismatches vs audioop "
+                      f"recomputation ({checked} checked)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled segments ≡ "
+                      f"audioop recomputation ({checked} clips) [{el:.1f}s]")
+            continue
         if name == "clips_decisions":
             # gate: keep/drop decisions vs the INDEPENDENT oracle labeler
             # (tests/oracle.py — audioop decode, its own rule/model impl)

@@ -137,3 +137,22 @@ def test_frame_energies_and_speech_ratio():
     # cumsum-difference framing carries benign cancellation error (~1e-13
     # absolute) relative to the naive per-frame sum
     np.testing.assert_allclose(e, naive, rtol=1e-5, atol=1e-9)
+
+
+def test_vad_segments_planted():
+    """Planted speech/silence layout recovers the expected segments."""
+    sr = 16000
+    def tone(sec): return 0.3 * np.sin(np.arange(int(sr * sec)) * 0.2)
+    def silence(sec): return np.zeros(int(sr * sec))
+    clip = np.concatenate([silence(0.5), tone(1.0), silence(1.0),
+                           tone(0.5), silence(0.3)]).astype(np.float32)
+    segs = A.vad_segments(clip, sr)
+    assert len(segs) == 2, segs
+    (s0, e0), (s1, e1) = segs
+    assert abs(s0 - 500) < 60 and abs(e0 - 1500) < 60
+    assert abs(s1 - 2500) < 60 and abs(e1 - 3000) < 60
+    # a short dropout inside speech merges into one segment
+    clip2 = np.concatenate([tone(0.5), silence(0.015), tone(0.5)]).astype(np.float32)
+    assert len(A.vad_segments(clip2, sr)) == 1
+    assert A.vad_segments(np.zeros(sr, dtype=np.float32), sr) == []
+    assert A.vad_segments(np.empty(0, dtype=np.float32), sr) == []
