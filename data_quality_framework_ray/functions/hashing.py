@@ -193,15 +193,32 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def bottom_k_fingerprint(hashes: np.ndarray, row_offsets: np.ndarray, k: int = 8) -> list[list[int]]:
-    """Winnowing-style document fingerprint: bottom-k of the row's k-gram
-    hashes (sorted). Rows with < k hashes keep them all."""
-    out: list[list[int]] = []
-    for i in range(len(row_offsets) - 1):  # sketch assembly; rows >> work per row
-        h = hashes[row_offsets[i]:row_offsets[i + 1]]
-        if len(h) == 0:
-            out.append([])
-            continue
-        h = np.unique(h)  # sorted ascending
-        out.append([int(x) for x in h[:k]])
-    return out
+def bottom_k_fingerprint(hashes: np.ndarray, row_offsets: np.ndarray,
+                         k: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing-style document fingerprint: bottom-k of each row's k-gram
+    hashes, deduped, sorted ascending. Rows with < k distinct hashes keep
+    them all.
+
+    Returns ``(values, offsets)`` ready for zero-copy
+    ``pa.ListArray.from_arrays`` assembly. Fully vectorized: ONE lexsort
+    over (row, hash), per-row dedupe via boundary diff, rank-within-row < k
+    selection — no per-row Python (the per-row list building this replaces
+    cost 2.85 s in the sf0.1 `fingerprints` query, round-2 verdict #3)."""
+    n = len(row_offsets) - 1
+    if len(hashes) == 0:
+        return (np.array([], dtype=np.uint64),
+                np.zeros(n + 1, dtype=np.int64))
+    counts = np.diff(row_offsets)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((hashes, rows))
+    r_s, h_s = rows[order], hashes[order]
+    first = np.ones(len(h_s), dtype=bool)
+    first[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    r_u, h_u = r_s[first], h_s[first]
+    starts = np.searchsorted(r_u, np.arange(n))  # row → first index in r_u
+    rank = np.arange(len(r_u)) - starts[r_u]
+    sel = rank < k
+    vals = h_u[sel]
+    out_counts = np.bincount(r_u[sel], minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    return vals, offsets

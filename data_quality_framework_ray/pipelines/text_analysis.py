@@ -72,10 +72,16 @@ def with_fingerprints(ds, text_col: str = "text", k: int = 8, ngram: int = 8):
 
     def f(batch: pa.Table) -> pa.Table:
         h, off = H.char_ngram_hashes(batch[text_col], ngram)
-        fps = H.bottom_k_fingerprint(h, off, k=k)
-        minh = [fp[0] if fp else 0 for fp in fps]
+        vals, off2 = H.bottom_k_fingerprint(h, off, k=k)
+        fp_col = pa.ListArray.from_arrays(
+            pa.array(off2, type=pa.int32()),
+            pa.array(vals, type=pa.uint64()))
+        # fp_min = first (= smallest) element per row, 0 for empty rows
+        minh = np.zeros(len(off2) - 1, dtype=np.uint64)
+        nonempty = off2[:-1] < off2[1:]
+        minh[nonempty] = vals[off2[:-1][nonempty]]
         return (batch
-                .append_column("fingerprint", pa.array(fps, type=pa.list_(pa.uint64())))
+                .append_column("fingerprint", fp_col)
                 .append_column("fp_min", pa.array(minh, type=pa.uint64())))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)

@@ -491,3 +491,96 @@ def test_emit_pairs_arrays_properties():
                 assert len({find(m) for m in ms}) == 1
 
     run()
+
+
+def test_streaming_labels_no_driver_pair_collect(planted_docs_int_ids,
+                                                 monkeypatch):
+    """Round-2 verdict #1 done-criterion: with DRIVER_PAIR_LIMIT forced to 0
+    and the broadcast limit forced down, `as_dataset=True` must resolve
+    clusters with NO driver-side pair resolution at all — `_components`
+    (the driver union-find) is stubbed to raise, and the legacy
+    `_resolve_components` (list-in) must never be called. The returned
+    (id, rep) labels Dataset must equal the broadcast-path dict, and
+    `near_dedup_filter` must consume it directly via anti-join."""
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds = planted_docs_int_ids
+    comp_b = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.7)
+    assert comp_b, "expected planted clusters"
+    survivors_b = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_filter(ds, "doc_id", comp_b).take_all())
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side pair resolution ran on the "
+                             "streaming path")
+
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 10)
+    monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
+    monkeypatch.setattr(dedup, "_components", boom)
+    monkeypatch.setattr(dedup, "_resolve_components", boom)
+    labels_ds = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id",
+                                             threshold=0.7, as_dataset=True)
+    import ray.data as rd
+
+    assert isinstance(labels_ds, rd.Dataset)
+    got = {r["id"]: r["rep"] for r in labels_ds.take_all()}
+    assert got == comp_b
+    survivors_s = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_filter(ds, "doc_id", labels_ds).take_all())
+    assert survivors_s == survivors_b
+
+
+def test_simhash_streaming_labels(planted_docs_int_ids, monkeypatch):
+    """Same streaming-path guarantee for SimHash."""
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds = planted_docs_int_ids
+    comp_b = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    assert comp_b
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side pair resolution ran on the "
+                             "streaming path")
+
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 10)
+    monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
+    monkeypatch.setattr(dedup, "_components", boom)
+    monkeypatch.setattr(dedup, "_resolve_components", boom)
+    labels_ds = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3,
+                                         as_dataset=True)
+    got = {r["id"]: r["rep"] for r in labels_ds.take_all()}
+    assert got == comp_b
+
+
+def test_embedding_streaming_labels_string_ids(ray_session, monkeypatch):
+    """Embedding near-dup streaming path with STRING ids — covers both the
+    round-2 advice regression (np.minimum on unicode ids raised TypeError)
+    and the no-driver-collection guarantee."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines import dedup
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((60, 16))
+    emb[40] = emb[0] + 1e-6  # planted near-dup pair
+    emb[41] = emb[1] + 1e-6
+    rows = [{"vec_id": f"v{i:03d}", "embedding": emb[i].tolist()}
+            for i in range(60)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    comp_b = dedup.embedding_dup_groups(ds, "embedding", "vec_id",
+                                        threshold=0.999)
+    assert comp_b.get("v040") == "v000" and comp_b.get("v041") == "v001"
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side pair resolution ran on the "
+                             "streaming path")
+
+    monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
+    monkeypatch.setattr(dedup, "_components", boom)
+    monkeypatch.setattr(dedup, "_resolve_components", boom)
+    labels_ds = dedup.embedding_dup_groups(ds, "embedding", "vec_id",
+                                           threshold=0.999, as_dataset=True)
+    got = {r["id"]: r["rep"] for r in labels_ds.take_all()}
+    assert got == comp_b
