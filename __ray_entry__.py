@@ -382,12 +382,33 @@ def _q_simhash_dedup(sf_dir: str):
 
 
 def _q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup clusters (rows-only)."""
+    """Embedding-cosine near-dup clusters over the embeddings table plus 20
+    PLANTED duplicates (vec_id + 1_000_000 = the same vector scaled by
+    1.001 — cosine exactly 1.0, so every threshold catches them and the
+    hyperplane LSH co-buckets them deterministically: positive scaling
+    preserves every sign(v·h)). The natural table has no pair above 0.98
+    (max cosine 0.513 at sf0.01), so without the plant this query was
+    trivially empty (round-2 verdict #4); the SQL oracle plants the SAME
+    rows via list_transform, keeping the comparison discriminating."""
     import pyarrow as pa
 
     from data_quality_framework_ray.pipelines.dedup import embedding_dup_groups
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.less(t["vec_id"], 20))
+        if keep.num_rows == 0:
+            return keep
+        emb = [list(np.asarray(x) * 1.001) for x in keep["embedding"].to_pylist()]
+        return pa.table({
+            "vec_id": pc.add(keep["vec_id"], 1_000_000),
+            "embedding": pa.array(emb, type=t.schema.field("embedding").type)})
+
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
     comp = embedding_dup_groups(ds, "embedding", "vec_id", threshold=0.98)
     rows = [{"vec_id": int(k), "cluster_rep": int(v)} for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
@@ -1102,15 +1123,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, e.vec_id AS id FROM q CROSS JOIN embeddings e "
             "QUALIFY row_number() OVER (PARTITION BY q.query_id "
             "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 5"),
-        # exact all-pairs cosine + recursive-CTE connected components: the
-        # independent restatement of embedding_dup_groups' semantics (the
-        # engine's multi-band LSH recall at 0.98 is ~1-8e-2 per pair and the
-        # planted pytest covers the non-empty path; at sf0.01 no pair crosses
-        # the threshold — max cosine 0.513 — and both sides must agree on that)
+        # exact all-pairs cosine + recursive-CTE connected components over
+        # the embeddings table PLUS the same 20 planted scaled duplicates
+        # the Ray query adds (vec_id + 1e6, embedding × 1.001 — cosine 1.0),
+        # so both sides must find exactly the planted clusters: the round-2
+        # verdict #4 fix (at sf0.01 the natural max cosine is 0.513, so the
+        # unplanted query was trivially empty-vs-empty)
         "dedup_embedding": (
-            "WITH RECURSIVE pairs AS ("
-            " SELECT a.vec_id AS u, b.vec_id AS v FROM embeddings a"
-            " JOIN embeddings b ON a.vec_id < b.vec_id"
+            "WITH RECURSIVE emb2 AS ("
+            " SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000,"
+            " list_transform(embedding, x -> x * 1.001)"
+            " FROM embeddings WHERE vec_id < 20),"
+            "pairs AS ("
+            " SELECT a.vec_id AS u, b.vec_id AS v FROM emb2 a"
+            " JOIN emb2 b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98),"
             "edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),"
             "reach(id, r) AS ("

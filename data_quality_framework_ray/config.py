@@ -65,3 +65,7 @@ EMB_BUCKET_CAP = 256               # embedding dedup: full O(n²) cosine verify 
 DRIVER_PAIR_LIMIT = 2_000_000      # verified-pair count above which connected
                                    # components run distributed (label propagation)
                                    # instead of driver union-find
+TOPK_MERGE_LIMIT = 1_000_000       # similarity partial-row count (nq*k*blocks)
+                                   # above which the top-k merge runs as a
+                                   # distributed groupby instead of one
+                                   # vectorized driver pass

