@@ -742,7 +742,10 @@ def _q_grouped_quantiles(sf_dir: str):
     from data_quality_framework_ray.pipelines.stats import grouped_quantiles
 
     ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_extendedprice"])
-    out = grouped_quantiles(ds, "l_linestatus", "l_extendedprice", [0.5, 0.9])
+    # counts method = the many-tiny-groups scale path (one partition-wide
+    # sort over distinct values, no per-group kernel); identical values
+    out = grouped_quantiles(ds, "l_linestatus", "l_extendedprice", [0.5, 0.9],
+                            method="counts")
     return pa.Table.from_pylist(out.take_all()).sort_by(
         [("l_linestatus", "ascending"), ("p", "ascending")])
 

@@ -35,30 +35,13 @@ from data_quality_framework_ray import config
 from data_quality_framework_ray.functions import hashing as H
 
 
-# ---------------- shared ----------------
+# ---------------- shared (canonical implementations in exchange.py) ----------------
 
-def _empty_safe(t: pa.Table, required: str, schema: pa.Schema) -> pa.Table:
-    """Ray's hash aggregate emits SCHEMA-LESS empty blocks for hash
-    partitions that received no rows (distinct keys < partitions); any
-    downstream column access raises KeyError and Acero joins reject the
-    block. Normalize such blocks to the expected schema."""
-    if required not in t.column_names:
-        return pa.Table.from_pylist([], schema=schema)
-    return t
-
-
-def _join_partitions(requested: int | None = None) -> int:
-    """Join/shuffle partition count sized to the cluster: the Join operator
-    spins up one hash-aggregator actor per partition, and asking for more
-    actors than CPUs deadlocks a small cluster (measured: 64 partitions hang
-    a 4-CPU test session). One partition per CPU, capped at 64 — raise the
-    cap per-call for >64-core clusters with skewed keys."""
-    if requested:
-        return requested
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(64, cpus))
+from data_quality_framework_ray.pipelines.exchange import (  # noqa: E402
+    empty_safe as _empty_safe,
+    join_partitions as _join_partitions,
+    part_shuffle as _part_shuffle_impl,
+)
 
 
 # ---------------- exact dedup ----------------
@@ -201,29 +184,9 @@ def _components(pairs: list[tuple], ids: set) -> dict:
     return {x: find(x) for x in ids}
 
 
-def _part_shuffle(ds, key_col: str, kernel, out_schema: pa.Schema,
-                  nparts: int):
-    """The repo's join-free exchange primitive: hash-partition on ``key_col``
-    (stable polars hash — works for string and int keys alike), run the
-    vectorized ``kernel`` once per PARTITION via groupby(__part).map_groups,
-    and normalize the schema-less empty blocks Ray emits for empty
-    partitions. Used wherever Ray's Dataset.join would flake on empty hash
-    partitions (see :func:`components_distributed`) or its sort-based
-    aggregate would dominate (measured 14.8-21.8 s vs ~1 s, round 1)."""
-    import polars as pl
-
-    def part_col(t: pa.Table) -> pa.Table:
-        part = (pl.from_arrow(t[key_col]).rename("k").hash(seed=7)
-                % nparts).cast(pl.Int64)
-        return t.append_column("__part", part.to_arrow())
-
-    def run(part: pa.Table) -> pa.Table:
-        return kernel(part.drop_columns(["__part"]))
-
-    return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("__part").map_groups(run, batch_format="pyarrow")
-            .map_batches(lambda t: _empty_safe(
-                t, out_schema.names[-1], out_schema), batch_format="pyarrow"))
+# the join-free exchange primitive now lives in exchange.py (shared with the
+# grouped-quantile scale path); this alias keeps dedup's call sites unchanged
+_part_shuffle = _part_shuffle_impl
 
 
 def _pointer_jump(labels_ds, lbl_schema: pa.Schema):

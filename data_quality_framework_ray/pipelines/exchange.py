@@ -1,0 +1,61 @@
+"""Shared shuffle/exchange primitives.
+
+`part_shuffle` is the repo's join-free exchange: hash-partition a Dataset on
+one key column and run a vectorized kernel once per PARTITION. It exists
+because, at this Ray version, (a) the sort-based `groupby().aggregate()` on
+string keys measured 14–22 s where the partitioned combine takes ~1 s, and
+(b) `Dataset.join` flakes on the schema-less empty blocks Ray emits for hash
+partitions that happen to receive no rows. Used by dedup's connected
+components, the grouped-quantile scale path, and the phase-B winner join
+fallback.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def empty_safe(t: pa.Table, required: str, schema: pa.Schema) -> pa.Table:
+    """Ray's hash aggregate emits SCHEMA-LESS empty blocks for hash
+    partitions that received no rows (distinct keys < partitions); any
+    downstream column access raises KeyError and Acero joins reject the
+    block. Normalize such blocks to the expected schema."""
+    if required not in t.column_names:
+        return pa.Table.from_pylist([], schema=schema)
+    return t
+
+
+def join_partitions(requested: int | None = None) -> int:
+    """Join/shuffle partition count sized to the cluster: the Join operator
+    spins up one hash-aggregator actor per partition, and asking for more
+    actors than CPUs deadlocks a small cluster (measured: 64 partitions hang
+    a 4-CPU test session). One partition per CPU, capped at 64 — raise the
+    cap per-call for >64-core clusters with skewed keys."""
+    if requested:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, cpus))
+
+
+def part_shuffle(ds, key_col: str, kernel, out_schema: pa.Schema,
+                 nparts: int):
+    """Hash-partition on ``key_col`` (stable polars hash — works for string
+    and int keys alike), run the vectorized ``kernel`` once per PARTITION
+    via groupby(__part).map_groups, and normalize the schema-less empty
+    blocks Ray emits for empty partitions."""
+    import polars as pl
+
+    def part_col(t: pa.Table) -> pa.Table:
+        part = (pl.from_arrow(t[key_col]).rename("k").hash(seed=7)
+                % nparts).cast(pl.Int64)
+        return t.append_column("__part", part.to_arrow())
+
+    def run(part: pa.Table) -> pa.Table:
+        return kernel(part.drop_columns(["__part"]))
+
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("__part").map_groups(run, batch_format="pyarrow")
+            .map_batches(lambda t: empty_safe(
+                t, out_schema.names[-1], out_schema), batch_format="pyarrow"))

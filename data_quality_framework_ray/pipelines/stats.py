@@ -99,12 +99,22 @@ def grouped_correlation(ds, key: str, x: str, y: str):
     return rows
 
 
-def grouped_quantiles(ds, key: str, col: str, ps: list[float]):
-    """Per-group exact discrete quantiles (same ceil(p·n) convention):
-    groupby(key) shuffle, then one numpy sort per group. Appropriate for a
-    MODERATE number of groups (each group's values fit one worker); for
-    millions of tiny groups pre-aggregate value counts per (key, value)
-    first and reuse the exact_quantiles scan per key."""
+def grouped_quantiles(ds, key: str, col: str, ps: list[float],
+                      method: str = "groups"):
+    """Per-group exact discrete quantiles (same ceil(p·n) convention).
+
+    ``method="groups"`` (default): groupby(key) shuffle, one numpy sort per
+    group — fine for a MODERATE number of groups, each fitting one worker.
+
+    ``method="counts"`` — the millions-of-tiny-groups scale path (round-2
+    verdict #6): per-batch (key, value, count) partials, ONE hash-partitioned
+    combine, then a single sort + global-cumsum searchsorted per partition.
+    No per-group Python call, no per-group sort of raw rows — cost is one
+    O(m log m) sort per partition over the DISTINCT (key, value) pairs it
+    owns, and the shuffle carries count partials, not data rows.
+    """
+    if method == "counts":
+        return grouped_quantiles_counts(ds, key, col, ps)
     import math as _math
 
     def per_group(g: pa.Table) -> pa.Table:
@@ -120,3 +130,53 @@ def grouped_quantiles(ds, key: str, col: str, ps: list[float]):
         return pa.table(out)
 
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
+    """Scale path for per-group quantiles: each hash partition owns complete
+    key groups (partitioned on ``key``), sorts its (key, value) count rows
+    ONCE, and answers every (key, p) with a vectorized searchsorted into the
+    partition-wide cumulative counts — the per-key target position is offset
+    by the key segment's base, so one global cumsum serves all keys."""
+    import polars as pl
+
+    from data_quality_framework_ray.pipelines.exchange import (join_partitions,
+                                                               part_shuffle)
+
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+    out_schema = pa.schema([(key, key_type), ("p", pa.float64()),
+                            ("value", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t.select([key, col])).drop_nulls()
+                .group_by(key, col).agg(pl.len().alias("c")).to_arrow())
+
+    def finish(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).group_by(key, col)
+              .agg(pl.col("c").sum()).sort([key, col]))
+        if df.height == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        k = df[key].to_numpy()
+        v = df[col].to_numpy().astype(np.float64)
+        cs = np.cumsum(df["c"].to_numpy().astype(np.int64))
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        ends = np.append(cs[starts[1:] - 1], cs[-1])
+        totals = ends - base  # rows per key
+        keys_u = k[starts]
+        chunks_k, chunks_p, chunks_v = [], [], []
+        for p in ps:  # loop over the handful of requested quantiles only
+            pos = np.maximum(1, np.ceil(p * totals).astype(np.int64))
+            idx = np.searchsorted(cs, base + pos, side="left")
+            chunks_k.append(keys_u)
+            chunks_p.append(np.full(len(starts), p, dtype=np.float64))
+            chunks_v.append(v[idx])
+        return pa.table({key: pa.array(np.concatenate(chunks_k)),
+                         "p": np.concatenate(chunks_p),
+                         "value": np.concatenate(chunks_v)}).cast(out_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE)
+    return part_shuffle(parts, key, finish, out_schema, join_partitions())

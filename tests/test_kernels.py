@@ -179,3 +179,39 @@ def test_grouped_correlation_matches_numpy(ray_session):
         want = df[df.g == g][["x", "y"]].corr().iloc[0, 1]
         assert abs(got[g] - want) < 1e-9, g
     assert got["const"] != got["const"]  # zero x-variance -> NaN
+
+
+def test_grouped_quantiles_counts_10k_keys(ray_session):
+    """Round-2 verdict #6: the counts method must handle 10^4 tiny groups
+    with values matching a per-key numpy reference exactly (ceil(p*n)
+    convention) — and it never sorts raw rows per group by construction
+    (one partition-wide sort over distinct (key, value) counts)."""
+    import math
+
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_quantiles
+
+    rng = np.random.default_rng(33)
+    n_keys = 10_000
+    keys = rng.integers(0, n_keys, size=60_000)
+    # small discrete value domain → real duplicate counts per (key, value)
+    vals = rng.integers(0, 50, size=60_000).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+    got = grouped_quantiles(ds, "k", "v", [0.5, 0.9], method="counts").take_all()
+    got_map = {(r["k"], r["p"]): r["value"] for r in got}
+
+    order = np.lexsort((vals, keys))
+    ks, vs = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    bounds = np.r_[starts, len(ks)]
+    miss = 0
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        grp = vs[s:e]
+        for p in (0.5, 0.9):
+            want = grp[max(1, math.ceil(p * len(grp))) - 1]
+            if got_map[(ks[s], p)] != want:
+                miss += 1
+    assert miss == 0
+    assert len(got) == len(starts) * 2
