@@ -74,6 +74,12 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
     unique partial + one distributed groupby), so nothing downstream ever
     sees right-side payloads.
 
+    Null-key semantics are SQL EXISTS / NOT EXISTS parity (round-2 advice):
+    a NULL left key never matches anything, so semi DROPS null-keyed left
+    rows and anti KEEPS them — enforced identically on both paths (null
+    right keys are discarded from the key set; left-null match status is
+    forced false before the keep/invert step).
+
     Two execution paths picked by distinct-key cardinality:
     - keys fit the broadcast limit → ``ray.put`` the key set once, vectorized
       ``pc.is_in`` per left batch. No join, no second shuffle. This is ALSO
@@ -92,7 +98,8 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
 
     right_on = right_on or on
     keys = (right.select_columns([right_on])
-            .map_batches(lambda t: t.group_by(right_on).aggregate([]),
+            .map_batches(lambda t: t.filter(pc.is_valid(t[right_on]))
+                         .group_by(right_on).aggregate([]),
                          batch_format="pyarrow")
             .groupby(right_on).aggregate(Count(alias_name="__m"))
             .materialize())
@@ -113,9 +120,10 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
 
         def bfilter(batch: pa.Table) -> pa.Table:
             ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
-            present = pc.is_in(batch[on], value_set=ks)
+            # null left key → never matches: semi drops it, anti keeps it
+            present = pc.fill_null(pc.is_in(batch[on], value_set=ks), False)
             keep = pc.invert(present) if anti else present
-            return batch.filter(pc.fill_null(keep, not anti))
+            return batch.filter(keep)
 
         return left.map_batches(bfilter, batch_format="pyarrow",
                                 batch_size=config.TEXT_BATCH_SIZE)
@@ -124,7 +132,9 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
                        on=(on,), right_on=(right_on,))
 
     def f(batch: pa.Table) -> pa.Table:
-        present = pc.is_valid(batch["__m"])
+        # force null left keys to non-matching regardless of how the join
+        # engine treated them (SQL parity; see docstring)
+        present = pc.and_(pc.is_valid(batch["__m"]), pc.is_valid(batch[on]))
         keep = pc.invert(present) if anti else present
         return batch.filter(keep).drop_columns(["__m"])
 

@@ -66,11 +66,13 @@ def rules_and_scrub(batch: pa.Table) -> pa.Table:
 
     import pyarrow.compute as pc
 
-    sr = np.asarray(batch["sr_hz"].to_pandas(), dtype=np.float64)   # NaN where null
-    dur = np.asarray(batch["dur_ms"].to_pandas(), dtype=np.float64)
-    codec = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    # direct arrow→numpy (no pandas Series round-trip; nulls → NaN for
+    # numerics exactly as before — round-2 verdict #8)
+    sr = batch["sr_hz"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    dur = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    codec = batch["codec"].to_numpy(zero_copy_only=False)
     bl = pc.binary_length(batch["bytes"])
-    byte_len = np.asarray(bl.to_pandas().fillna(-1), dtype=np.int64)  # -1 = null
+    byte_len = pc.fill_null(bl, -1).to_numpy(zero_copy_only=False).astype(np.int64)  # -1 = null
 
     sr_ok = ~np.isnan(sr) & np.isin(sr, np.asarray(config.ALLOWED_SR, dtype=np.float64))
     dur_ok = ~np.isnan(dur) & (dur > 0)

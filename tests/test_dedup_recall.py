@@ -584,3 +584,31 @@ def test_embedding_streaming_labels_string_ids(ray_session, monkeypatch):
                                            threshold=0.999, as_dataset=True)
     got = {r["id"]: r["rep"] for r in labels_ds.take_all()}
     assert got == comp_b
+
+
+def test_semi_anti_join_null_keys_sql_parity(ray_session, monkeypatch):
+    """SQL EXISTS/NOT EXISTS parity for NULL keys on BOTH semi_join paths
+    (round-2 advice): a null left key never matches — semi drops it, anti
+    keeps it; null right keys match nothing."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None, 3], type=pa.int64()),
+        "v": pa.array([0, 1, 2, 3, 4], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, None], type=pa.int64())}))
+
+    def run(anti):
+        out = semi_join(left, right, on="k", right_on="rk", anti=anti).take_all()
+        return sorted(r["v"] for r in out)
+
+    # broadcast path
+    assert run(False) == [2, 4]          # semi: only real matches
+    assert run(True) == [0, 1, 3]        # anti: null-keyed rows KEPT
+    # join path (forced)
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    assert run(False) == [2, 4]
+    assert run(True) == [0, 1, 3]

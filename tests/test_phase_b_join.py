@@ -8,6 +8,7 @@ import glob
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from data_quality_framework_ray import config
@@ -37,3 +38,53 @@ def test_join_path_matches_broadcast(ray_session, clips_dir, tmp_path, monkeypat
     joined = _final_df(out_j)
 
     pd.testing.assert_frame_equal(broadcast, joined, check_like=True)
+
+
+def test_pack_unpack_reasons_injective():
+    """Count-prefixed encoding round-trips [] vs [''] distinctly... ['']
+    and separator-bearing elements are rejected loudly instead of being
+    silently aliased (round-2 advice finding)."""
+    import pytest
+
+    from data_quality_framework_ray.pipelines.quality_filter import (
+        _pack_reasons, _unpack_reasons)
+
+    good = pa.table({"drop_reasons": pa.array(
+        [[], ["a"], ["a", "b"], ["duplicate"], []],
+        type=pa.list_(pa.string()))})
+    rt = _unpack_reasons(_pack_reasons(good))
+    assert rt["drop_reasons"].to_pylist() == good["drop_reasons"].to_pylist()
+
+    for bad_val in ([[""]], [["a\x1fb"]]):
+        bad = pa.table({"drop_reasons": pa.array(
+            bad_val, type=pa.list_(pa.string()))})
+        with pytest.raises(ValueError):
+            _pack_reasons(bad)
+
+
+def test_apply_dup_mask_touched_rows_only():
+    """Offset-surgery rebuild == reference pylist rebuild, duplicate reason
+    inserted in sorted position, untouched rows byte-identical."""
+    import bisect
+
+    import numpy as np
+
+    from data_quality_framework_ray.pipelines.quality_filter import (
+        _apply_dup_mask)
+
+    reasons = [["alpha"], [], ["beta", "zeta"], ["a", "z"], []]
+    batch = pa.table({
+        "clip_id": pa.array([f"c{i}" for i in range(5)]),
+        "keep": pa.array([True, True, False, True, True]),
+        "drop_reasons": pa.array(reasons, type=pa.list_(pa.string()))})
+    is_dup = np.array([True, False, True, True, False])
+    out = _apply_dup_mask(batch, is_dup)
+    want = [list(r) for r in reasons]
+    for i in np.nonzero(is_dup)[0]:
+        bisect.insort(want[i], "duplicate")
+    assert out["drop_reasons"].to_pylist() == want
+    assert out["keep"].to_pylist() == [False, True, False, False, True]
+    assert out["clip_id"].to_pylist() == batch["clip_id"].to_pylist()
+
+    none_out = _apply_dup_mask(batch, np.zeros(5, dtype=bool))
+    assert none_out is batch
