@@ -67,6 +67,9 @@ def cmd_report(args) -> int:
     path = reporting.write_report(args.output, results,
                                   run_id=doc.get("run_id", "run"))
     print(path)
+    if args.pdf:
+        print(reporting.write_pdf_report(args.output, results,
+                                         run_id=doc.get("run_id", "run")))
     return 0
 
 
@@ -95,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("report", help="markdown report from a run JSON")
     pp.add_argument("--run-json", required=True)
     pp.add_argument("--output", required=True)
+    pp.add_argument("--pdf", action="store_true",
+                    help="also render the PDF report (functions/pdfmin.py)")
     pp.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)

@@ -119,6 +119,21 @@ def write_report(out_dir: str, results: list[dict], run_id: str = "",
     return path
 
 
+def write_pdf_report(out_dir: str, results: list[dict], run_id: str = "",
+                     scores: dict | None = None) -> str:
+    """PDF report sink (reference S8,
+    /root/reference/reporting/pdf_generator.py:654-695): the same content as
+    the markdown report — summary stats, per-dimension pass rates, failed
+    check details, per-table sections — rendered through the dependency-free
+    writer in :mod:`data_quality_framework_ray.functions.pdfmin`."""
+    from data_quality_framework_ray.functions.pdfmin import write_pdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    lines = render_markdown_report(results, run_id, scores).split("\n")
+    path = os.path.join(out_dir, f"report_{run_id or 'run'}.pdf")
+    return write_pdf(path, lines, title=f"Data Quality Report {run_id}")
+
+
 class EmailNotifier:
     """Compose + deliver the quality summary.
 

@@ -82,3 +82,42 @@ def test_freshness_accepts_string_dates(ray_session):
     bad = rd.from_arrow(pa.Table.from_pylist([{"d": "not-a-date"}]))
     r3 = check_freshness(bad, "d", as_of=dt.date(2026, 1, 15))
     assert r3["passed"] is False and "error" in r3["details"]
+
+
+def test_pdf_report_structurally_valid(tmp_path):
+    """The dependency-free PDF sink: header/EOF markers, xref offsets that
+    actually point at their objects, one page per 46 lines, report content
+    present in the (uncompressed) streams, parens/backslashes escaped."""
+    from data_quality_framework_ray.functions.pdfmin import (LINES_PER_PAGE,
+                                                             write_pdf)
+    from data_quality_framework_ray.pipelines import reporting as R
+
+    path = R.write_pdf_report(str(tmp_path), _sample_results(), run_id="r9")
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    assert b"(Data Quality Report" in raw
+    assert b"FAIL nulls [b]" in raw
+
+    # verify every xref offset lands exactly on "N 0 obj"
+    import re
+
+    xref_at = int(raw[raw.rindex(b"startxref"):].split()[1])
+    table = raw[xref_at:].split(b"trailer")[0].splitlines()
+    n = int(table[1].split()[1])
+    for i, line in enumerate(table[2:2 + n]):
+        off, _, kind = line.split()
+        if kind == b"f":
+            continue
+        at = int(off)
+        assert re.match(rb"%d 0 obj" % i, raw[at:at + 20]), i
+
+    # pagination: 200 lines -> ceil(200/46) pages
+    many = [f"line ({i}) with \\ specials" for i in range(200)]
+    p2 = write_pdf(str(tmp_path / "many.pdf"), many)
+    raw2 = open(p2, "rb").read()
+    import math
+    want_pages = math.ceil(200 / LINES_PER_PAGE)
+    assert raw2.count(b"/Type /Page ") == want_pages
+    assert b"/Count %d" % want_pages in raw2
+    assert rb"line \(0\) with \\ specials" in raw2
