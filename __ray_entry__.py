@@ -956,6 +956,119 @@ def _q_union_names(sf_dir: str):
     return pa.Table.from_pylist(r.union(n).take_all()).sort_by("name")
 
 
+def _q_profile_columns(sf_dir: str):
+    """One-pass per-column profile over lineitem (numeric value stats +
+    string length stats): the reference's per-metric full-table scans
+    (core/quality_checks.py null/min-max helpers) fused into a single
+    map_batches pass + tiny groupby combine."""
+    from data_quality_framework_ray.pipelines.profile import profile_columns
+
+    num = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    strs = ["l_returnflag", "l_linestatus"]
+    ds = _read(sf_dir, "lineitem", num + strs)
+    return profile_columns(ds, num, strs)
+
+
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-shaped 3-table join: broadcast the filtered customer dim,
+    partial-aggregate lineitem revenue per order BEFORE the shuffle join
+    (combiner pattern), Dataset.join revenue↔orders, top-10 by revenue.
+
+    Scale notes: customer segment slice is broadcast (dimension table);
+    lineitem never shuffles raw rows — only (orderkey, partial revenue)
+    pairs reach the hash join."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from data_quality_framework_ray.pipelines.joins import hash_join
+
+    cutoff = dt.datetime(1995, 3, 15)
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+                batch_format="pyarrow"))
+    cust_ids = ray.put(pa.concat_tables(
+        ray.get(cust.to_arrow_refs()))["c_custkey"].combine_chunks())
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(b["o_orderdate"], cutoff),
+                       pc.is_in(b["o_custkey"], value_set=ray.get(cust_ids)))
+        return b.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(filter_orders, batch_format="pyarrow"))
+
+    def rev_partials(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return (pl.from_arrow(pa.table({"l_orderkey": b["l_orderkey"],
+                                        "rev": rev}))
+                .group_by("l_orderkey").agg(pl.col("rev").sum()).to_arrow())
+
+    rev = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+           .map_batches(rev_partials, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+
+    top = (hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey")
+           .sort("rev", descending=True).limit(10))
+    t = pa.Table.from_pylist(top.take_all())
+    return pa.table({
+        "l_orderkey": t["l_orderkey"],
+        "revenue": pa.array(np.round(t["rev"].to_numpy(), 2),
+                            type=pa.float64()),
+        "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+    })
+
+
+def _q_audio_stats(sf_dir: str):
+    """Per-clip audio quality stats (sample count, RMS, clipping fraction,
+    silence fraction) via the vectorized decode_stats kernel — decode inside
+    path-based tasks, audio bytes never enter the object store. Rows-only
+    for the driver (SQL cannot decode G.711); gated in the harness by a
+    sampled audioop recomputation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec"])
+            st = A.decode_stats(t)
+            outs.append(pa.table({
+                "clip_id": t["clip_id"],
+                "n_samples": pa.array(st["n_samples"], type=pa.int64()),
+                "rms": pa.array(st["rms"], type=pa.float64()),
+                "clip_frac": pa.array(st["clip_frac"], type=pa.float64()),
+                "silence_frac": pa.array(st["silence_frac"],
+                                         type=pa.float64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_project_filter": _q_read_project_filter,
@@ -1006,6 +1119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names": _q_union_names,
         "sessionize": _q_sessionize,
         "top_tokens": _q_top_tokens,
+        "profile_columns": _q_profile_columns,
+        "q3_shipping": _q_q3_shipping,
+        "audio_stats": _q_audio_stats,
     }
 
 
@@ -1267,6 +1383,37 @@ def oracle_sql() -> dict[str, str]:
             " 0.9) AS DOUBLE) FROM lineitem"
             " UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(l_extendedprice,"
             " 0.99) AS DOUBLE) FROM lineitem ORDER BY p"),
+        # numeric columns profile over values, string columns over length();
+        # mean pre-rounded to 4 decimals on BOTH sides (float sum order)
+        "profile_columns": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS column_name, count({c}) AS n_values,"
+                f" count(*) - count({c}) AS n_nulls,"
+                f" CAST(min({c}) AS DOUBLE) AS min_value,"
+                f" CAST(max({c}) AS DOUBLE) AS max_value,"
+                f" ROUND(avg({c}), 4) AS mean_value FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice", "l_discount",
+                          "l_tax"))
+            + " UNION ALL "
+            + " UNION ALL ".join(
+                f"SELECT '{c}', count({c}), count(*) - count({c}),"
+                f" CAST(min(length({c})) AS DOUBLE),"
+                f" CAST(max(length({c})) AS DOUBLE),"
+                f" ROUND(avg(length({c})), 4) FROM lineitem"
+                for c in ("l_returnflag", "l_linestatus"))
+            + ") ORDER BY column_name"),
+        "q3_shipping": (
+            "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)),"
+            " 2) AS revenue, o_orderdate"
+            " FROM customer, orders, lineitem"
+            " WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey"
+            " AND l_orderkey = o_orderkey"
+            " AND o_orderdate < TIMESTAMP '1995-03-15'"
+            " AND l_shipdate > TIMESTAMP '1995-03-15'"
+            " GROUP BY l_orderkey, o_orderdate"
+            " ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC,"
+            " l_orderkey LIMIT 10"),
     }
 
 

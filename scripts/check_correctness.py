@@ -296,6 +296,61 @@ def main() -> None:
                 print(f"ok   {name}: approx={approx:.0f} exact={exact} "
                       f"rel_err={rel:.3f} [{el:.1f}s]")
             continue
+        if name == "audio_stats":
+            # gate: sampled independent recomputation — stdlib audioop decode
+            # in float64 must reproduce n_samples exactly and rms/clip_frac/
+            # silence_frac within float32-accumulation tolerance
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                 columns=["clip_id", "bytes", "codec"])
+            by_id = {r["clip_id"]: r for _, r in got.iterrows()}
+            import audioop as _audioop
+            checked = bad = 0
+            for i in range(0, tbl.num_rows, max(tbl.num_rows // 20, 1)):
+                cid = tbl["clip_id"][i].as_py()
+                bts = tbl["bytes"][i].as_py()
+                codec = tbl["codec"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw"):
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
+                a = _np.abs(x)
+                k = len(x)
+                want = {
+                    "n_samples": k,
+                    "rms": float(_np.sqrt(_np.mean(x * x))) if k else float("nan"),
+                    "clip_frac": float((a >= 0.985).sum()) / k if k else float("nan"),
+                    "silence_frac": float((a < 1e-3).sum()) / k if k else float("nan"),
+                }
+                r = by_id.get(cid)
+                # missing / None / NaN rows must COUNT AS FAILURES
+                if r is None or int(r["n_samples"]) != k:
+                    bad += 1
+                elif k and any(
+                        r[c] is None or r[c] != r[c]
+                        or abs(float(r[c]) - want[c]) > 1e-4
+                        for c in ("rms", "clip_frac", "silence_frac")):
+                    bad += 1
+                checked += 1
+            if bad or checked < 10:
+                print(f"FAIL {name}: {bad} mismatches vs audioop oracle "
+                      f"({checked} checked)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled stats ≡ audioop "
+                      f"recomputation ({checked} clips) [{el:.1f}s]")
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle) [{el:.1f}s]")
             continue
