@@ -1069,6 +1069,45 @@ def _q_audio_stats(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents containing any snippet of
+    the (deterministic stand-in) benchmark set as a substring. Snippets are
+    broadcast once; matching is one Aho-Corasick pass per batch — no
+    shuffle, the corpus streams."""
+    from data_quality_framework_ray.pipelines.decontam import (
+        benchmark_snippets,
+        flag_contaminated,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    snips = benchmark_snippets(ds, mod=50, length=40)
+    out = flag_contaminated(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            snips)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-document repetition signals (duplicate-word /
+    top-word / top-bigram fractions), vectorized polars explode+group_by
+    per batch; single streaming pass."""
+    from data_quality_framework_ray.pipelines.decontam import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_pack_chunks(sf_dir: str):
+    """Sequence packing (concat-then-chunk): pack_id = exclusive prefix sum
+    of whitespace-token counts // 2048, computed distributed via range
+    buckets + per-bucket bases (pipelines/packing.py)."""
+    from data_quality_framework_ray.pipelines.packing import pack_chunks
+    from data_quality_framework_ray.pipelines.text_analysis import with_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = with_token_counts(ds).select_columns(["doc_id", "ws_tokens"])
+    return pack_chunks(ds, weight_col="ws_tokens", id_col="doc_id",
+                       budget=2048, bucket_size=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_project_filter": _q_read_project_filter,
@@ -1122,6 +1161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "q3_shipping": _q_q3_shipping,
         "audio_stats": _q_audio_stats,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pack_chunks": _q_pack_chunks,
     }
 
 
@@ -1414,6 +1456,38 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY l_orderkey, o_orderdate"
             " ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC,"
             " l_orderkey LIMIT 10"),
+        "decontaminate": (
+            "SELECT d.doc_id, EXISTS("
+            " SELECT 1 FROM (SELECT substr(text, 1, 40) AS snip FROM documents"
+            "                WHERE doc_id % 50 = 0 AND substr(text, 1, 40) <> '') b"
+            " WHERE contains(d.text, b.snip)) AS contaminated"
+            " FROM documents d ORDER BY d.doc_id"),
+        "repetition_stats": (
+            "WITH w AS ("
+            " SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+            "), wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),"
+            " wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,"
+            "   CAST(count(*) AS BIGINT) AS n_unique_words, max(c) AS top_c"
+            "   FROM wc GROUP BY doc_id),"
+            " bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bgm"
+            "   FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),"
+            " bc AS (SELECT doc_id, bgm, count(*) AS c FROM bg GROUP BY doc_id, bgm),"
+            " ba AS (SELECT doc_id, max(c) AS top_bc, sum(c) AS n_bg FROM bc"
+            "   GROUP BY doc_id)"
+            " SELECT wa.doc_id, n_words, n_unique_words,"
+            " ROUND(1 - n_unique_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,"
+            " ROUND(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac,"
+            " COALESCE(ROUND(top_bc / CAST(n_bg AS DOUBLE), 6), 0.0) AS top_bigram_frac"
+            " FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id ORDER BY wa.doc_id"),
+        "pack_chunks": (
+            "SELECT doc_id, ws_tokens,"
+            " CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048"
+            "   AS BIGINT) AS pack_id"
+            " FROM (SELECT doc_id, length(regexp_extract_all(text, '\\S+'))"
+            "       AS ws_tokens FROM documents)"
+            " ORDER BY doc_id"),
     }
 
 
