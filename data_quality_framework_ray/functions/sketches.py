@@ -94,3 +94,62 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         return 0.0
     parts = [np.frombuffer(r["regs"], dtype=np.uint8) for r in rows]
     return hll_estimate(hll_merge(parts))
+
+
+# ---------------- bottom-k quantile sketch (mergeable uniform sample) ----------------
+
+def _bottom_k_rows(h: np.ndarray, v: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        h, v = h[idx], v[idx]
+    return h, v
+
+
+def approx_quantiles(ds, value_col: str, key_cols: list[str],
+                     ps: list[float], k: int = 8192) -> list[tuple[float, float]]:
+    """Approximate quantiles via a mergeable bottom-k sketch: every row gets
+    a uniform u64 priority ``h = hash(key_cols)`` and each batch keeps the k
+    smallest — the union-then-truncate of bottom-k sets is itself the global
+    bottom-k, i.e. a uniform without-replacement sample of size k (classic
+    bottom-k sampling; same mergeability shape as the HLL above). Rank error
+    is O(sqrt(p(1-p)/k)) — ~0.6 % at k=8192 — independent of data size.
+
+    100 TB shape: each batch emits ≤ k rows; a repartition(1) + second
+    bottom-k reduces to the final sample (a tree merge drops in unchanged if
+    #blocks × k ever matters); no full-data sort or shuffle, unlike the
+    exact path in pipelines/stats.py. Deterministic: priorities are content
+    hashes of unique keys (a boundary tie would need a u64 collision).
+
+    Returns ``[(p, estimate), ...]`` where estimate is the sampled value at
+    ceil(p·m)-th smallest (quantile_disc-style) of the m ≤ k sampled values.
+    """
+    from data_quality_framework_ray.functions.hashing import content_hash_128
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _ = content_hash_128(*[batch[c] for c in key_cols])
+        h = h.view(np.uint64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        if batch[value_col].null_count:
+            h, v = h[ok], v[ok]
+        h, v = _bottom_k_rows(h, v, k)
+        return pa.table({"h": pa.array(h, type=pa.uint64()),
+                         "v": pa.array(v, type=pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(lambda b: pa.Table.from_arrays(
+                  [pa.array(a) for a in _bottom_k_rows(
+                      b["h"].to_numpy(zero_copy_only=False),
+                      b["v"].to_numpy(zero_copy_only=False), k)],
+                  names=["h", "v"]), batch_format="pyarrow")
+              .take_all())
+    if not merged:
+        return [(float(p), float("nan")) for p in ps]
+    sample = np.sort(np.array([r["v"] for r in merged], dtype=np.float64))
+    m = len(sample)
+    out = []
+    for p in ps:
+        i = min(max(int(np.ceil(p * m)) - 1, 0), m - 1)
+        out.append((float(p), float(sample[i])))
+    return out

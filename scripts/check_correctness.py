@@ -296,6 +296,26 @@ def main() -> None:
                 print(f"ok   {name}: approx={approx:.0f} exact={exact} "
                       f"rel_err={rel:.3f} [{el:.1f}s]")
             continue
+        if name == "approx_quantiles":
+            # gate: rank error of each estimate vs the exact DuckDB CDF
+            # ≤ 2% (sketch bound ~0.6% at k=8192), plus determinism
+            n_total = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            worst = 0.0
+            for _, r in got.iterrows():
+                rank = con.execute(
+                    "SELECT count(*) FROM lineitem WHERE l_extendedprice <= ?",
+                    [float(r["est"])]).fetchone()[0] / n_total
+                worst = max(worst, abs(rank - float(r["p"])))
+            if worst > 0.02 or not det:
+                print(f"FAIL {name}: worst rank error {worst:.4f} > 0.02 "
+                      f"or nondeterministic (det={det})")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} worst rank error "
+                      f"{worst:.4f} vs exact CDF, deterministic [{el:.1f}s]")
+            continue
         if name == "audio_stats":
             # gate: sampled independent recomputation — stdlib audioop decode
             # in float64 must reproduce n_samples exactly and rms/clip_frac/

@@ -215,3 +215,36 @@ def test_grouped_quantiles_counts_10k_keys(ray_session):
                 miss += 1
     assert miss == 0
     assert len(got) == len(starts) * 2
+
+
+def test_approx_quantiles_sketch(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_framework_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    df = pd.DataFrame({"k": np.arange(n), "v": rng.lognormal(3.0, 1.0, n)})
+    res = approx_quantiles(rd.from_pandas(df).repartition(9), "v", ["k"],
+                           [0.1, 0.5, 0.9], k=4096)
+    vs = np.sort(df["v"].to_numpy())
+    for p, est in res:
+        rank = np.searchsorted(vs, est, side="right") / n
+        assert abs(rank - p) < 0.03, (p, est, rank)
+    # deterministic
+    assert res == approx_quantiles(rd.from_pandas(df).repartition(4), "v",
+                                   ["k"], [0.1, 0.5, 0.9], k=4096)
+
+
+def test_approx_quantiles_empty(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_framework_ray.functions.sketches import approx_quantiles
+
+    df = pd.DataFrame({"k": [1, 2], "v": [np.nan, np.nan]})
+    res = approx_quantiles(rd.from_pandas(df), "v", ["k"], [0.5])
+    assert len(res) == 1 and res[0][1] != res[0][1]  # NaN
