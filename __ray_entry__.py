@@ -34,6 +34,32 @@ def _clips_dir_for(sf_dir: str) -> str:
     return d
 
 
+_VIDEO_SCALE = {"sf0.001": 50, "sf0.01": 200, "sf0.1": 1000}
+
+
+def _videos_parquet_for(sf_dir: str) -> str:
+    """Deterministic synthetic RAWV video table sized to the sf tier
+    (no external data; cached by path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_framework_ray.functions.video import synth_video
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _VIDEO_SCALE.get(name, 50)
+    path = f"/tmp/dqfr_videos_{name}.parquet"
+    if not os.path.exists(path):
+        rows = []
+        for i in range(n):
+            nf = 20 + (i % 5) * 10  # 20..60 frames at 10 fps
+            rows.append({"item_id": f"vid_{i:06d}",
+                         "bytes": synth_video(i, n_frames=nf),
+                         "mime": "video/x-rawv",
+                         "dur_ms": nf * 100})
+        pq.write_table(pa.Table.from_pylist(rows), path)
+    return path
+
+
 def _personnes_parquet() -> str:
     """Write the deterministic personnes fixture to /tmp so the DuckDB oracle
     can read the SAME rows the Ray query checks (the check LOGIC is
@@ -1133,6 +1159,22 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_video_frames(sf_dir: str):
+    """Video frame sampling + motion features over the synthetic RAWV table:
+    actor-shaped map_batches with byte-aware batch sizing; payloads decode
+    zero-copy in-task, only sampled-frame stats leave the stage. Gated in
+    the harness by an independent per-frame recomputation."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.stages.multimodal import VideoFrameStage
+
+    ds = rd.read_parquet(_videos_parquet_for(sf_dir))
+    return ds.map_batches(VideoFrameStage,
+                          fn_constructor_kwargs={"every_ms": 500},
+                          concurrency=(1, 4), batch_size=64,
+                          batch_format="pyarrow")
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable bottom-k quantile sketch over l_extendedprice (uniform
     hash-priority sample, per-batch bottom-k partials — no full sort or
@@ -1221,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pack_chunks": _q_pack_chunks,
         "approx_quantiles": _q_approx_quantiles,
+        "video_frames": _q_video_frames,
     }
 
 

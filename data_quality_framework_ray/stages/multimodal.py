@@ -3,10 +3,12 @@
 Audio is the REAL modality in this engine (functions/audio.py — full decode).
 Images are ALSO real: PPM/BMP decode + area-resize features are pure numpy
 (functions/images.py), no Pillow needed — backend="numpy" exercises the
-pixel path end-to-end. Only formats that require external codecs (JPEG/PNG
-via Pillow, video via ffmpeg) remain stubbed per the task brief, with the
-Ray-side plumbing (schema contract, actor-pool signature, batch sizing,
-output layout) real and tested either way.
+pixel path end-to-end. Video is real against the RAWV uncompressed format
+(functions/video.py — zero-copy frame decode, sampling, motion features);
+only external-codec formats (JPEG/PNG via Pillow, H.264 etc. via ffmpeg)
+remain stubbed per the task brief, with the Ray-side plumbing (schema
+contract, actor-pool signature, batch sizing, output layout) real and
+tested either way.
 
 Batch-size note: binary payload stages must size batches by BYTES not rows —
 ``batch_size`` here defaults low and callers should lower it further for
@@ -76,9 +78,52 @@ class ImageDecodeStage:
                                           type=pa.list_(pa.float32())))
 
 
+class VideoFrameStage:
+    """Actor-pool video stage: RAWV payload → one row per SAMPLED frame with
+    luma + motion features (functions/video.frame_stats). flat_map-shaped:
+    input rows (item_id, bytes) fan out to (item_id, frame_index,
+    frame_ts_ms, mean_luma, motion). Payloads decode zero-copy inside the
+    task; sampled-frame stats, never pixel buffers, are what leaves the
+    stage. Swap decode_rawv for an ffmpeg-backed decoder where one exists —
+    this class signature and output schema are the contract."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from data_quality_framework_ray.functions import video as V
+
+        ids, idxs, tss, lumas, motions = [], [], [], [], []
+        id_np = batch["item_id"].to_pylist()
+        for row, b in enumerate(batch["bytes"].to_pylist()):
+            if b is None:
+                continue
+            idx, ts, luma, motion = V.frame_stats(b, self.every_ms)
+            ids.extend([id_np[row]] * len(idx))
+            idxs.append(idx)
+            tss.append(ts)
+            lumas.append(luma)
+            motions.append(motion)
+        if not idxs:
+            return pa.table({"item_id": pa.array([], type=pa.string()),
+                             "frame_index": pa.array([], type=pa.int32()),
+                             "frame_ts_ms": pa.array([], type=pa.int32()),
+                             "mean_luma": pa.array([], type=pa.float64()),
+                             "motion": pa.array([], type=pa.float64())})
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.string()),
+            "frame_index": pa.array(np.concatenate(idxs), type=pa.int32()),
+            "frame_ts_ms": pa.array(np.concatenate(tss), type=pa.int32()),
+            "mean_luma": pa.array(np.concatenate(lumas), type=pa.float64()),
+            "motion": pa.array(np.concatenate(motions), type=pa.float64()),
+        })
+
+
 class FrameSampleStage:
-    """Video frame-sampling stub: emits (item_id, frame_index) plan rows —
-    the real decoder would attach pixel buffers per sampled frame."""
+    """Metadata-only frame-sampling planner: emits (item_id, frame_index)
+    plan rows from dur_ms without touching payload bytes (used when the
+    payload lives elsewhere and only the sampling schedule is needed).
+    ``VideoFrameStage`` is the payload-decoding counterpart."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms

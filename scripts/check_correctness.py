@@ -316,6 +316,53 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} worst rank error "
                       f"{worst:.4f} vs exact CDF, deterministic [{el:.1f}s]")
             continue
+        if name == "video_frames":
+            # gate: sampled clips' per-frame stats vs an INDEPENDENT naive
+            # decode (struct header parse + per-frame Python loops, no
+            # functions/video.decode_rawv reuse)
+            import struct as _struct
+
+            import numpy as _np
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.functions.video import synth_video
+
+            by_key = {(r["item_id"], int(r["frame_index"])): r
+                      for _, r in got.iterrows()}
+            checked = bad = 0
+            vids = {f"vid_{i:06d}": i for i in range(0, 200, 23)}
+            for item_id, seed in vids.items():
+                nf = 20 + (seed % 5) * 10
+                b = synth_video(seed, n_frames=nf)
+                magic, w, h, fps, n = _struct.unpack_from("<4sHHHI", b)
+                assert magic == b"RAWV"
+                frames = [
+                    _np.frombuffer(b, _np.uint8, count=w * h,
+                                   offset=14 + k * w * h).reshape(h, w)
+                    for k in range(n)]
+                step = max(int(round(fps * 500 / 1000.0)), 1)
+                prev = None
+                for j, k in enumerate(range(0, n, step)):
+                    f = frames[k].astype(float)
+                    want_luma = f.mean() / 255.0
+                    want_motion = (abs(f - prev).mean() / 255.0
+                                   if prev is not None else 0.0)
+                    prev = f
+                    r = by_key.get((item_id, k))
+                    # canon() rounds floats to 6 decimals before compare
+                    if (r is None or abs(r["mean_luma"] - want_luma) > 2e-6
+                            or abs(r["motion"] - want_motion) > 2e-6
+                            or int(r["frame_ts_ms"]) != k * 1000 // fps):
+                        bad += 1
+                    checked += 1
+            if bad or checked < 20:
+                print(f"FAIL {name}: {bad} frame-stat mismatches vs naive "
+                      f"decode ({checked} checked)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled frames ≡ naive "
+                      f"independent decode ({checked} frames) [{el:.1f}s]")
+            continue
         if name == "audio_stats":
             # gate: sampled independent recomputation — stdlib audioop decode
             # in float64 must reproduce n_samples exactly and rms/clip_frac/
