@@ -1159,6 +1159,40 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_read_formats(sf_dir: str):
+    """Format-agnostic source facade: the SAME supplier table rendered to
+    CSV and JSONL (deterministic /tmp copies), read back through
+    sources/tabular.read_table with explicit schemas (no sniffing), unioned.
+    Oracle: supplier UNION ALL supplier — proves byte-value parity of both
+    non-parquet readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_framework_ray.sources.tabular import read_table
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    csv_path = f"/tmp/dqfr_supplier_{name}.csv"
+    jsonl_path = f"/tmp/dqfr_supplier_{name}.jsonl"
+    if not os.path.exists(csv_path):
+        from pyarrow import csv as pacsv
+
+        pacsv.write_csv(t, csv_path)
+    if not os.path.exists(jsonl_path):
+        import json as _json
+
+        with open(jsonl_path, "w") as f:
+            for row in t.to_pylist():
+                f.write(_json.dumps(row) + "\n")
+
+    schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                        ("s_nationkey", pa.int32()),
+                        ("s_acctbal", pa.float64())])
+    a = read_table(csv_path, fmt="csv", expected_schema=schema)
+    b = read_table(jsonl_path, fmt="jsonl", expected_schema=schema)
+    return a.union(b)
+
+
 def _q_video_frames(sf_dir: str):
     """Video frame sampling + motion features over the synthetic RAWV table:
     actor-shaped map_batches with byte-aware batch sizing; payloads decode
@@ -1264,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": _q_pack_chunks,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
+        "read_formats": _q_read_formats,
     }
 
 
@@ -1588,6 +1623,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, length(regexp_extract_all(text, '\\S+'))"
             "       AS ws_tokens FROM documents)"
             " ORDER BY doc_id"),
+        "read_formats": (
+            "SELECT * FROM supplier UNION ALL SELECT * FROM supplier"),
     }
 
 

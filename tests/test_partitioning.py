@@ -44,3 +44,39 @@ def test_near_dedup_filter(ray_session):
     assert len(ids) == 50
     assert all(f"a{i}" in ids for i in range(50))
     assert all(f"b{i}" not in ids for i in range(5))
+
+
+def test_read_table_formats(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    from data_quality_framework_ray.sources.tabular import read_table
+
+    t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()),
+                  "b": pa.array(["x", "y", None], type=pa.string()),
+                  "c": pa.array([1.5, None, 3.0], type=pa.float64())})
+    csv_p = str(tmp_path / "t.csv")
+    jsonl_p = str(tmp_path / "t.jsonl")
+    pacsv.write_csv(t, csv_p)
+    with open(jsonl_p, "w") as f:
+        for row in t.to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.float64())])
+    for fmt, path in (("csv", csv_p), ("jsonl", jsonl_p)):
+        got = (read_table(path, fmt=fmt, expected_schema=schema)
+               .to_pandas().sort_values("a").reset_index(drop=True))
+        assert got["a"].tolist() == [1, 2, 3], fmt
+        assert got["b"].tolist()[:2] == ["x", "y"] and got["b"].isna()[2], fmt
+        assert got["c"].isna()[1], fmt
+
+    # column pruning without a schema (csv include_columns path)
+    pruned = read_table(csv_p, fmt="csv", columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_table(csv_p, fmt="xml")
