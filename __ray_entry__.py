@@ -743,20 +743,24 @@ def _q_join_anti(sf_dir: str):
 
 def _q_set_ops(sf_dir: str):
     """INTERSECT and EXCEPT over distinct status values (orders vs
-    lineitem): one row per (op, value)."""
+    lineitem): one row per (op, value). Both ops come from ONE
+    distinct_set_ops pass (2 scans + 1 tiny shuffle, not 2 full
+    pipelines)."""
     import pyarrow as pa
 
-    from data_quality_framework_ray.pipelines.joins import distinct_intersect
+    from data_quality_framework_ray.pipelines.joins import distinct_set_ops
 
     orders = _read(sf_dir, "orders", ["o_orderstatus"])
     li = _read(sf_dir, "lineitem", ["l_linestatus"])
-    inter = distinct_intersect(orders, "o_orderstatus", li, "l_linestatus")
-    exc = distinct_intersect(orders, "o_orderstatus", li, "l_linestatus",
-                             except_=True)
-    rows = ([{"op": "intersect", "value": r["o_orderstatus"]}
-             for r in inter.take_all()]
-            + [{"op": "except", "value": r["o_orderstatus"]}
-               for r in exc.take_all()])
+    # status columns are enums (cardinality 3) — driver combine documented
+    flags = distinct_set_ops(orders, "o_orderstatus", li, "l_linestatus",
+                             combine="driver")
+    rows = []
+    for r in flags.to_pylist():
+        if r["in_left"] and r["in_right"]:
+            rows.append({"op": "intersect", "value": r["value"]})
+        elif r["in_left"]:
+            rows.append({"op": "except", "value": r["value"]})
     return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["op"], r["value"])))
 
 

@@ -165,6 +165,69 @@ def distinct_intersect(left, left_col: str, right, right_col: str, *,
             .map_batches(sel, batch_format="pyarrow"))
 
 
+def distinct_set_ops(left, left_col: str, right, right_col: str, *,
+                     combine: str = "shuffle"):
+    """INTERSECT + EXCEPT in ONE pass / ONE shuffle: tag each side, reduce
+    per batch to distinct (value, side) rows, union, then a single tiny
+    groupby(value) with Min/Max over the side tag — ``in_left`` ⇔ min==0,
+    ``in_right`` ⇔ max==1. Replaces two back-to-back ``distinct_intersect``
+    pipelines (4 table scans + 2 shuffles → 2 scans + 1 shuffle of distinct
+    partials; at 100 TB only the per-batch distinct values ever move).
+
+    ``combine="driver"`` skips the shuffle and folds the per-batch distinct
+    partials in one polars pass on the driver — correct ONLY when the caller
+    knows the column is low-cardinality (status/enum columns: partials are
+    ≤ distinct_values × blocks rows). Default stays the shuffle, which is
+    safe at any cardinality.
+
+    Returns a Dataset with columns (``value``, ``in_left``, ``in_right``)
+    (``combine="driver"`` returns a pyarrow Table of the same shape).
+    """
+    from ray.data.aggregate import Max, Min
+
+    def tagger(col: str, side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            d = t.select([col]).group_by(col).aggregate([])
+            return pa.table({
+                "value": d[col],
+                "side": np.full(d.num_rows, side, dtype=np.int8),
+            })
+        return tag
+
+    l = left.select_columns([left_col]).map_batches(
+        tagger(left_col, 0), batch_format="pyarrow")
+    r = right.select_columns([right_col]).map_batches(
+        tagger(right_col, 1), batch_format="pyarrow")
+
+    if combine == "driver":
+        import polars as pl
+
+        parts = l.union(r).take_all()
+        df = (pl.DataFrame(parts).group_by("value")
+              .agg(pl.col("side").min().alias("__mn"),
+                   pl.col("side").max().alias("__mx")))
+        return pa.table({"value": df["value"].to_arrow(),
+                         "in_left": (df["__mn"] == 0).to_arrow(),
+                         "in_right": (df["__mx"] == 1).to_arrow()})
+
+    agg = (l.union(r).groupby("value")
+           .aggregate(Min("side", alias_name="__mn"),
+                      Max("side", alias_name="__mx")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        if "value" not in t.column_names:  # Ray schema-less empty block
+            return pa.table({"value": pa.array([], type=pa.string()),
+                             "in_left": pa.array([], type=pa.bool_()),
+                             "in_right": pa.array([], type=pa.bool_())})
+        mn = t["__mn"].to_numpy(zero_copy_only=False)
+        mx = t["__mx"].to_numpy(zero_copy_only=False)
+        return pa.table({"value": t["value"],
+                         "in_left": pa.array(mn == 0),
+                         "in_right": pa.array(mx == 1)})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
 def range_join_broadcast(ds, intervals: pd.DataFrame | pa.Table, ts_col: str,
                          start_col: str, end_col: str):
     """Interval join: each left row matched to every (small-side) interval

@@ -131,3 +131,23 @@ def test_schema_registry_and_urgency_overrides(ray_session):
                             urgency_buckets=((95.0, "CRITICAL"), (100.0, "LOW")))
     assert any(r["check"] == "schema" for r in out["results"])
     assert out["score"]["urgency"] == "CRITICAL"  # dup check fails → 50.0
+
+
+def test_distinct_set_ops_both_combines(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import distinct_set_ops
+
+    left = rd.from_items([{"s": v} for v in ["a", "a", "b", "c", "c", "c"]])
+    right = rd.from_items([{"s": v} for v in ["b", "c", "d", "d"]])
+
+    def norm(rows):
+        return sorted((r["value"], bool(r["in_left"]), bool(r["in_right"]))
+                      for r in rows)
+
+    want = [("a", True, False), ("b", True, True),
+            ("c", True, True), ("d", False, True)]
+    shuffled = distinct_set_ops(left, "s", right, "s")
+    assert norm(shuffled.take_all()) == want
+    driver = distinct_set_ops(left, "s", right, "s", combine="driver")
+    assert norm(driver.to_pylist()) == want
