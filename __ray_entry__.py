@@ -588,18 +588,26 @@ def _q_join_broadcast(sf_dir: str):
 
 def _q_join_hash(sf_dir: str):
     """Large-large hash-partitioned join (Dataset.join) with a grouped count."""
+    import polars as pl
     import pyarrow as pa
-    from ray.data.aggregate import Count
 
     from data_quality_framework_ray.pipelines.joins import hash_join
 
     j = hash_join(_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
                   _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-                  on="o_custkey", right_on="c_custkey", num_partitions=16)
-    out = (j.groupby(["c_mktsegment", "o_orderstatus"])
-           .aggregate(Count(alias_name="n")))
-    return pa.Table.from_pylist(out.take_all()).sort_by(
-        [("c_mktsegment", "ascending"), ("o_orderstatus", "ascending")])
+                  on="o_custkey", right_on="c_custkey")
+
+    # grouped count over enum×enum keys (≤ ~15 groups): per-batch partials
+    # + driver combine — no second shuffle after the join exchange
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by(["c_mktsegment", "o_orderstatus"])
+                .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow())
+
+    parts = j.map_batches(partial, batch_format="pyarrow").take_all()
+    out = (pl.DataFrame(parts).group_by(["c_mktsegment", "o_orderstatus"])
+           .agg(pl.col("n").sum()).to_arrow())
+    return out.sort_by([("c_mktsegment", "ascending"),
+                        ("o_orderstatus", "ascending")])
 
 
 def _q_asof_prev_order(sf_dir: str):

@@ -55,11 +55,24 @@ def broadcast_hash_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
 def hash_join(left, right, on: str | tuple[str, ...],
               right_on: str | tuple[str, ...] | None = None, *,
               join_type: str = "inner", num_partitions: int | None = None):
-    """Large-large equi-join via Ray Data's hash-partitioned join."""
+    """Large-large equi-join via Ray Data's hash-partitioned join.
+
+    ``num_partitions=None`` sizes partitions to the DATA, not the cluster:
+    one partition per ~64 MB of combined input (estimated from read
+    metadata), clamped to [2, cluster CPUs]. Each Join partition spins up a
+    hash-aggregator actor (~0.2-0.3 s spawn here), so a small join must not
+    pay for 32 actors; a 100 TB join hits the CPU cap and each actor streams
+    its shard."""
     import ray
 
     if num_partitions is None:
-        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            nbytes = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        except Exception:
+            nbytes = 0
+        by_data = max(2, nbytes // (64 << 20)) if nbytes else cpus
+        num_partitions = int(max(2, min(cpus, by_data)))
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = None if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on))
