@@ -1205,6 +1205,107 @@ def _q_read_formats(sf_dir: str):
     return a.union(b)
 
 
+def _q_resample_weighted(sf_dir: str):
+    """Domain rebalancing: deterministic per-language keep rates over
+    documents (training-mix reweighting). Streaming filter, no shuffle;
+    Lehmer-hash uniformizer restated verbatim in the SQL oracle."""
+    from data_quality_framework_ray.pipelines.sampling import resample_weighted
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return resample_weighted(ds, "lang", "doc_id",
+                             {"en": 1.0, "fr": 0.5, "de": 0.25}, default=0.1)
+
+
+def _q_token_budget(sf_dir: str):
+    """Per-source token-budget cap (quota sampling): keep each source's
+    docs in doc_id order while the running n_chars sum stays ≤ 50k —
+    one hash exchange + vectorized per-partition cumsum."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.sampling import token_budget_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = token_budget_cap(ds, "source", "doc_id", "n_chars", budget=50_000)
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+def _q_zscore_outliers(sf_dir: str):
+    """Per-group z-score outlier counts (|x−mean| > 2·stddev_samp) over
+    l_extendedprice by returnflag — two streaming passes, zero shuffle."""
+    from data_quality_framework_ray.pipelines.stats import grouped_outlier_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_outlier_counts(ds, "l_returnflag", "l_extendedprice", z=2.0)
+
+
+def _q_histogram(sf_dir: str):
+    """Fixed-width histogram of l_extendedprice (width 5000): per-batch
+    bincount partials, driver fold (bin cardinality is tiny by construction)."""
+    from data_quality_framework_ray.pipelines.stats import histogram_fixed
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return histogram_fixed(ds, "l_extendedprice", width=5000.0)
+
+
+def _q_ntile(sf_dir: str):
+    """NTILE(4) quartile bucketing of events.value per event_type
+    (deterministic tie-break on event_id), aggregated to per-(type, tile)
+    count/min/max — one groupby.map_groups, vectorized inside."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    K = 4
+
+    def per_group(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort(["value", "event_id"])
+        n = df.height
+        # NTILE: first n%K tiles get ceil(n/K) rows, the rest floor(n/K)
+        big, small = divmod(n, K)
+        sizes = np.full(K, big, dtype=np.int64)
+        sizes[:small] += 1
+        tile = np.repeat(np.arange(1, K + 1, dtype=np.int64), sizes[:K])[:n]
+        v = df["value"].to_numpy()
+        out = (pl.DataFrame({"event_type": df["event_type"], "tile": tile,
+                             "value": v})
+               .group_by(["event_type", "tile"])
+               .agg(n=pl.len().cast(pl.Int64),
+                    min_value=pl.col("value").min(),
+                    max_value=pl.col("value").max()))
+        return out.to_arrow()
+
+    out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("event_type", "ascending"), ("tile", "ascending")])
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC → lower → collapse whitespace →
+    trim) with normalized length; the SQL oracle applies the identical op
+    chain."""
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.text_analysis import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(ds, "text", out_col="norm")
+    return out.map_batches(
+        lambda t: t.append_column("norm_chars", pc.cast(
+            pc.utf8_length(t["norm"]), "int64")),
+        batch_format="pyarrow").select_columns(["doc_id", "norm", "norm_chars"])
+
+
+def _q_fuzzy_names(sf_dir: str):
+    """Exact edit-distance-1 pairs over the DISTINCT part-name vocabulary
+    via symmetric-delete blocking (SymSpell) — exact recall, no all-pairs
+    scan; SQL oracle recomputes with levenshtein()."""
+    from data_quality_framework_ray.pipelines.dedup import fuzzy_value_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return fuzzy_value_pairs(ds, "p_name", max_dist=1)
+
+
 def _q_video_frames(sf_dir: str):
     """Video frame sampling + motion features over the synthetic RAWV table:
     actor-shaped map_batches with byte-aware batch sizing; payloads decode
@@ -1311,6 +1412,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
+        "resample_weighted": _q_resample_weighted,
+        "token_budget": _q_token_budget,
+        "zscore_outliers": _q_zscore_outliers,
+        "histogram": _q_histogram,
+        "ntile": _q_ntile,
+        "normalize_text": _q_normalize_text,
+        "fuzzy_names": _q_fuzzy_names,
     }
 
 
@@ -1637,6 +1745,46 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY doc_id"),
         "read_formats": (
             "SELECT * FROM supplier UNION ALL SELECT * FROM supplier"),
+        "resample_weighted": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE (doc_id * 48271) % 100000 <"
+            " CASE lang WHEN 'en' THEN 100000 WHEN 'fr' THEN 50000"
+            " WHEN 'de' THEN 25000 ELSE 10000 END"),
+        "token_budget": (
+            "SELECT doc_id, source, n_chars FROM documents"
+            " QUALIFY sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id"
+            " ROWS UNBOUNDED PRECEDING) <= 50000 ORDER BY doc_id"),
+        "zscore_outliers": (
+            "SELECT l_returnflag, CAST(count(*) FILTER ("
+            " abs(l_extendedprice - m) > 2 * sd) AS BIGINT) AS n_outliers"
+            " FROM (SELECT l_returnflag, l_extendedprice,"
+            "  avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS m,"
+            "  stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag)"
+            "  AS sd FROM lineitem)"
+            " GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "histogram": (
+            "SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,"
+            " count(*) AS n FROM lineitem GROUP BY bin ORDER BY bin"),
+        "ntile": (
+            "SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,"
+            " min(value) AS min_value, max(value) AS max_value"
+            " FROM (SELECT event_type, value, CAST(ntile(4) OVER ("
+            "  PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)"
+            "  AS tile FROM events)"
+            " GROUP BY event_type, tile ORDER BY event_type, tile"),
+        "normalize_text": (
+            "SELECT doc_id,"
+            " trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm,"
+            " length(trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_chars"
+            " FROM documents ORDER BY doc_id"),
+        "fuzzy_names": (
+            "WITH v AS (SELECT DISTINCT p_name FROM part)"
+            " SELECT a.p_name AS a, b.p_name AS b FROM v a JOIN v b"
+            " ON a.p_name < b.p_name"
+            " AND levenshtein(a.p_name, b.p_name) <= 1"
+            " ORDER BY a, b"),
     }
 
 

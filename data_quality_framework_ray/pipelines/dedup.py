@@ -1108,3 +1108,65 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                 .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                              .cast(pair_schema), batch_format="pyarrow"))
     return _resolve_components_stream(pairs_ds, as_dataset=as_dataset)
+
+
+def fuzzy_value_pairs(ds, col: str, max_dist: int = 1):
+    """All DISTINCT-value pairs within Levenshtein distance ``max_dist``
+    (currently 1) via symmetric-delete blocking (SymSpell): two strings with
+    edit distance ≤ 1 necessarily share a deletion variant (the string
+    itself, or the string minus one character), so bucketing every variant
+    gives EXACT recall — no missed pairs, unlike probabilistic LSH.
+
+    Scale shape: the corpus reduces to its distinct vocabulary first
+    (per-batch distinct partials — for natural-language name/label columns
+    the vocab is orders of magnitude smaller than the corpus), then each
+    vocab entry fans out to len+1 variant keys. Only (variant, value) rows
+    ever shuffle; candidate pairs are verified with one exact
+    edit-distance check. Vocab is combined driver-side below
+    ``BROADCAST_DUP_LIMIT`` and the fan-out/bucket/verify runs there (tiny);
+    a larger vocab would reuse the hot-bucket groupby path of
+    ``_minhash_distributed`` — asserted rather than silently degraded.
+
+    Returns a pyarrow Table (a, b) with a < b, sorted."""
+    assert max_dist == 1, "symmetric-delete blocking implemented for d=1"
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.select([col]).group_by(col).aggregate([])
+
+    vals = ds.map_batches(distinct_partial, batch_format="pyarrow") \
+             .take_all()
+    vocab = sorted({r[col] for r in vals if r[col] is not None})
+    assert len(vocab) <= config.BROADCAST_DUP_LIMIT, \
+        "vocab exceeds driver combine limit — use the distributed bucket path"
+
+    buckets: dict[str, list[int]] = {}
+    for i, v in enumerate(vocab):
+        buckets.setdefault(v, []).append(i)
+        for j in range(len(v)):
+            buckets.setdefault(v[:j] + v[j + 1:], []).append(i)
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # one substitution
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0  # a is shorter: one deletion from b
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+    pairs = sorted((vocab[i], vocab[j]) for i, j in cand
+                   if lev1(vocab[i], vocab[j]))
+    return pa.table({"a": pa.array([p[0] for p in pairs], type=pa.string()),
+                     "b": pa.array([p[1] for p in pairs], type=pa.string())})

@@ -180,3 +180,80 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE)
     return part_shuffle(parts, key, finish, out_schema, join_partitions())
+
+
+def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
+    """Per-group z-score outlier counts in TWO streaming passes, no shuffle:
+    pass 1 folds algebraic partials (n, Σx, Σx²) per batch and combines the
+    per-group triples on the driver (one tiny row per group); pass 2 counts
+    rows with |x − mean| > z·stddev_samp against the broadcast thresholds.
+    SQL parity: stddev_samp (n−1 denominator), groups with n < 2 or zero
+    variance report 0 outliers.
+
+    Returns a pyarrow Table (key, n_outliers) sorted by key."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = pl.from_arrow(t.select([key, col])).rename({col: "x"})
+        return (x.group_by(key)
+                .agg(n=pl.len().cast(pl.Int64),
+                     s=pl.col("x").cast(pl.Float64).sum(),
+                     ss=(pl.col("x").cast(pl.Float64) ** 2).sum())
+                .to_arrow())
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).take_all()
+    agg = (pl.DataFrame(parts).group_by(key)
+           .agg(pl.col("n").sum(), pl.col("s").sum(), pl.col("ss").sum()))
+    n = agg["n"].to_numpy().astype(np.float64)
+    mean = agg["s"].to_numpy() / np.maximum(n, 1)
+    var = np.where(n > 1, (agg["ss"].to_numpy() - n * mean * mean)
+                   / np.maximum(n - 1, 1), 0.0)
+    sd = np.sqrt(np.maximum(var, 0.0))
+    bounds = {k: (m - z * s, m + z * s) if s > 0 else None
+              for k, m, s in zip(agg[key].to_list(), mean, sd)}
+
+    import ray
+
+    ref = ray.put(bounds)
+
+    def count_out(t: pa.Table) -> pa.Table:
+        b = ray.get(ref) if not isinstance(ref, dict) else ref
+        keys = t[key].to_numpy(zero_copy_only=False)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.full(len(x), -np.inf)
+        hi = np.full(len(x), np.inf)
+        for i, kv in enumerate(keys):
+            bb = b.get(kv)
+            if bb is not None:
+                lo[i], hi[i] = bb
+        out = (x < lo) | (x > hi)
+        return (pl.from_arrow(pa.table({key: keys, "o": out}))
+                .group_by(key).agg(pl.col("o").sum().cast(pl.Int64)
+                                   .alias("n_outliers")).to_arrow())
+
+    parts2 = ds.map_batches(count_out, batch_format="pyarrow",
+                            batch_size=config.TEXT_BATCH_SIZE).take_all()
+    out = (pl.DataFrame(parts2).group_by(key)
+           .agg(pl.col("n_outliers").sum()).sort(key))
+    return out.to_arrow()
+
+
+def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
+    """Fixed-width histogram: bin = floor((x − origin) / width), per-batch
+    partial counts folded on the driver (bin cardinality ≈ range/width, tiny
+    by construction). Returns a pyarrow Table (bin, n) sorted by bin."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        bins = np.floor((x - origin) / width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": u, "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).take_all()
+    out = (pl.DataFrame(parts).group_by("bin")
+           .agg(pl.col("n").sum()).sort("bin"))
+    return out.to_arrow()

@@ -85,3 +85,33 @@ def with_fingerprints(ds, text_col: str = "text", k: int = 8, ngram: int = 8):
                 .append_column("fp_min", pa.array(minh, type=pa.uint64())))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm"):
+    """Canonical text normalization: NFC → unicode lowercase → collapse
+    ASCII-whitespace runs to one space → trim. Vectorized polars string
+    kernels per batch, no shuffle. The exact op order is part of the
+    contract — the SQL oracle restates it verbatim (nfc_normalize, lower,
+    regexp_replace, trim).
+
+    Two parity traps pinned by tests/test_sampling_stats_ops.py:
+    - pyarrow 16's ``utf8_normalize(form="NFC")`` does NOT compose
+      (e + U+0301 stays decomposed) while DuckDB/CPython do — hence polars'
+      ``str.normalize``, which composes correctly;
+    - Rust-regex ``\\s`` is unicode-aware but RE2 (DuckDB) ``\\s`` is
+      ASCII-only — the explicit ASCII class keeps both sides identical."""
+    import polars as pl
+
+    ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = (pl.from_arrow(pa.table({"t": batch[text_col]}))["t"]
+             .str.normalize("NFC")
+             .str.to_lowercase()
+             .str.replace_all(ws, " ")
+             .str.strip_chars(" "))
+        return batch.append_column(out_col, s.to_arrow().cast(
+            batch[text_col].type))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)

@@ -1,0 +1,104 @@
+"""Unit tests for the round-3 sampling / stats / fuzzy-match operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_resample_weighted_edges_and_determinism(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.sampling import resample_weighted
+
+    rows = [{"id": i, "g": g} for i in range(200)
+            for g in (["a"] if i % 2 else ["b"])]
+    ds = rd.from_items(rows)
+    out = resample_weighted(ds, "g", "id", {"a": 1.0, "b": 0.0}).take_all()
+    got = sorted(r["id"] for r in out)
+    assert got == [i for i in range(200) if i % 2]  # all of a, none of b
+
+    # default rate applies to unseen keys; deterministic across runs
+    half = resample_weighted(ds, "g", "id", {}, default=0.5)
+    a = sorted(r["id"] for r in half.take_all())
+    b = sorted(r["id"] for r in
+               resample_weighted(ds, "g", "id", {}, default=0.5).take_all())
+    assert a == b
+    assert 0 < len(a) < 200
+
+
+def test_token_budget_cap_boundary(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.sampling import token_budget_cap
+
+    rows = [{"id": i, "g": "x", "tok": 10} for i in range(10)]
+    rows += [{"id": i, "g": "y", "tok": 7} for i in range(10)]
+    ds = rd.from_items(rows)
+    out = token_budget_cap(ds, "g", "id", "tok", budget=30, nparts=3).take_all()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    # inclusive running sum ≤ 30: x keeps ids 0,1,2 (sum 30); y keeps
+    # 0,1,2,3 (sum 28; the 5th would hit 35)
+    assert sorted(by_g["x"]) == [0, 1, 2]
+    assert sorted(by_g["y"]) == [0, 1, 2, 3]
+
+
+def test_grouped_outlier_counts_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_outlier_counts
+
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([rng.normal(0, 1, 500), [25.0, -25.0]])
+    rows = ([{"g": "n", "x": float(v)} for v in xs]
+            + [{"g": "const", "x": 5.0} for _ in range(10)]
+            + [{"g": "single", "x": 1.0}])
+    out = grouped_outlier_counts(rd.from_items(rows), "g", "x", z=2.0)
+    got = {r["g"]: r["n_outliers"] for r in out.to_pylist()}
+    mean, sd = xs.mean(), xs.std(ddof=1)
+    want = int(np.sum(np.abs(xs - mean) > 2 * sd))
+    assert got["n"] == want and want >= 2
+    assert got["const"] == 0  # zero variance → no outliers
+    assert got["single"] == 0  # n < 2 → no stddev_samp
+
+
+def test_histogram_fixed_negative_bins(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import histogram_fixed
+
+    vals = [-10.0, -0.1, 0.0, 4.9, 5.0, 14.9, float("nan")]
+    out = histogram_fixed(rd.from_items([{"x": v} for v in vals]), "x",
+                          width=5.0)
+    got = {r["bin"]: r["n"] for r in out.to_pylist()}
+    assert got == {-2: 1, -1: 1, 0: 2, 1: 1, 2: 1}  # NaN dropped
+
+
+def test_fuzzy_value_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import fuzzy_value_pairs
+
+    vocab = ["cat", "cart", "bat", "dog", "dig", "elephant", "cat"]
+    ds = rd.from_items([{"v": v} for v in vocab])
+    out = fuzzy_value_pairs(ds, "v", max_dist=1)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    # insert (cat/cart), substitute (cat/bat, dog/dig); no transposition-only
+    # or distance-2 pairs; duplicates in the input collapse to one vocab entry
+    assert pairs == {("cart", "cat"), ("bat", "cat"), ("dig", "dog")}
+
+    with pytest.raises(AssertionError):
+        fuzzy_value_pairs(ds, "v", max_dist=2)
+
+
+def test_normalize_text_unicode(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import normalize_text
+
+    # input "Cafe" + combining acute (NFD): NFC must fold it to the
+    # precomposed U+00E9 before lowering
+    rows = [{"t": "Cafe\u0301  \t Bar "}, {"t": "A\nB"}]
+    out = normalize_text(rd.from_items(rows), "t", out_col="n").take_all()
+    assert sorted(r["n"] for r in out) == ["a b", "caf\u00e9 bar"]
