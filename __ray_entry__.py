@@ -1306,6 +1306,38 @@ def _q_fuzzy_names(sf_dir: str):
     return fuzzy_value_pairs(ds, "p_name", max_dist=1)
 
 
+def _q_psi_drift(sf_dir: str):
+    """Population Stability Index between order-status cohorts F and O over
+    o_totalprice (distribution drift) — one streaming partials pass, driver
+    fold over the tiny bin table."""
+    from data_quality_framework_ray.pipelines.stats import psi_binned
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return psi_binned(ds, "o_totalprice", "o_orderstatus", "F", "O",
+                      width=25_000.0)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-15 tokens via Misra-Gries mergeable summaries + one
+    broadcast exact-count pass — NO groupby shuffle (contrast with
+    top_tokens, which shuffles the full token-count table); equality with
+    the SQL top-k holds while the 15th count clears the 2n/capacity MG
+    bound (Zipfian margin here ≈ 40×)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions.sketches import heavy_hitters
+
+    toks = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda b: (pl.DataFrame(
+            {"tok": pl.from_arrow(pa.table({"t": b["text"]}))["t"]
+             .fill_null("").str.extract_all(r"\S+")})
+            .explode("tok").drop_nulls().to_arrow()),
+        batch_format="pyarrow")
+    out = heavy_hitters(toks, "tok", k=15, capacity=4096)
+    return out.rename_columns(["tok", "n"])
+
+
 def _q_video_frames(sf_dir: str):
     """Video frame sampling + motion features over the synthetic RAWV table:
     actor-shaped map_batches with byte-aware batch sizing; payloads decode
@@ -1419,6 +1451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": _q_ntile,
         "normalize_text": _q_normalize_text,
         "fuzzy_names": _q_fuzzy_names,
+        "psi_drift": _q_psi_drift,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -1785,6 +1819,23 @@ def oracle_sql() -> dict[str, str]:
             " ON a.p_name < b.p_name"
             " AND levenshtein(a.p_name, b.p_name) <= 1"
             " ORDER BY a, b"),
+        "psi_drift": (
+            "WITH b AS (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT)"
+            "  AS bin,"
+            "  count(*) FILTER (o_orderstatus = 'F') AS nb,"
+            "  count(*) FILTER (o_orderstatus = 'O') AS nc"
+            "  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY bin),"
+            " t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM b)"
+            " SELECT bin, greatest(nb / tb, 1e-6) AS p_base,"
+            "  greatest(nc / tc, 1e-6) AS p_cur,"
+            "  (greatest(nb / tb, 1e-6) - greatest(nc / tc, 1e-6))"
+            "  * ln(greatest(nb / tb, 1e-6) / greatest(nc / tc, 1e-6))"
+            "  AS contrib"
+            " FROM b, t ORDER BY bin"),
+        "heavy_hitters": (
+            "SELECT tok, count(*) AS n FROM (SELECT unnest("
+            "regexp_extract_all(text, '\\S+')) AS tok FROM documents) "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 15"),
     }
 
 

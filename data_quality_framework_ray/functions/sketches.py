@@ -153,3 +153,72 @@ def approx_quantiles(ds, value_col: str, key_cols: list[str],
         i = min(max(int(np.ceil(p * m)) - 1, 0), m - 1)
         out.append((float(p), float(sample[i])))
     return out
+
+
+def _mg_merge(counts: dict, other: dict, capacity: int) -> dict:
+    """Merge two Misra-Gries summaries: sum counters, then decrement all by
+    the (capacity+1)-th largest so at most ``capacity`` survive (Agarwal et
+    al., 'Mergeable Summaries' — error bounds add)."""
+    for k, v in other.items():
+        counts[k] = counts.get(k, 0) + v
+    if len(counts) > capacity:
+        cut = sorted(counts.values(), reverse=True)[capacity]
+        counts = {k: v - cut for k, v in counts.items() if v > cut}
+    return counts
+
+
+def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
+    """Exact top-k of a high-cardinality column WITHOUT a full groupby
+    shuffle: per-batch Misra-Gries summaries (vectorized np.unique counts
+    folded into a bounded counter map) merge on the driver into a candidate
+    set — any value with true frequency > 2n/capacity is guaranteed present (one n/capacity underestimate from the per-batch summaries plus one from the driver cut) —
+    then ONE broadcast-filtered exact-count pass over the candidates (tiny:
+    ≤ capacity values) yields exact counts, so the result equals the exact
+    SQL top-k whenever the k-th count exceeds 2n/capacity (holds for Zipfian
+    token/id columns by a wide margin; a violation surfaces as an oracle
+    mismatch, never silently).
+
+    Returns a pyarrow Table (value, n) ordered by n desc, value asc."""
+    import polars as pl
+
+    from data_quality_framework_ray import config
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].drop_null()
+        arr = vals.to_numpy(zero_copy_only=False)
+        u, c = np.unique(arr, return_counts=True)
+        if len(u) > capacity:
+            order = np.argsort(c)[::-1]
+            cut = c[order[capacity]]
+            keep = c > cut
+            u, c = u[keep], c[keep] - cut
+        return pa.table({"value": pa.array(u, type=batch[col].type),
+                         "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).take_all()
+    batch_counts: dict = {}
+    for r in parts:
+        batch_counts[r["value"]] = batch_counts.get(r["value"], 0) + r["n"]
+    cand = list(_mg_merge({}, batch_counts, capacity))
+
+    import ray
+
+    ref = ray.put(set(cand))
+
+    def exact_pass(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref) if not isinstance(ref, set) else ref
+        arr = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in cs for v in arr), dtype=bool, count=len(arr))
+        u, c = np.unique(arr[mask], return_counts=True)
+        return pa.table({"value": pa.array(u, type=batch[col].type),
+                         "n": c.astype(np.int64)})
+
+    parts2 = ds.map_batches(exact_pass, batch_format="pyarrow",
+                            batch_size=config.TEXT_BATCH_SIZE).take_all()
+    exact: dict = {}
+    for r in parts2:
+        exact[r["value"]] = exact.get(r["value"], 0) + r["n"]
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({"value": pa.array([v for v, _ in top]),
+                     "n": pa.array([n for _, n in top], type=pa.int64())})

@@ -257,3 +257,47 @@ def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
     out = (pl.DataFrame(parts).group_by("bin")
            .agg(pl.col("n").sum()).sort("bin"))
     return out.to_arrow()
+
+
+def psi_binned(ds, col: str, group_col: str, base_key, cur_key,
+               width: float, origin: float = 0.0, eps: float = 1e-6):
+    """Population Stability Index between two cohorts of one table
+    (distribution drift, the dataflow analogue of the reference's DEV↔PROD
+    row-count comparison, /root/reference/main.py:226-253): fixed-width bin
+    counts for both cohorts fold from ONE streaming pass of per-batch
+    partials; proportions are smoothed with ``eps`` before the log ratio so
+    empty bins stay finite. Returns (bin, p_base, p_cur, contrib) sorted by
+    bin; total PSI = sum(contrib)."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_b, out_g, out_n = [], [], []
+        for key, tag in ((base_key, 0), (cur_key, 1)):
+            sel = x[g == key]
+            sel = sel[~np.isnan(sel)]
+            bins = np.floor((sel - origin) / width).astype(np.int64)
+            u, c = np.unique(bins, return_counts=True)
+            out_b.append(u)
+            out_g.append(np.full(len(u), tag, dtype=np.int8))
+            out_n.append(c.astype(np.int64))
+        return pa.table({"bin": np.concatenate(out_b),
+                         "g": np.concatenate(out_g),
+                         "n": np.concatenate(out_n)})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).take_all()
+    df = (pl.DataFrame(parts).group_by(["bin", "g"])
+          .agg(pl.col("n").sum())
+          .pivot(values="n", index="bin", on="g")
+          .sort("bin"))
+    nb = df["0"].fill_null(0).to_numpy().astype(np.float64) \
+        if "0" in df.columns else np.zeros(df.height)
+    nc = df["1"].fill_null(0).to_numpy().astype(np.float64) \
+        if "1" in df.columns else np.zeros(df.height)
+    p = np.maximum(nb / max(nb.sum(), 1.0), eps)
+    q = np.maximum(nc / max(nc.sum(), 1.0), eps)
+    contrib = (p - q) * np.log(p / q)
+    return pa.table({"bin": df["bin"].to_arrow(),
+                     "p_base": p, "p_cur": q, "contrib": contrib})

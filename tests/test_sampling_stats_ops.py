@@ -102,3 +102,53 @@ def test_normalize_text_unicode(ray_session):
     rows = [{"t": "Cafe\u0301  \t Bar "}, {"t": "A\nB"}]
     out = normalize_text(rd.from_items(rows), "t", out_col="n").take_all()
     assert sorted(r["n"] for r in out) == ["a b", "caf\u00e9 bar"]
+
+
+def test_heavy_hitters_exact_topk_and_capacity_pressure(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.functions.sketches import heavy_hitters
+
+    # Zipf-ish planted counts + uniform noise; tiny capacity forces real
+    # MG decrements inside every batch
+    rows = []
+    for i, cnt in enumerate([400, 300, 200, 100, 50]):
+        rows += [{"v": f"hot{i}"}] * cnt
+    rows += [{"v": f"noise{i}"} for i in range(500)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(rows)
+    out = heavy_hitters(rd.from_items(rows).repartition(8), "v",
+                        k=5, capacity=32)
+    got = list(zip(out["value"].to_pylist(), out["n"].to_pylist()))
+    assert got == [("hot0", 400), ("hot1", 300), ("hot2", 200),
+                   ("hot3", 100), ("hot4", 50)]
+
+
+def test_psi_binned_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import psi_binned
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(50, 10, 400)
+    cur = rng.normal(60, 15, 300)
+    rows = ([{"g": "b", "x": float(v)} for v in base]
+            + [{"g": "c", "x": float(v)} for v in cur]
+            + [{"g": "other", "x": 0.0}] * 5)  # ignored cohort
+    out = psi_binned(rd.from_items(rows), "x", "g", "b", "c", width=10.0)
+    got_bins = out["bin"].to_pylist()
+    allb = np.floor(base / 10).astype(int)
+    allc = np.floor(cur / 10).astype(int)
+    want_bins = sorted(set(allb) | set(allc))
+    assert got_bins == want_bins
+    eps = 1e-6
+    total = 0.0
+    for b, p, q, c in zip(got_bins, out["p_base"].to_pylist(),
+                          out["p_cur"].to_pylist(),
+                          out["contrib"].to_pylist()):
+        pw = max((allb == b).sum() / len(allb), eps)
+        qw = max((allc == b).sum() / len(allc), eps)
+        assert abs(p - pw) < 1e-12 and abs(q - qw) < 1e-12
+        assert abs(c - (pw - qw) * np.log(pw / qw)) < 1e-12
+        total += c
+    assert total > 0.1  # the planted shift is a real drift
