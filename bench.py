@@ -156,10 +156,15 @@ def run_scaling() -> dict:
     out = {}
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     for _ in range(repeats):  # interleaved repeats; keep the min per level —
-        # this sandbox's host CPU availability swings ~2× between windows
+        # this sandbox's host CPU availability swings ~2× between windows.
+        # Each subprocess keeps the in-session min-of-2 (no BENCH_SINGLE_RUN):
+        # the north rule's criterion is SUSTAINED throughput, and the first
+        # in-process run pays one-time Ray worker/actor spawn (~4 s) that a
+        # steady-state cluster job amortizes to zero — the warm repeat is the
+        # sustained number at both levels alike.
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-                       BENCH_SINGLE_RUN="1", BENCH_CLIPS_DIR=SCALING_DIR)
+                       BENCH_CLIPS_DIR=SCALING_DIR)
             p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                                env=env, capture_output=True, text=True, check=True)
             rec = json.loads(p.stdout.strip().splitlines()[-1])

@@ -101,9 +101,15 @@ _F32_ALAW = (ALAW_TABLE.astype(np.float32) / np.float32(32768.0))
 FFT_CAP = 1 << 17  # spectral features use the first FFT_CAP samples (≈ full clip)
 
 
-def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
+def decode_stats(batch: pa.Table, *, spectral: bool = True) -> dict[str, np.ndarray]:
     """Per-clip audio stats (``n_samples:int64, rms:float64``; 0/NaN for null
     bytes or unknown codec) over a whole Arrow batch.
+
+    ``spectral=False`` skips the FFT features (centroid/flatness stay NaN):
+    the rfft is ~2/3 of this kernel's time AND its dominant memory traffic,
+    and memory bandwidth is the resource that stops scaling first on a
+    many-core node — stages that don't consume the spectral columns (the
+    flagship keep/drop rules, the audio_stats query) must not pay for them.
 
     Implementation note: each row is one C-level numpy reduction over its
     10–100 KB slice of the column's contiguous data buffer (zero-copy view).
@@ -155,6 +161,8 @@ def decode_stats(batch: pa.Table) -> dict[str, np.ndarray]:
             sumsq[r] = float(a @ a)
             clip_frac[r] = float(np.count_nonzero(a >= 0.985)) / k
             silence_frac[r] = float(np.count_nonzero(a < 1e-3)) / k
+            if not spectral:
+                continue
             # spectral quality features over the first FFT_CAP samples
             # (centroid normalized 0..1, log-spectral flatness); zero-pad to
             # the next power of two — pocketfft's awkward-length paths cost

@@ -200,6 +200,13 @@ def _sink_batch(batch: pa.Table, stage_dir: str, part_name: str | None = None) -
         os.makedirs(d, exist_ok=True)
         name = part_name or f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(sl, os.path.join(d, name))
+        # persist the map-side dedup combine next to the data: phase B's
+        # winner pass then reads only these few-KB partials instead of
+        # re-scanning every decision part (the re-scan was phase B's
+        # non-scaling IO term — disk bandwidth is the one resource that
+        # does not grow with CPUs here). Same deterministic name → task
+        # retries overwrite, same as the data part.
+        pq.write_table(_partial_dup_counts(sl), os.path.join(d, f"dup-{name}"))
         out.append({"frag_id": int(fid), "rows": sl.num_rows})
     return pa.Table.from_pylist(out, schema=pa.schema([("frag_id", pa.int64()),
                                                        ("rows", pa.int64())]))
@@ -542,15 +549,32 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     from data_quality_framework_ray.pipelines.metrics import (
         aggregate_final_partials, write_metrics_from_agg)
 
-    part_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*", "*.parquet")))
+    part_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*",
+                                                "part-*.parquet")))
+    dup_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*",
+                                               "dup-part-*.parquet")))
 
-    def _winner_partials(b: pa.Table) -> pa.Table:
-        ts = [pq.read_table(p, columns=["h1", "h2", "clip_id"])
-              for p in b["path"].to_pylist()]
-        return _partial_dup_counts(pa.concat_tables(ts))
+    if len(dup_files) >= len(part_files):  # every part has its partial
+        def _winner_partials(b: pa.Table) -> pa.Table:
+            import polars as pl
 
-    paths_ds = rd.from_items([{"path": p} for p in part_files],
-                             override_num_blocks=max(len(part_files), 1))
+            ts = [pq.read_table(p) for p in b["path"].to_pylist()]
+            return (pl.from_arrow(pa.concat_tables(ts))
+                    .group_by(["h1", "h2"])
+                    .agg(pl.col("min_clip").min(), pl.col("cnt").sum())
+                    .to_arrow())
+
+        pass1_files = dup_files
+    else:  # outputs from a run that predates persisted dup partials
+        def _winner_partials(b: pa.Table) -> pa.Table:
+            ts = [pq.read_table(p, columns=["h1", "h2", "clip_id"])
+                  for p in b["path"].to_pylist()]
+            return _partial_dup_counts(pa.concat_tables(ts))
+
+        pass1_files = part_files
+
+    paths_ds = rd.from_items([{"path": p} for p in pass1_files],
+                             override_num_blocks=max(len(pass1_files), 1))
     pairs = paths_ds.map_batches(_winner_partials, batch_format="pyarrow",
                                  batch_size=None)
     try:

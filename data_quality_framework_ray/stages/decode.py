@@ -14,7 +14,13 @@ from data_quality_framework_ray.functions.audio import decode_stats
 
 
 def decode_stats_stage(batch: pa.Table) -> pa.Table:
-    stats = decode_stats(batch)
+    # spectral=False: no keep/drop rule consumes centroid/flatness, and the
+    # rfft is both ~2/3 of decode time and its dominant memory traffic —
+    # the first resource to saturate as actors scale up on one node. The
+    # columns stay in the schema (NaN) so downstream layouts are unchanged;
+    # consumers that want them call decode_stats(spectral=True) (audio_stats
+    # query, tests).
+    stats = decode_stats(batch, spectral=False)
     batch = batch.append_column("n_samples",
                                 pa.array(stats["n_samples"], type=pa.int64()))
     for col in ("rms", "clip_frac", "silence_frac", "spectral_centroid",

@@ -156,3 +156,34 @@ def test_vad_segments_planted():
     assert len(A.vad_segments(clip2, sr)) == 1
     assert A.vad_segments(np.zeros(sr, dtype=np.float32), sr) == []
     assert A.vad_segments(np.empty(0, dtype=np.float32), sr) == []
+
+
+def test_spectral_features_flag_and_properties():
+    """spectral=False must skip (NaN) only the FFT features; with
+    spectral=True a pure tone has low flatness + a centroid matching its
+    frequency, white noise has flatness near 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions import audio as A
+
+    rng = np.random.default_rng(5)
+    sr = 8000
+    n = 4096
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * np.arange(n) / sr)
+    noise = 0.3 * rng.standard_normal(n)
+    t = pa.Table.from_pylist([
+        {"clip_id": "tone", "bytes": A.encode(tone, "pcm16"), "codec": "pcm16"},
+        {"clip_id": "noise", "bytes": A.encode(noise, "pcm16"), "codec": "pcm16"},
+    ])
+    full = A.decode_stats(t, spectral=True)
+    fast = A.decode_stats(t, spectral=False)
+    np.testing.assert_array_equal(full["n_samples"], fast["n_samples"])
+    np.testing.assert_array_equal(full["rms"], fast["rms"])
+    assert np.isnan(fast["spectral_centroid"]).all()
+    assert np.isnan(fast["spectral_flatness"]).all()
+    # tone: centroid ≈ 1000 Hz / (sr/2) = 0.25, near-zero flatness
+    assert abs(full["spectral_centroid"][0] - 0.25) < 0.02
+    assert full["spectral_flatness"][0] < 0.05
+    # noise: flat spectrum
+    assert full["spectral_flatness"][1] > 0.5

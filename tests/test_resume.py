@@ -98,9 +98,9 @@ def test_retry_overwrites_partial_attempt(ray_session, tmp_path):
     path = fragment_paths(clips)[0]
     batch = pa.Table.from_pylist([{"path": path}])
     worker(batch)  # "failed" first attempt (completed, but files now stale)
-    files_first = sorted(glob.glob(os.path.join(stage, "frag-*", "*.parquet")))
+    files_first = sorted(glob.glob(os.path.join(stage, "frag-*", "part-*.parquet")))
     worker(batch)  # retry of the same fragment
-    files_second = sorted(glob.glob(os.path.join(stage, "frag-*", "*.parquet")))
+    files_second = sorted(glob.glob(os.path.join(stage, "frag-*", "part-*.parquet")))
     assert files_first == files_second  # overwrote, no uuid accumulation
     total = sum(pq.read_metadata(f).num_rows for f in files_second)
     assert total == pq.read_metadata(path).num_rows  # no duplicated rows
