@@ -1084,9 +1084,14 @@ def _q_q3_shipping(sf_dir: str):
     if use_driver_combine:
         import polars as pl
 
-        pt = pa.concat_tables(
-            t for t in ray.get(partials.to_arrow_refs())
-            if t.num_rows and "rev" in t.column_names)
+        parts = [t for t in ray.get(partials.to_arrow_refs())
+                 if t.num_rows and "rev" in t.column_names]
+        if not parts:  # no qualifying orders — mirror the oracle's 0 rows
+            return pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                             "revenue": pa.array([], type=pa.float64()),
+                             "o_orderdate": pa.array(
+                                 [], type=pa.timestamp("us"))})
+        pt = pa.concat_tables(parts)
         t = (pl.from_arrow(pt).group_by("l_orderkey")
              .agg(pl.col("rev").sum())
              .join(pl.from_arrow(orders_tbl), left_on="l_orderkey",
@@ -1096,8 +1101,11 @@ def _q_q3_shipping(sf_dir: str):
     else:
         rev = partials.groupby("l_orderkey").aggregate(
             Sum("rev", alias_name="rev"))
+        # tie-break on l_orderkey like the oracle and the driver-combine
+        # path: exact float revenue ties across orders are realistic
         top = (hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey")
-               .sort("rev", descending=True).limit(10))
+               .sort(["rev", "l_orderkey"], descending=[True, False])
+               .limit(10))
         t = pa.Table.from_pylist(top.take_all())
     return pa.table({
         "l_orderkey": t["l_orderkey"],
@@ -1126,7 +1134,7 @@ def _q_audio_stats(sf_dir: str):
         outs = []
         for p in b["path"].to_pylist():
             t = pq.read_table(p, columns=["clip_id", "bytes", "codec"])
-            st = A.decode_stats(t)
+            st = A.decode_stats(t, spectral=False)  # output omits FFT cols
             outs.append(pa.table({
                 "clip_id": t["clip_id"],
                 "n_samples": pa.array(st["n_samples"], type=pa.int64()),

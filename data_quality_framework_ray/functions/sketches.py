@@ -130,7 +130,7 @@ def approx_quantiles(ds, value_col: str, key_cols: list[str],
         h = h.view(np.uint64)
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(v)
-        if batch[value_col].null_count:
+        if not ok.all():  # drop Arrow nulls AND literal float NaNs alike
             h, v = h[ok], v[ok]
         h, v = _bottom_k_rows(h, v, k)
         return pa.table({"h": pa.array(h, type=pa.uint64()),
@@ -202,15 +202,23 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
         batch_counts[r["value"]] = batch_counts.get(r["value"], 0) + r["n"]
     cand = list(_mg_merge({}, batch_counts, capacity))
 
+    if not cand:
+        return pa.table({"value": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+
     import ray
 
-    ref = ray.put(set(cand))
+    cand_arr = pa.array(cand)
+    ref = ray.put(cand_arr)
 
     def exact_pass(batch: pa.Table) -> pa.Table:
-        cs = ray.get(ref) if not isinstance(ref, set) else ref
-        arr = batch[col].drop_null().to_numpy(zero_copy_only=False)
-        mask = np.fromiter((v in cs for v in arr), dtype=bool, count=len(arr))
-        u, c = np.unique(arr[mask], return_counts=True)
+        import pyarrow.compute as pc
+
+        cs = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+        vals = batch[col].drop_null()
+        kept = vals.filter(pc.is_in(vals, value_set=cs))  # C-level filter
+        u, c = np.unique(kept.to_numpy(zero_copy_only=False),
+                         return_counts=True)
         return pa.table({"value": pa.array(u, type=batch[col].type),
                          "n": c.astype(np.int64)})
 

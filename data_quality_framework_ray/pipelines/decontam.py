@@ -58,8 +58,11 @@ def flag_contaminated(ds, snippets: list[str], *, text_col: str = "text"):
         if not sn:
             flag = pa.array(np.zeros(batch.num_rows, dtype=bool))
         else:
+            # fill_null(False): SQL EXISTS over a NULL text is false, and a
+            # tri-state flag breaks downstream boolean filters
             c = pl.from_arrow(batch.select([text_col])).with_columns(
-                pl.col(text_col).str.contains_any(sn).alias("c"))
+                pl.col(text_col).str.contains_any(sn).fill_null(False)
+                .alias("c"))
             flag = c["c"].to_arrow().cast(pa.bool_())
         return batch.append_column("contaminated", flag)
 

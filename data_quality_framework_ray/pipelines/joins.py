@@ -226,10 +226,14 @@ def distinct_set_ops(left, left_col: str, right, right_col: str, *,
     agg = (l.union(r).groupby("value")
            .aggregate(Min("side", alias_name="__mn"),
                       Max("side", alias_name="__mx")))
+    ls = left.schema()
+    key_type = dict(zip(ls.names, ls.types))[left_col]
 
     def classify(t: pa.Table) -> pa.Table:
-        if "value" not in t.column_names:  # Ray schema-less empty block
-            return pa.table({"value": pa.array([], type=pa.string()),
+        if "value" not in t.column_names:  # Ray schema-less empty block —
+            # typed from the LEFT key column, not hardcoded string, so int
+            # keys don't produce mixed block schemas
+            return pa.table({"value": pa.array([], type=key_type),
                              "in_left": pa.array([], type=pa.bool_()),
                              "in_right": pa.array([], type=pa.bool_())})
         mn = t["__mn"].to_numpy(zero_copy_only=False)

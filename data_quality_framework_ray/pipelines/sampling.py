@@ -68,6 +68,8 @@ def token_budget_cap(ds, key_col: str, id_col: str, tokens_col: str,
         df = pl.from_arrow(part).sort([key_col, id_col])
         run = (df.select(pl.col(tokens_col).cum_sum().over(key_col)
                          .alias("__run"))["__run"].to_numpy())
-        return df.to_arrow().filter(pa.array(run <= budget))
+        # cast back: polars round-trips promote string→large_string, which
+        # would mix block schemas with empty_safe's normalized empty blocks
+        return df.to_arrow().filter(pa.array(run <= budget)).cast(out_schema)
 
     return part_shuffle(ds, key_col, kernel, out_schema, nparts)

@@ -195,8 +195,10 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
 
     def partials(t: pa.Table) -> pa.Table:
         x = pl.from_arrow(t.select([key, col])).rename({col: "x"})
+        # count() (non-null), not len(): SQL avg/stddev_samp ignore NULLs,
+        # and the sums above already skip them — a len() n would mix bases
         return (x.group_by(key)
-                .agg(n=pl.len().cast(pl.Int64),
+                .agg(n=pl.col("x").count().cast(pl.Int64),
                      s=pl.col("x").cast(pl.Float64).sum(),
                      ss=(pl.col("x").cast(pl.Float64) ** 2).sum())
                 .to_arrow())

@@ -57,7 +57,10 @@ def read_table(path: str, *, fmt: str = "parquet",
         raise ValueError(f"unknown format: {fmt}")
 
     if expected_schema is not None:
-        names = [f.name for f in expected_schema]
+        # conform to the PRUNED projection when columns= was also given —
+        # the schema describes the full table, the read only carries a subset
+        names = [f.name for f in expected_schema
+                 if columns is None or f.name in columns]
 
         def conform(b: pa.Table) -> pa.Table:
             return b.select(names).cast(

@@ -18,8 +18,8 @@ def decode_stats_stage(batch: pa.Table) -> pa.Table:
     # rfft is both ~2/3 of decode time and its dominant memory traffic —
     # the first resource to saturate as actors scale up on one node. The
     # columns stay in the schema (NaN) so downstream layouts are unchanged;
-    # consumers that want them call decode_stats(spectral=True) (audio_stats
-    # query, tests).
+    # consumers that want them call decode_stats(spectral=True) directly
+    # (spectral-feature tests; ad-hoc analysis).
     stats = decode_stats(batch, spectral=False)
     batch = batch.append_column("n_samples",
                                 pa.array(stats["n_samples"], type=pa.int64()))

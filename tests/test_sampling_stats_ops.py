@@ -152,3 +152,74 @@ def test_psi_binned_vs_numpy(ray_session):
         assert abs(c - (pw - qw) * np.log(pw / qw)) < 1e-12
         total += c
     assert total > 0.1  # the planted shift is a real drift
+
+
+def test_review_fix_regressions(ray_session, tmp_path):
+    """Round-3 self-review fixes: pruned read with a full-table schema,
+    NULLs in outlier stats, literal NaNs in the quantile sketch, int keys
+    through distinct_set_ops, NULL text through decontamination."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # read_table: columns= subset of expected_schema must not KeyError
+    from pyarrow import csv as pacsv
+
+    from data_quality_framework_ray.sources.tabular import read_table
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    p = str(tmp_path / "t.csv")
+    pacsv.write_csv(t, p)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got = read_table(p, fmt="csv", columns=["a"], expected_schema=schema)
+    assert got.to_pandas()["a"].tolist() == [1, 2]
+
+    # grouped_outlier_counts: NULL values excluded from n (stddev_samp parity)
+    from data_quality_framework_ray.pipelines.stats import grouped_outlier_counts
+
+    rows = ([{"g": "k", "x": float(v)} for v in
+             [0.0, 0.0, 0.0, 0.0, 10.0]] + [{"g": "k", "x": None}] * 20)
+    out = grouped_outlier_counts(rd.from_items(rows), "g", "x", z=1.5)
+    xs = np.array([0.0, 0.0, 0.0, 0.0, 10.0])
+    want = int((np.abs(xs - xs.mean()) > 1.5 * xs.std(ddof=1)).sum())
+    assert out.to_pylist() == [{"g": "k", "n_outliers": want}]
+
+    # approx_quantiles: literal float NaNs (no Arrow nulls) must be dropped
+    from data_quality_framework_ray.functions.sketches import approx_quantiles
+
+    vals = [float(i) for i in range(50)] + [float("nan")] * 10
+    ds = rd.from_items([{"id": i, "x": v} for i, v in enumerate(vals)])
+    res = dict(approx_quantiles(ds, "x", ["id"], [0.99], k=64))
+    assert not np.isnan(res[0.99]) and res[0.99] <= 49.0
+
+    # distinct_set_ops over int64 keys (typed empty blocks, no mixed schemas)
+    from data_quality_framework_ray.pipelines.joins import distinct_set_ops
+
+    l = rd.from_items([{"k": v} for v in [1, 1, 2, 3]])
+    r = rd.from_items([{"k": v} for v in [3, 4]])
+    flags = sorted((row["value"], bool(row["in_left"]), bool(row["in_right"]))
+                   for row in distinct_set_ops(l, "k", r, "k").take_all())
+    assert flags == [(1, True, False), (2, True, False),
+                     (3, True, True), (4, False, True)]
+
+    # flag_contaminated: NULL text → False, not null
+    from data_quality_framework_ray.pipelines.decontam import flag_contaminated
+
+    docs = rd.from_items([{"text": "has needle inside"}, {"text": None}])
+    got = flag_contaminated(docs, ["needle"]).take_all()
+    assert sorted((r["contaminated"] is not None, bool(r["contaminated"]))
+                  for r in got) == [(True, False), (True, True)]
+
+
+def test_q3_fallback_path_matches_driver_combine(ray_session, monkeypatch):
+    """Force the q3 hash-join fallback (TOPK_MERGE_LIMIT=0 and broadcast
+    limit 0) and assert it returns exactly the driver-combine result —
+    including the l_orderkey tie-break on equal revenues."""
+    import __ray_entry__ as entrymod
+    from data_quality_framework_ray import config
+
+    sf = "/root/testdata/sf0.001"
+    want = entrymod.queries()["q3_shipping"](sf)
+    monkeypatch.setattr(config, "TOPK_MERGE_LIMIT", 0)
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    got = entrymod.queries()["q3_shipping"](sf)
+    assert got.equals(want)
