@@ -111,8 +111,8 @@ def run_bench() -> dict:
 
 
 SCALING_DIR = "/tmp/dqfr_clips_scaling"
-SCALING_CLIPS = 150_000
-SCALING_FRAGS = 128
+SCALING_CLIPS = 600_000
+SCALING_FRAGS = 256
 
 
 def _ensure_scaling_table() -> None:
