@@ -1314,6 +1314,25 @@ def _q_fuzzy_names(sf_dir: str):
     return fuzzy_value_pairs(ds, "p_name", max_dist=1)
 
 
+def _q_repeated_passages(sf_dir: str):
+    """Exact repeated-passage detection: 40-char stride windows occurring
+    >1 time corpus-wide (within or across docs) — the stride-window variant
+    of exact-substring dedup; SQL oracle re-derives every window with
+    substr + unnest(range)."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.dedup import repeated_passages
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repeated_passages(ds, "doc_id", "text", win=40, stride=40)
+    return (pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("id", pa.int64()), ("pos", pa.int64()),
+                          ("win", pa.string())]))
+        .rename_columns(["doc_id", "pos", "win"])
+        .sort_by([("doc_id", "ascending"), ("pos", "ascending")]))
+
+
 def _q_psi_drift(sf_dir: str):
     """Population Stability Index between order-status cohorts F and O over
     o_totalprice (distribution drift) — one streaming partials pass, driver
@@ -1461,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": _q_fuzzy_names,
         "psi_drift": _q_psi_drift,
         "heavy_hitters": _q_heavy_hitters,
+        "repeated_passages": _q_repeated_passages,
     }
 
 
@@ -1844,6 +1864,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, count(*) AS n FROM (SELECT unnest("
             "regexp_extract_all(text, '\\S+')) AS tok FROM documents) "
             "GROUP BY tok ORDER BY n DESC, tok LIMIT 15"),
+        "repeated_passages": (
+            "WITH w AS (SELECT doc_id,"
+            "  unnest(range(1, greatest(length(text) - 39, 0) + 1, 40))"
+            "  AS pos FROM documents),"
+            " wx AS (SELECT w.doc_id, w.pos,"
+            "  substr(d.text, CAST(w.pos AS INTEGER), 40) AS win"
+            "  FROM w JOIN documents d ON w.doc_id = d.doc_id)"
+            " SELECT doc_id, CAST(pos AS BIGINT) AS pos, win FROM wx"
+            " WHERE win IN (SELECT win FROM wx GROUP BY win"
+            "               HAVING count(*) > 1)"
+            " ORDER BY doc_id, pos"),
     }
 
 

@@ -1170,3 +1170,81 @@ def fuzzy_value_pairs(ds, col: str, max_dist: int = 1):
                    if lev1(vocab[i], vocab[j]))
     return pa.table({"a": pa.array([p[0] for p in pairs], type=pa.string()),
                      "b": pa.array([p[1] for p in pairs], type=pa.string())})
+
+
+def repeated_passages(ds, id_col: str, text_col: str,
+                      win: int = 40, stride: int = 40,
+                      broadcast_limit: int | None = None):
+    """Exact repeated-passage detection (the stride-window variant of
+    exact-substring train-data dedup, cf. Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better'): cut every document into
+    fixed character windows (``win`` chars at positions 1, 1+stride, …,
+    SQL-substr-aligned) and return every (id, pos, win) whose window text
+    occurs MORE than once in the corpus — within or across documents.
+
+    Scale shape: window rows (~text_size/stride · win chars) are emitted
+    once per batch with vectorized polars slices and MATERIALIZED (consumed
+    twice, same pattern as minhash's band table); selection folds per-batch
+    (win → count) partials on the driver below ``BROADCAST_DUP_LIMIT`` and
+    falls back to the distributed groupby above it. Only window texts and
+    counts ever shuffle — never full documents."""
+    import polars as pl
+    import ray
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"id": batch[id_col],
+                                     "t": batch[text_col]}))
+        df = df.with_columns(pl.col("t").fill_null("")
+                             .str.len_chars().alias("__len"))
+        max_len = int(df["__len"].max() or 0)
+        outs = []
+        for start in range(0, max(max_len - win + 1, 0), stride):
+            sl = (df.filter(pl.col("__len") >= start + win)
+                  .select(pl.col("id"),
+                          pl.lit(start + 1, dtype=pl.Int64).alias("pos"),
+                          pl.col("t").str.slice(start, win).alias("win")))
+            if sl.height:
+                outs.append(sl)
+        if not outs:
+            return pa.table({"id": pa.array([], type=batch[id_col].type),
+                             "pos": pa.array([], type=pa.int64()),
+                             "win": pa.array([], type=pa.string())})
+        return pl.concat(outs).to_arrow()
+
+    wins = ds.map_batches(window_rows, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by("win")
+                .agg(pl.len().cast(pl.Int64).alias("c")).to_arrow())
+
+    partials = wins.map_batches(count_partial, batch_format="pyarrow")
+    limit = (config.BROADCAST_DUP_LIMIT if broadcast_limit is None
+             else broadcast_limit)  # own knob: tests force THIS branch
+    # without also forcing semi_join's internal broadcast-vs-join choice
+    if wins.count() <= limit:
+        folded = (pl.DataFrame(partials.take_all()).group_by("win")
+                  .agg(pl.col("c").sum()).filter(pl.col("c") > 1))
+        multi = set(folded["win"].to_list())
+        ref = ray.put(multi)
+
+        def keep_multi(t: pa.Table) -> pa.Table:
+            m = ray.get(ref) if not isinstance(ref, set) else ref
+            df = pl.from_arrow(t)
+            return df.filter(pl.col("win").is_in(list(m)) if m
+                             else pl.lit(False)).to_arrow()
+
+        return wins.map_batches(keep_multi, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    multi_ds = (partials.groupby("win").aggregate(Sum("c", alias_name="c"))
+                .map_batches(lambda t: (
+                    t.filter(pa.compute.greater(t["c"], 1))
+                    .select(["win"])
+                    if "c" in t.column_names else
+                    pa.table({"win": pa.array([], type=pa.string())})),
+                    batch_format="pyarrow"))
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    return semi_join(wins, multi_ds, on="win")

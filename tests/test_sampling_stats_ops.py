@@ -223,3 +223,39 @@ def test_q3_fallback_path_matches_driver_combine(ray_session, monkeypatch):
     monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
     got = entrymod.queries()["q3_shipping"](sf)
     assert got.equals(want)
+
+
+def test_repeated_passages_planted(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import repeated_passages
+
+    shared = "A" * 40                      # window-aligned cross-doc repeat
+    inner = "b" * 40
+    rows = [
+        {"doc_id": 1, "text": shared + "x" * 30},        # window @1 repeats
+        {"doc_id": 2, "text": shared + "y" * 45},        # window @1 repeats
+        {"doc_id": 3, "text": inner + inner},            # @1 and @41 repeat
+        {"doc_id": 4, "text": "unique " * 20},           # no repeats
+        {"doc_id": 5, "text": "short"},                  # < win chars
+        {"doc_id": 6, "text": None},                     # null text
+        {"doc_id": 7, "text": "é" * 40 + "z" * 40},      # unicode chars
+        {"doc_id": 8, "text": "q" * 39 + "é" * 41},      # é-window @41
+    ]
+    got = sorted((r["id"], r["pos"]) for r in
+                 repeated_passages(rd.from_items(rows), "doc_id", "text",
+                                   win=40, stride=40).take_all())
+    # doc7 window @41 is "z"*40 (unique); doc7 @1 = é*40; doc8 @41 = é*40 →
+    # the two é windows repeat ACROSS docs at different positions
+    want = [(1, 1), (2, 1), (3, 1), (3, 41), (7, 1), (8, 41)]
+    assert got == want
+
+    # distributed fallback (groupby + semi_join) must select the same
+    # rows; broadcast_limit=0 forces only the outer branch — semi_join keeps
+    # its own cardinality choice (its join path on a 3-key set would hit the
+    # documented Ray 2.49 empty-hash-partition ArrowInvalid)
+    got2 = sorted((r["id"], r["pos"]) for r in
+                  repeated_passages(rd.from_items(rows), "doc_id", "text",
+                                    win=40, stride=40,
+                                    broadcast_limit=0).take_all())
+    assert got2 == want
