@@ -344,6 +344,22 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, q, cb, k=5, nprobe=4).select(["query_id", "id"])
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (billion-vector scale path: m uint8 codes
+    per vector, ADC LUT scan — rows-only for the driver; the harness gates
+    recall@k vs the DuckDB exact top-k oracle)."""
+    import numpy as np
+
+    from data_quality_framework_ray.pipelines.similarity import (pq_topk,
+                                                                 train_pq)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq(ds, m=8, nbits=6)
+    qrows = ds.take(3)
+    q = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    return pq_topk(ds, q, books, k=5).select(["query_id", "id"])
+
+
 def _q_langid_documents(sf_dir: str):
     """Language ID over documents (model op — rows-only check)."""
     from data_quality_framework_ray.pipelines.text_analysis import with_langid
@@ -1432,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "langid_documents": _q_langid_documents,
         "fingerprints": _q_fingerprints,
         "dedup_minhash": _q_minhash_dedup,

@@ -151,3 +151,135 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *,
     # at the merge (a query only accepts ids from its probed cells)
     full = brute_force_topk(subset, qn, emb_col=emb_col, id_col=id_col, k=k)
     return full
+
+
+# ---------------- PQ (billion-vector scale path) ----------------
+
+def train_pq(ds, emb_col: str = "embedding", m: int = 8, nbits: int = 6,
+             sample: int = 2048, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, 2**nbits, d/m): split the
+    (normalized) vector into m subspaces and run seeded mini k-means per
+    subspace on a sample (driver numpy; codebooks total m·2^nbits·d/m =
+    2^nbits·d floats — kilobytes). Compression is d·4 bytes → m bytes per
+    vector: the ADC scan touches 32× less memory than raw floats at
+    d=64/m=8, which is the entire point at 10^9 rows."""
+    sample_rows = ds.random_sample(min(1.0, sample / max(ds.count(), 1)),
+                                   seed=seed).limit(sample).take_all()
+    x = _norm_rows(np.stack([np.asarray(r[emb_col])
+                             for r in sample_rows]).astype(np.float64))
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    ncent = 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ncent, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=min(ncent, len(xs)),
+                             replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[j, :len(cent)] = cent
+        if len(cent) < ncent:  # duplicate-pad when the sample is tiny
+            books[j, len(cent):] = cent[0]
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding"):
+    """Append ``pq_code`` (list<uint8>, m bytes/vector): nearest centroid
+    per subspace, one vectorized distance matrix per subspace per batch."""
+    import ray
+
+    cb_ref = ray.put(codebooks)
+
+    def f(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
+        m, ncent, sub = cb.shape
+        emb = _norm_rows(np.stack(batch[emb_col].to_pandas().to_numpy())
+                         .astype(np.float64))
+        codes = np.zeros((len(emb), m), dtype=np.uint8)
+        for j in range(m):
+            xs = emb[:, j * sub:(j + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over centroids
+            d2 = -2.0 * (xs @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        off = np.arange(0, (len(emb) + 1) * m, m, dtype=np.int32)
+        col = pa.ListArray.from_arrays(pa.array(off),
+                                       pa.array(codes.reshape(-1)))
+        return batch.append_column("pq_code", col)
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+
+
+def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
+            emb_col: str = "embedding", id_col: str = "vec_id",
+            k: int = 10, refine_factor: int = 10) -> pa.Table:
+    """Approximate cosine top-k by asymmetric distance computation: per
+    batch, build the (m, nq, 2^nbits) query→centroid LUT once, then score
+    every encoded row with m uint8 gathers — no float vector is touched
+    after encoding in the scan. Partial top-k + the same merge as
+    brute_force_topk, followed by an EXACT re-rank of each query's ADC
+    top-``k·refine_factor`` candidates (one broadcast-filtered pass fetches
+    only candidate vectors — nq·k·refine_factor rows, independent of corpus
+    size): quantization error is larger than the neighbor gaps on
+    weakly-clustered corpora, and refine is the standard IVFADC+R fix."""
+    import ray
+
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    m, ncent, sub = codebooks.shape
+    lut = np.stack([qn[:, j * sub:(j + 1) * sub] @ codebooks[j].T
+                    for j in range(m)])  # (m, nq, ncent)
+    lut_ref = ray.put(lut)
+    encoded = pq_encode(ds, codebooks, emb_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref) if not isinstance(lut_ref, np.ndarray) else lut_ref
+        mm, nq, _ = lt.shape
+        codes = np.stack(batch["pq_code"].to_pandas().to_numpy())  # (rows, m)
+        ids = np.asarray(batch[id_col].to_pandas())
+        sims = np.zeros((nq, len(codes)))
+        for j in range(mm):
+            sims += lt[j][:, codes[:, j]]
+        kk = min(kr, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = idx.reshape(-1)
+        return pa.table({"query_id": rows.astype(np.int64),
+                         "id": ids[cols],
+                         "score": sims[rows, cols]})
+
+    kr = max(k, k * refine_factor)
+    partials = encoded.map_batches(score, batch_format="pyarrow",
+                                   batch_size=config.TEXT_BATCH_SIZE)
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "id": pa.array([], type=pa.string()),
+                         "score": pa.array([], type=pa.float64())})
+    flat = pa.concat_tables(tabs)
+    cand = _rank_topk(flat["query_id"].to_numpy(),
+                      np.asarray(flat["id"].to_pandas()),
+                      flat["score"].to_numpy(), kr)
+
+    # exact re-rank: fetch ONLY the candidate vectors (streamed is_in filter)
+    cand_ids = pc.unique(cand["id"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_ids)),
+        batch_format="pyarrow").select_columns([id_col, emb_col]).take_all()
+    by_id = {r[id_col]: _norm_rows(np.asarray(r[emb_col], dtype=np.float64)
+                                   [None, :])[0] for r in sub}
+    qid = cand["query_id"].to_numpy()
+    cids = np.asarray(cand["id"].to_pandas())
+    exact = np.fromiter(
+        (float(qn[q] @ by_id[i]) for q, i in zip(qid, cids)),
+        dtype=np.float64, count=len(qid))  # nq·kr pairs — tiny by contract
+    return _rank_topk(qid, cids, exact, k)

@@ -174,3 +174,36 @@ def test_brute_force_topk_distributed_merge_nq200(ray_session, monkeypatch):
     dist = similarity.brute_force_topk(ds, q, k=5).to_pylist()
     assert dist == driver
     assert len(dist) == 200 * 5
+
+
+def test_pq_topk_recall_on_clustered_corpus(ray_session):
+    """PQ + exact refine must recover the exact top-k on a corpus with
+    planted clusters (and the encode must be a real 8-byte code per row)."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.similarity import (
+        brute_force_topk, pq_encode, pq_topk, train_pq)
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(5, 64))
+    rows = []
+    for i in range(400):
+        c = centers[i % 5]
+        rows.append({"vec_id": i,
+                     "embedding": (c + 0.1 * rng.normal(size=64)).tolist()})
+    ds = rd.from_items(rows)
+    books = train_pq(ds, m=8, nbits=6, seed=3)
+    assert books.shape == (8, 64, 8)
+
+    enc = pq_encode(ds, books).take(2)
+    assert all(len(r["pq_code"]) == 8 for r in enc)
+
+    # 80 near-identical members per cluster: the ADC ordering inside a
+    # cluster is noise, so the refine window must cover the whole cluster
+    q = np.stack([np.asarray(rows[i]["embedding"]) for i in (0, 1)])
+    got = pq_topk(ds, q, books, k=5, refine_factor=20)
+    want = brute_force_topk(ds, q, k=5)
+    gp = set(zip(got["query_id"].to_pylist(), got["id"].to_pylist()))
+    wp = set(zip(want["query_id"].to_pylist(), want["id"].to_pylist()))
+    assert len(gp & wp) / len(wp) >= 0.9
