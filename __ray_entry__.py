@@ -1349,6 +1349,56 @@ def _q_repeated_passages(sf_dir: str):
         .sort_by([("doc_id", "ascending"), ("pos", "ascending")]))
 
 
+def _q_rolling_mean(sf_dir: str):
+    """Per-user 3-row moving average of event values ordered by (ts,
+    event_id) — ROWS-frame window aggregate: one hash exchange on user_id,
+    then a vectorized polars rolling_mean per partition."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (join_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("avg3", pa.float64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+              .with_columns(pl.col("value")
+                            .rolling_mean(window_size=3, min_samples=1)
+                            .over("user_id").alias("avg3")))
+        return df.select(["user_id", "event_id", "avg3"]).to_arrow() \
+            .cast(out_schema)
+
+    out = part_shuffle(ds, "user_id", kernel, out_schema, join_partitions())
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
+def _q_unpivot(sf_dir: str):
+    """UNPIVOT/melt: part (p_size, p_retailprice) → long (p_partkey,
+    attribute, value) — pure per-batch reshape, no shuffle."""
+    import polars as pl
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(pl.col("p_size").cast(pl.Float64))
+              .unpivot(index="p_partkey", on=["p_size", "p_retailprice"],
+                       variable_name="attribute", value_name="value"))
+        return df.to_arrow().cast(pa.schema([
+            ("p_partkey", pa.int64()), ("attribute", pa.string()),
+            ("value", pa.float64())]))
+
+    out = ds.map_batches(melt, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("p_partkey", "ascending"), ("attribute", "ascending")])
+
+
 def _q_psi_drift(sf_dir: str):
     """Population Stability Index between order-status cohorts F and O over
     o_totalprice (distribution drift) — one streaming partials pass, driver
@@ -1498,6 +1548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": _q_psi_drift,
         "heavy_hitters": _q_heavy_hitters,
         "repeated_passages": _q_repeated_passages,
+        "rolling_mean": _q_rolling_mean,
+        "unpivot": _q_unpivot,
     }
 
 
@@ -1892,6 +1944,18 @@ def oracle_sql() -> dict[str, str]:
             " WHERE win IN (SELECT win FROM wx GROUP BY win"
             "               HAVING count(*) > 1)"
             " ORDER BY doc_id, pos"),
+        "rolling_mean": (
+            "SELECT user_id, event_id,"
+            " avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3"
+            " FROM events ORDER BY user_id, event_id"),
+        "unpivot": (
+            "SELECT p_partkey, attribute, value FROM ("
+            " SELECT p_partkey, 'p_size' AS attribute,"
+            "  CAST(p_size AS DOUBLE) AS value FROM part"
+            " UNION ALL"
+            " SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)"
+            " ORDER BY p_partkey, attribute"),
     }
 
 
