@@ -1169,6 +1169,79 @@ def _q_audio_stats(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
 
 
+def _q_audio_normalize(sf_dir: str):
+    """Loudness normalization transform (gain to target RMS, standardize to
+    pcm16): per-fragment tasks decode → gain → re-encode; only per-clip
+    scalars (gain_db, output length) leave the stage. Gated in the harness
+    by an independent audioop/numpy recomputation on sampled clips."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec"])
+            out = A.normalize_loudness_batch(t, target_rms=0.1)
+            outs.append(pa.table({
+                "clip_id": out["clip_id"],
+                "gain_db": out["gain_db"],
+                "out_bytes": pc.fill_null(
+                    pc.binary_length(out["bytes"]), -1).cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+
+
+def _q_audio_trim(sf_dir: str):
+    """Silence-trimming transform (energy-gate VAD bounds, standardize to
+    pcm16): per-fragment tasks; per-clip scalars only. Gated in the harness
+    by an independent recomputation on sampled clips."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            out = A.trim_silence_batch(t)
+            outs.append(pa.table({
+                "clip_id": out["clip_id"],
+                "trim_start_ms": out["trim_start_ms"],
+                "trim_end_ms": out["trim_end_ms"],
+                "out_bytes": pc.fill_null(
+                    pc.binary_length(out["bytes"]), -1).cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents containing any snippet of
     the (deterministic stand-in) benchmark set as a substring. Snippets are
@@ -1550,6 +1623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_passages": _q_repeated_passages,
         "rolling_mean": _q_rolling_mean,
         "unpivot": _q_unpivot,
+        "audio_normalize": _q_audio_normalize,
+        "audio_trim": _q_audio_trim,
     }
 
 

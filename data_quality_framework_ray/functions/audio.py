@@ -296,3 +296,111 @@ def encode(x: np.ndarray, codec: str) -> bytes:
     if codec == "alaw":
         return audioop.lin2alaw(pcm_bytes, 2)
     raise ValueError(codec)
+
+
+# ---- transform kernels: loudness + trimming (engine-side, audioop-free) ----
+
+def normalize_loudness_batch(batch: pa.Table, *, target_rms: float = 0.1,
+                             max_gain: float = 100.0) -> pa.Table:
+    """Gain every clip to ``target_rms`` (clipping-safe) and STANDARDIZE the
+    codec to pcm16 — the usual 'make the corpus uniform' preprocessing step
+    before ASR training. Per-row O(row) temporaries (same memory contract as
+    decode_stats); silent/null/unknown-codec rows pass through with
+    gain_db = NaN and empty pcm16 bytes.
+
+    Output columns: ``bytes`` (replaced, pcm16), ``codec`` (replaced,
+    'pcm16'), ``gain_db`` (applied gain in dB)."""
+    n = batch.num_rows
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    gain_db = np.full(n, np.nan, dtype=np.float64)
+    out_bytes: list = [None] * n
+
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        for i in range(len(offsets) - 1):
+            r = row_base + i
+            codec = codec_np[r]
+            if not valid[i] or codec not in CODEC_BPS:
+                continue
+            pcm = _decode_span(data, int(offsets[i]), int(offsets[i + 1]),
+                               codec)
+            if pcm is None or len(pcm) == 0:
+                out_bytes[r] = b""
+                continue
+            rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+            if rms <= 0.0:
+                out_bytes[r] = encode_pcm16(pcm)
+                continue
+            g = min(target_rms / rms, max_gain)
+            gain_db[r] = 20.0 * np.log10(g)
+            out_bytes[r] = encode_pcm16(np.clip(pcm * g, -1.0, 1.0))
+        row_base += len(offsets) - 1
+
+    return (batch.drop_columns(["bytes", "codec"])
+            .append_column("bytes", pa.array(out_bytes, type=pa.binary()))
+            .append_column("codec", pa.array(["pcm16"] * n))
+            .append_column("gain_db", pa.array(gain_db, type=pa.float64())))
+
+
+def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
+                       sr_col: str = "sr_hz") -> pa.Table:
+    """Strip leading/trailing silence using the SAME energy-gate framing as
+    vad_segments (one source of truth for 'speech'): keep the span from the
+    first active segment's start to the last one's end; all-silent clips
+    become empty. Output is standardized pcm16; adds ``trim_start_ms`` /
+    ``trim_end_ms`` (amount removed per side, NaN for undecodable rows)."""
+    n = batch.num_rows
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    sr_np = np.asarray(batch[sr_col].to_pandas(), dtype="float64")
+    start_ms = np.full(n, np.nan, dtype=np.float64)
+    end_ms = np.full(n, np.nan, dtype=np.float64)
+    out_bytes: list = [None] * n
+
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        for i in range(len(offsets) - 1):
+            r = row_base + i
+            codec = codec_np[r]
+            sr = sr_np[r]
+            if not valid[i] or codec not in CODEC_BPS or not sr > 0:
+                continue
+            pcm = _decode_span(data, int(offsets[i]), int(offsets[i + 1]),
+                               codec)
+            if pcm is None:
+                continue
+            segs = vad_segments(pcm, int(sr), threshold_db=threshold_db)
+            dur_ms = len(pcm) * 1000.0 / sr
+            if not segs:
+                out_bytes[r] = b""
+                start_ms[r] = dur_ms
+                end_ms[r] = 0.0
+                continue
+            s_ms, e_ms = segs[0][0], segs[-1][1]
+            s = int(s_ms * sr / 1000.0)
+            e = min(int(np.ceil(e_ms * sr / 1000.0)), len(pcm))
+            out_bytes[r] = encode_pcm16(pcm[s:e])
+            start_ms[r] = s_ms
+            end_ms[r] = max(dur_ms - e_ms, 0.0)
+        row_base += len(offsets) - 1
+
+    return (batch.drop_columns(["bytes", "codec"])
+            .append_column("bytes", pa.array(out_bytes, type=pa.binary()))
+            .append_column("codec", pa.array(["pcm16"] * n))
+            .append_column("trim_start_ms", pa.array(start_ms))
+            .append_column("trim_end_ms", pa.array(end_ms)))
+
+
+def _decode_span(data: np.ndarray, s: int, e: int, codec: str):
+    """Decode one row's byte span with the LUT/view kernels (float32)."""
+    if codec == "pcm16":
+        e = s + ((e - s) // 2) * 2
+        if e <= s:
+            return np.zeros(0, dtype=np.float32)
+        raw = data[s:e]
+        if s % 2:
+            raw = np.frombuffer(raw.tobytes(), dtype=np.uint8)
+        pcm = raw.view("<i2").astype(np.float32)
+        pcm /= np.float32(32768.0)
+        return pcm
+    table = _F32_ULAW if codec == "ulaw" else _F32_ALAW
+    return table[data[s:e]]

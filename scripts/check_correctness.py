@@ -176,6 +176,146 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} all clustered pairs share "
                       f">=50% token bags [{el:.1f}s]")
             continue
+        if name == "audio_normalize":
+            # gate: sampled independent recomputation — audioop decode, pure
+            # float gain math; engine gain_db within 1e-6 dB and output byte
+            # length == 2×samples (pcm16 standardization)
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                    columns=["clip_id", "bytes", "codec"])
+            by_id = {c: (g, o) for c, g, o in
+                     zip(got["clip_id"], got["gain_db"], got["out_bytes"])}
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw"):
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
+                g_got, o_got = by_id[cid]
+                checked += 1
+                if len(x) == 0:
+                    if o_got != 0:
+                        bad += 1
+                    continue
+                rms = float(_np.sqrt(_np.mean(x ** 2)))
+                if rms <= 0:
+                    want_g, want_o = None, 2 * len(x)
+                else:
+                    want_g = 20.0 * _np.log10(min(0.1 / rms, 100.0))
+                    want_o = 2 * len(x)
+                ok_g = (g_got is None or (isinstance(g_got, float)
+                                          and g_got != g_got)) \
+                    if want_g is None else (g_got is not None
+                                            and abs(g_got - want_g) < 1e-5)
+                if not ok_g or o_got != want_o:
+                    bad += 1
+            if checked < 10 or bad:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips diverge "
+                      "from independent gain recomputation")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled gain/length ≡ "
+                      f"audioop recomputation ({checked} clips) [{el:.1f}s]")
+            continue
+        if name == "audio_trim":
+            # gate: sampled independent recomputation of the VAD bounds via
+            # the engine-independent frame loop (same as speech_ratio's gate)
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(
+                fragment_paths(clips_dir)[0],
+                columns=["clip_id", "bytes", "codec", "sr_hz"])
+            by_id = {c: (s, e, o) for c, s, e, o in
+                     zip(got["clip_id"], got["trim_start_ms"],
+                         got["trim_end_ms"], got["out_bytes"])}
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                sr = t0_tbl["sr_hz"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw") \
+                        or not sr:
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
+                frame = max(int(sr * 25 / 1000), 1)
+                hop = max(int(sr * 10 / 1000), 1)
+                if len(x) < frame:
+                    continue
+                gate_amp = 10.0 ** (-35.0 / 20.0)
+                e = [float(_np.sqrt(_np.mean(x[s:s + frame] ** 2)))
+                     for s in range(0, len(x) - frame + 1, hop)]
+                active = [v > gate_amp for v in e]
+                checked += 1
+                s_got, e_got, o_got = by_id[cid]
+                dur_ms = len(x) * 1000.0 / sr
+                if not any(active):
+                    if not (o_got == 0 and abs(s_got - dur_ms) < 1e-6
+                            and e_got == 0.0):
+                        bad += 1
+                    continue
+                # independent run-merge (mirror of the documented semantics)
+                segs, cur = [], None
+                for fi, a in enumerate(active):
+                    if a and cur is None:
+                        cur = [fi, fi + 1]
+                    elif a:
+                        cur[1] = fi + 1
+                    elif cur is not None and fi - cur[1] >= 3:
+                        segs.append(cur)
+                        cur = None
+                if cur is not None:
+                    segs.append(cur)
+                segs = [sg for sg in segs if sg[1] - sg[0] >= 2]
+                if not segs:
+                    if o_got != 0:
+                        bad += 1
+                    continue
+                want_s = int(segs[0][0] * hop * 1000 / sr)
+                want_e_ms = int(((segs[-1][1] - 1) * hop + frame) * 1000 / sr)
+                ws = int(want_s * sr / 1000.0)
+                we = min(int(_np.ceil(want_e_ms * sr / 1000.0)), len(x))
+                if (abs(s_got - want_s) > 1e-6
+                        or abs(e_got - max(dur_ms - want_e_ms, 0.0)) > 1e-6
+                        or o_got != 2 * (we - ws)):
+                    bad += 1
+            if checked < 10 or bad:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips diverge "
+                      "from independent VAD-bound recomputation")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled trim bounds ≡ "
+                      f"independent recomputation ({checked} clips) [{el:.1f}s]")
+            continue
         if name == "speech_ratio":
             # gate: sampled independent recomputation — stdlib audioop decode
             # + naive frame-RMS loop must match the engine's value

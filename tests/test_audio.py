@@ -187,3 +187,63 @@ def test_spectral_features_flag_and_properties():
     assert full["spectral_flatness"][0] < 0.05
     # noise: flat spectrum
     assert full["spectral_flatness"][1] > 0.5
+
+
+def test_normalize_loudness_batch_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions import audio as A
+
+    x = 0.05 * np.sin(np.arange(2000) * 0.05)
+    rows = [
+        {"clip_id": "quiet", "bytes": A.encode(x, "ulaw"), "codec": "ulaw"},
+        {"clip_id": "silent", "bytes": A.encode(np.zeros(100), "pcm16"),
+         "codec": "pcm16"},
+        {"clip_id": "null", "bytes": None, "codec": "pcm16"},
+        {"clip_id": "unk", "bytes": b"ab", "codec": "opus"},
+        {"clip_id": "empty", "bytes": b"", "codec": "pcm16"},
+    ]
+    out = A.normalize_loudness_batch(pa.Table.from_pylist(rows),
+                                     target_rms=0.1)
+    got = {r["clip_id"]: r for r in out.to_pylist()}
+    # quiet clip: output decodes to RMS ≈ 0.1 and is pcm16
+    y = A.decode_one(got["quiet"]["bytes"], "pcm16")
+    assert abs(float(np.sqrt(np.mean(y.astype(np.float64) ** 2))) - 0.1) < 2e-3
+    assert got["quiet"]["gain_db"] > 0 and got["quiet"]["codec"] == "pcm16"
+    # silent: passthrough length, NaN gain
+    assert len(got["silent"]["bytes"]) == 200
+    assert got["silent"]["gain_db"] is None or np.isnan(got["silent"]["gain_db"])
+    assert got["null"]["bytes"] is None
+    assert got["unk"]["bytes"] is None  # unknown codec untouched
+    assert got["empty"]["bytes"] == b""
+
+
+def test_trim_silence_batch_bounds():
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions import audio as A
+
+    sr = 8000
+    sil = np.zeros(sr // 2)                      # 500 ms silence
+    speech = 0.5 * np.sin(np.arange(sr) * 0.3)   # 1 s tone
+    x = np.concatenate([sil, speech, sil])
+    rows = [
+        {"clip_id": "pad", "bytes": A.encode(x, "pcm16"), "codec": "pcm16",
+         "sr_hz": sr},
+        {"clip_id": "allsil", "bytes": A.encode(np.zeros(sr), "pcm16"),
+         "codec": "pcm16", "sr_hz": sr},
+    ]
+    out = A.trim_silence_batch(pa.Table.from_pylist(rows))
+    got = {r["clip_id"]: r for r in out.to_pylist()}
+    p = got["pad"]
+    assert 400 <= p["trim_start_ms"] <= 520  # ~500 ms each side
+    assert 380 <= p["trim_end_ms"] <= 520
+    y = A.decode_one(p["bytes"], "pcm16")
+    # trimmed audio keeps (nearly) all the speech energy
+    assert abs(len(y) - len(speech)) < sr // 5
+    assert float(np.sqrt(np.mean(y.astype(np.float64) ** 2))) > 0.2
+    a = got["allsil"]
+    assert a["bytes"] == b"" and a["trim_end_ms"] == 0.0
+    assert abs(a["trim_start_ms"] - 1000.0) < 1e-6
