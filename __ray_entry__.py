@@ -1472,6 +1472,65 @@ def _q_unpivot(sf_dir: str):
         [("p_partkey", "ascending"), ("attribute", "ascending")])
 
 
+def _q_string_agg(sf_dir: str):
+    """Ordered string aggregation per group (region → '|'-joined nation
+    names, name order): one hash exchange, polars join per partition."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import part_shuffle
+
+    ds = _read(sf_dir, "nation", ["n_regionkey", "n_name"])
+    out_schema = pa.schema([("n_regionkey", pa.int32()),
+                            ("nations", pa.string())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).sort(["n_regionkey", "n_name"])
+              .group_by("n_regionkey", maintain_order=True)
+              .agg(pl.col("n_name").str.join("|").alias("nations")))
+        return df.to_arrow().cast(out_schema)
+
+    out = part_shuffle(ds, "n_regionkey", kernel, out_schema, 4)
+    return pa.Table.from_pylist(out.take_all()).sort_by("n_regionkey")
+
+
+def _q_count_distinct_grouped(sf_dir: str):
+    """count(DISTINCT suppkey) per returnflag: per-batch distinct pairs →
+    one groupby over the (tiny) distinct pair set → exact counts."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["l_returnflag", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow")
+    # second distinct over the union of per-batch partials, then count
+    dedup = pairs.groupby(["l_returnflag", "l_suppkey"]).aggregate(
+        Count(alias_name="__c"))
+    out = (dedup.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n_supp")))
+    return pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+
+
+def _q_regex_extract(sf_dir: str):
+    """Regex group extraction: split p_name 'adjective noun' into columns
+    with one vectorized Arrow extract per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["p_name"],
+                              pattern=r"^(?P<adj>\S+) (?P<noun>\S+)$")
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "adj": pc.struct_field(ex, "adj"),
+                         "noun": pc.struct_field(ex, "noun")})
+
+    out = ds.map_batches(f, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all()).sort_by("p_partkey")
+
+
 def _q_psi_drift(sf_dir: str):
     """Population Stability Index between order-status cohorts F and O over
     o_totalprice (distribution drift) — one streaming partials pass, driver
@@ -1625,6 +1684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot": _q_unpivot,
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
+        "string_agg": _q_string_agg,
+        "count_distinct_grouped": _q_count_distinct_grouped,
+        "regex_extract": _q_regex_extract,
     }
 
 
@@ -2031,6 +2093,19 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL"
             " SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)"
             " ORDER BY p_partkey, attribute"),
+        "string_agg": (
+            "SELECT n_regionkey,"
+            " string_agg(n_name, '|' ORDER BY n_name) AS nations"
+            " FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+        "count_distinct_grouped": (
+            "SELECT l_returnflag,"
+            " count(DISTINCT l_suppkey) AS n_supp FROM lineitem"
+            " GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "regex_extract": (
+            "SELECT p_partkey,"
+            " regexp_extract(p_name, '^(\\S+) (\\S+)$', 1) AS adj,"
+            " regexp_extract(p_name, '^(\\S+) (\\S+)$', 2) AS noun"
+            " FROM part ORDER BY p_partkey"),
     }
 
 
