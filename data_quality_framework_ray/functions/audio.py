@@ -305,15 +305,20 @@ def normalize_loudness_batch(batch: pa.Table, *, target_rms: float = 0.1,
     """Gain every clip to ``target_rms`` (clipping-safe) and STANDARDIZE the
     codec to pcm16 — the usual 'make the corpus uniform' preprocessing step
     before ASR training. Per-row O(row) temporaries (same memory contract as
-    decode_stats); silent/null/unknown-codec rows pass through with
-    gain_db = NaN and empty pcm16 bytes.
+    decode_stats).
 
-    Output columns: ``bytes`` (replaced, pcm16), ``codec`` (replaced,
-    'pcm16'), ``gain_db`` (applied gain in dB)."""
+    Rows that cannot be decoded (null bytes, unknown codec) KEEP their
+    original bytes and codec untouched — a transform must never silently
+    destroy payloads it does not understand; silent decodable rows
+    re-encode unchanged. ``gain_db`` is NaN wherever no gain was applied.
+
+    Output columns: ``bytes`` (pcm16 for transformed rows, original
+    otherwise), ``codec`` ('pcm16' or the original), ``gain_db``."""
     n = batch.num_rows
     codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
     gain_db = np.full(n, np.nan, dtype=np.float64)
     out_bytes: list = [None] * n
+    touched = np.zeros(n, dtype=bool)
 
     row_base = 0
     for data, offsets, valid in binary_column_buffers(batch["bytes"]):
@@ -321,9 +326,10 @@ def normalize_loudness_batch(batch: pa.Table, *, target_rms: float = 0.1,
             r = row_base + i
             codec = codec_np[r]
             if not valid[i] or codec not in CODEC_BPS:
-                continue
+                continue  # undecodable: original bytes+codec pass through
             pcm = _decode_span(data, int(offsets[i]), int(offsets[i + 1]),
                                codec)
+            touched[r] = True
             if pcm is None or len(pcm) == 0:
                 out_bytes[r] = b""
                 continue
@@ -336,10 +342,21 @@ def normalize_loudness_batch(batch: pa.Table, *, target_rms: float = 0.1,
             out_bytes[r] = encode_pcm16(np.clip(pcm * g, -1.0, 1.0))
         row_base += len(offsets) - 1
 
-    return (batch.drop_columns(["bytes", "codec"])
-            .append_column("bytes", pa.array(out_bytes, type=pa.binary()))
-            .append_column("codec", pa.array(["pcm16"] * n))
+    return (_replace_payload(batch, out_bytes, touched)
             .append_column("gain_db", pa.array(gain_db, type=pa.float64())))
+
+
+def _replace_payload(batch: pa.Table, out_bytes: list,
+                     touched: np.ndarray) -> pa.Table:
+    """Swap in transformed pcm16 bytes where ``touched``; preserve the
+    original bytes and codec everywhere else."""
+    orig_b = batch["bytes"].to_pylist()
+    orig_c = batch["codec"].to_pylist()
+    merged_b = [ob if t else o for ob, o, t in zip(out_bytes, orig_b, touched)]
+    merged_c = ["pcm16" if t else o for o, t in zip(orig_c, touched)]
+    return (batch.drop_columns(["bytes", "codec"])
+            .append_column("bytes", pa.array(merged_b, type=pa.binary()))
+            .append_column("codec", pa.array(merged_c, type=pa.string())))
 
 
 def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
@@ -347,14 +364,17 @@ def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
     """Strip leading/trailing silence using the SAME energy-gate framing as
     vad_segments (one source of truth for 'speech'): keep the span from the
     first active segment's start to the last one's end; all-silent clips
-    become empty. Output is standardized pcm16; adds ``trim_start_ms`` /
-    ``trim_end_ms`` (amount removed per side, NaN for undecodable rows)."""
+    become empty. Transformed output is standardized pcm16; undecodable rows
+    (null bytes, unknown codec, sr<=0) keep their original bytes and codec
+    with NaN trim columns, and clips TOO SHORT to frame (< 2 VAD frames)
+    pass through untrimmed (0/0) rather than being misread as silence."""
     n = batch.num_rows
     codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
     sr_np = np.asarray(batch[sr_col].to_pandas(), dtype="float64")
     start_ms = np.full(n, np.nan, dtype=np.float64)
     end_ms = np.full(n, np.nan, dtype=np.float64)
     out_bytes: list = [None] * n
+    touched = np.zeros(n, dtype=bool)
 
     row_base = 0
     for data, offsets, valid in binary_column_buffers(batch["bytes"]):
@@ -368,8 +388,16 @@ def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
                                codec)
             if pcm is None:
                 continue
-            segs = vad_segments(pcm, int(sr), threshold_db=threshold_db)
+            touched[r] = True
             dur_ms = len(pcm) * 1000.0 / sr
+            frame = max(int(sr * 25 / 1000), 1)
+            hop = max(int(sr * 10 / 1000), 1)
+            if len(pcm) < frame + hop:  # < 2 frames: unanalyzable, keep all
+                out_bytes[r] = encode_pcm16(pcm)
+                start_ms[r] = 0.0
+                end_ms[r] = 0.0
+                continue
+            segs = vad_segments(pcm, int(sr), threshold_db=threshold_db)
             if not segs:
                 out_bytes[r] = b""
                 start_ms[r] = dur_ms
@@ -383,9 +411,7 @@ def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
             end_ms[r] = max(dur_ms - e_ms, 0.0)
         row_base += len(offsets) - 1
 
-    return (batch.drop_columns(["bytes", "codec"])
-            .append_column("bytes", pa.array(out_bytes, type=pa.binary()))
-            .append_column("codec", pa.array(["pcm16"] * n))
+    return (_replace_payload(batch, out_bytes, touched)
             .append_column("trim_start_ms", pa.array(start_ms))
             .append_column("trim_end_ms", pa.array(end_ms)))
 

@@ -1223,16 +1223,23 @@ def repeated_passages(ds, id_col: str, text_col: str,
              else broadcast_limit)  # own knob: tests force THIS branch
     # without also forcing semi_join's internal broadcast-vs-join choice
     if wins.count() <= limit:
-        folded = (pl.DataFrame(partials.take_all()).group_by("win")
+        rows = partials.take_all()
+        if not rows:  # zero windows (all docs shorter than win / null)
+            return wins  # already-empty dataset with the right schema
+        folded = (pl.DataFrame(rows).group_by("win")
                   .agg(pl.col("c").sum()).filter(pl.col("c") > 1))
-        multi = set(folded["win"].to_list())
-        ref = ray.put(multi)
+        # broadcast ONE Arrow array and filter with vectorized pc.is_in
+        # (the same shape joins.semi_join's broadcast path uses)
+        multi_arr = folded["win"].to_arrow().cast(pa.string())
+        ref = ray.put(multi_arr)
 
         def keep_multi(t: pa.Table) -> pa.Table:
-            m = ray.get(ref) if not isinstance(ref, set) else ref
-            df = pl.from_arrow(t)
-            return df.filter(pl.col("win").is_in(list(m)) if m
-                             else pl.lit(False)).to_arrow()
+            import pyarrow.compute as pc
+
+            m = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+            if len(m) == 0:
+                return t.slice(0, 0)
+            return t.filter(pc.is_in(t["win"], value_set=m))
 
         return wins.map_batches(keep_multi, batch_format="pyarrow")
 

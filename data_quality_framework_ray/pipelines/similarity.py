@@ -200,6 +200,10 @@ def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding"):
     def f(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
         m, ncent, sub = cb.shape
+        if batch.num_rows == 0:  # empty block (upstream filter)
+            off0 = pa.array(np.zeros(1, dtype=np.int32))
+            return batch.append_column("pq_code", pa.ListArray.from_arrays(
+                off0, pa.array([], type=pa.uint8())))
         emb = _norm_rows(np.stack(batch[emb_col].to_pandas().to_numpy())
                          .astype(np.float64))
         codes = np.zeros((len(emb), m), dtype=np.uint8)
@@ -241,6 +245,10 @@ def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
     def score(batch: pa.Table) -> pa.Table:
         lt = ray.get(lut_ref) if not isinstance(lut_ref, np.ndarray) else lut_ref
         mm, nq, _ = lt.shape
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "id": pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
         codes = np.stack(batch["pq_code"].to_pandas().to_numpy())  # (rows, m)
         ids = np.asarray(batch[id_col].to_pandas())
         sims = np.zeros((nq, len(codes)))
@@ -256,9 +264,21 @@ def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
 
     kr = max(k, k * refine_factor)
     partials = encoded.map_batches(score, batch_format="pyarrow",
-                                   batch_size=config.TEXT_BATCH_SIZE)
+                                   batch_size=config.TEXT_BATCH_SIZE) \
+        .materialize()
     import pyarrow.compute as pc
     import ray as _ray
+
+    if partials.count() > config.TOPK_MERGE_LIMIT:
+        # same worker-side merge as brute_force_topk: the driver then
+        # receives exactly nq × kr candidate rows, not O(n_blocks)
+        def merge_group(g: pa.Table) -> pa.Table:
+            return _rank_topk(g["query_id"].to_numpy(),
+                              np.asarray(g["id"].to_pandas()),
+                              g["score"].to_numpy(), kr)
+
+        partials = partials.groupby("query_id").map_groups(
+            merge_group, batch_format="pyarrow").materialize()
 
     tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tabs:

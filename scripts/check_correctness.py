@@ -30,6 +30,22 @@ def to_pandas(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
+def _recall_gate(name, got, con, oracles, canon, threshold, el):
+    """Shared gate for lossy ANN paths: recall@k of (id, query_id) pairs vs
+    the independent DuckDB exact top-k oracle. Returns True on failure."""
+    exact = canon(con.execute(oracles["ann_topk"]).df())
+    want_pairs = set(map(tuple, exact[["id", "query_id"]].values))
+    got_pairs = set(map(tuple, got[["id", "query_id"]].values))
+    recall = len(got_pairs & want_pairs) / max(len(want_pairs), 1)
+    if recall < threshold:
+        print(f"FAIL {name}: recall {recall:.2f} < {threshold} vs "
+              "DuckDB exact top-k oracle")
+        return True
+    print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
+          f"vs DuckDB exact top-k oracle [{el:.1f}s]")
+    return False
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -72,37 +88,12 @@ def main() -> None:
             n_fail += 1
             continue
         el = time.time() - t0
-        if name == "ann_pq":
-            # PQ is lossy by design: gate recall@k vs the independent DuckDB
-            # exact top-k oracle at 0.8 (m=8 × 64 centroids on d=64 leaves
-            # ample margin; measured 1.00 at this corpus)
-            exact = canon(con.execute(oracles["ann_topk"]).df())
-            want_pairs = set(map(tuple, exact[["id", "query_id"]].values))
-            got_pairs = set(map(tuple, got[["id", "query_id"]].values))
-            recall = len(got_pairs & want_pairs) / max(len(want_pairs), 1)
-            if recall < 0.8:
-                print(f"FAIL {name}: PQ recall {recall:.2f} < 0.8 vs "
-                      "DuckDB exact top-k oracle")
+        if name in ("ann_pq", "ann_ivf"):
+            # lossy-by-design paths: PQ gated at 0.8 (ADC + exact refine;
+            # measured 1.00 here), IVF at 0.9 (nprobe fixed by the query)
+            if _recall_gate(name, got, con, oracles, canon,
+                            0.8 if name == "ann_pq" else 0.9, el):
                 n_fail += 1
-            else:
-                print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
-                      f"vs DuckDB exact top-k oracle [{el:.1f}s]")
-            continue
-        if name == "ann_ivf":
-            # approximate op: recall@k vs the INDEPENDENT DuckDB exact
-            # top-k oracle (not the engine's own exact path — round-2
-            # verdict #7), gated at 0.9 with nprobe fixed by the query
-            exact = canon(con.execute(oracles["ann_topk"]).df())
-            want_pairs = set(map(tuple, exact[["id", "query_id"]].values))
-            got_pairs = set(map(tuple, got[["id", "query_id"]].values))
-            recall = len(got_pairs & want_pairs) / max(len(want_pairs), 1)
-            if recall < 0.9:
-                print(f"FAIL {name}: IVF recall {recall:.2f} < 0.9 vs "
-                      "DuckDB exact top-k oracle")
-                n_fail += 1
-            else:
-                print(f"ok   {name}: rows={len(got)} recall={recall:.2f} "
-                      f"vs DuckDB exact top-k oracle [{el:.1f}s]")
             continue
         if name == "fingerprints":
             # property gate (no SQL oracle — the rolling hash is engine-
@@ -269,15 +260,20 @@ def main() -> None:
                 x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
                 frame = max(int(sr * 25 / 1000), 1)
                 hop = max(int(sr * 10 / 1000), 1)
-                if len(x) < frame:
+                s_got, e_got, o_got = by_id[cid]
+                dur_ms = len(x) * 1000.0 / sr
+                if len(x) < frame + hop:
+                    # engine passes too-short clips through untrimmed
+                    checked += 1
+                    if not (o_got == 2 * len(x) and s_got == 0.0
+                            and e_got == 0.0):
+                        bad += 1
                     continue
                 gate_amp = 10.0 ** (-35.0 / 20.0)
                 e = [float(_np.sqrt(_np.mean(x[s:s + frame] ** 2)))
                      for s in range(0, len(x) - frame + 1, hop)]
                 active = [v > gate_amp for v in e]
                 checked += 1
-                s_got, e_got, o_got = by_id[cid]
-                dur_ms = len(x) * 1000.0 / sr
                 if not any(active):
                     if not (o_got == 0 and abs(s_got - dur_ms) < 1e-6
                             and e_got == 0.0):
@@ -290,7 +286,9 @@ def main() -> None:
                         cur = [fi, fi + 1]
                     elif a:
                         cur[1] = fi + 1
-                    elif cur is not None and fi - cur[1] >= 3:
+                    # engine splits at gap >= min_gap_frames = 3: at inactive
+                    # frame fi the gap length so far is fi - cur[1] + 1
+                    elif cur is not None and fi - cur[1] + 1 >= 3:
                         segs.append(cur)
                         cur = None
                 if cur is not None:

@@ -214,9 +214,10 @@ def test_normalize_loudness_batch_edges():
     # silent: passthrough length, NaN gain
     assert len(got["silent"]["bytes"]) == 200
     assert got["silent"]["gain_db"] is None or np.isnan(got["silent"]["gain_db"])
-    assert got["null"]["bytes"] is None
-    assert got["unk"]["bytes"] is None  # unknown codec untouched
-    assert got["empty"]["bytes"] == b""
+    assert got["null"]["bytes"] is None and got["null"]["codec"] == "pcm16"
+    # unknown codec: ORIGINAL bytes and codec preserved (no data loss)
+    assert got["unk"]["bytes"] == b"ab" and got["unk"]["codec"] == "opus"
+    assert got["empty"]["bytes"] == b"" and got["empty"]["codec"] == "pcm16"
 
 
 def test_trim_silence_batch_bounds():
@@ -247,3 +248,27 @@ def test_trim_silence_batch_bounds():
     a = got["allsil"]
     assert a["bytes"] == b"" and a["trim_end_ms"] == 0.0
     assert abs(a["trim_start_ms"] - 1000.0) < 1e-6
+
+
+def test_trim_silence_short_and_undecodable_passthrough():
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions import audio as A
+
+    sr = 8000
+    short_loud = 0.5 * np.sin(np.arange(int(sr * 0.030)) * 0.3)  # 30 ms
+    rows = [
+        {"clip_id": "short", "bytes": A.encode(short_loud, "pcm16"),
+         "codec": "pcm16", "sr_hz": sr},
+        {"clip_id": "unk", "bytes": b"xyz", "codec": "opus", "sr_hz": sr},
+    ]
+    out = A.trim_silence_batch(pa.Table.from_pylist(rows))
+    got = {r["clip_id"]: r for r in out.to_pylist()}
+    s = got["short"]
+    # too short to frame: untouched audio, zero trim — NOT misread as silence
+    assert len(s["bytes"]) == 2 * len(short_loud)
+    assert s["trim_start_ms"] == 0.0 and s["trim_end_ms"] == 0.0
+    u = got["unk"]
+    assert u["bytes"] == b"xyz" and u["codec"] == "opus"
+    assert u["trim_start_ms"] is None or np.isnan(u["trim_start_ms"])

@@ -259,3 +259,14 @@ def test_repeated_passages_planted(ray_session, monkeypatch):
                                     win=40, stride=40,
                                     broadcast_limit=0).take_all())
     assert got2 == want
+
+
+def test_repeated_passages_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import repeated_passages
+
+    rows = [{"doc_id": 1, "text": "tiny"}, {"doc_id": 2, "text": None}]
+    out = repeated_passages(rd.from_items(rows), "doc_id", "text",
+                            win=40, stride=40)
+    assert out.count() == 0
