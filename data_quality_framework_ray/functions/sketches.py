@@ -178,9 +178,13 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
     token/id columns by a wide margin; a violation surfaces as an oracle
     mismatch, never silently).
 
-    Returns a pyarrow Table (value, n) ordered by n desc, value asc."""
-    import polars as pl
+    Above ``BROADCAST_DUP_LIMIT`` total partial rows (≈ blocks × capacity
+    — the driver-fold funnel at millions of blocks) the fallback is one hash
+    groupby over the partials (exact global counts, since hash partitioning
+    co-locates every copy of a value) + per-block partial top-k: the driver
+    then merges ≤ k rows per block of the ALREADY-globally-counted table.
 
+    Returns a pyarrow Table (value, n) ordered by n desc, value asc."""
     from data_quality_framework_ray import config
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -195,8 +199,15 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
         return pa.table({"value": pa.array(u, type=batch[col].type),
                          "n": c.astype(np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE).take_all()
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE).materialize()
+    if parts_ds.count() > config.BROADCAST_DUP_LIMIT:
+        return _heavy_hitters_distributed(parts_ds, k)
+
+    import ray
+
+    parts = [r for t in ray.get(parts_ds.to_arrow_refs())
+             for r in t.to_pylist()]
     batch_counts: dict = {}
     for r in parts:
         batch_counts[r["value"]] = batch_counts.get(r["value"], 0) + r["n"]
@@ -205,8 +216,6 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
     if not cand:
         return pa.table({"value": pa.array([], type=pa.string()),
                          "n": pa.array([], type=pa.int64())})
-
-    import ray
 
     cand_arr = pa.array(cand)
     ref = ray.put(cand_arr)
@@ -230,3 +239,28 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pa.table({"value": pa.array([v for v, _ in top]),
                      "n": pa.array([n for _, n in top], type=pa.int64())})
+
+
+def _heavy_hitters_distributed(parts_ds, k: int):
+    """Exact distributed top-k over (value, n) partials: hash groupby gives
+    exact global counts per value; each output block then reduces to its own
+    top-k (n desc, value asc) so the driver merges ≤ k rows per block."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    agg = parts_ds.groupby("value").aggregate(Sum("n", alias_name="n"))
+
+    def blk_topk(t: pa.Table) -> pa.Table:
+        if "value" not in t.column_names or t.num_rows == 0:
+            return pa.table({"value": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("value", "ascending")])
+        return t.take(order[:k]).select(["value", "n"])
+
+    tops = agg.map_batches(blk_topk, batch_format="pyarrow").take_all()
+    rows = sorted(((r["value"], int(r["n"])) for r in tops),
+                  key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({"value": pa.array([v for v, _ in rows]),
+                     "n": pa.array([n for _, n in rows], type=pa.int64())})

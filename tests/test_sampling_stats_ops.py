@@ -270,3 +270,19 @@ def test_repeated_passages_empty_corpus(ray_session):
     out = repeated_passages(rd.from_items(rows), "doc_id", "text",
                             win=40, stride=40)
     assert out.count() == 0
+
+
+def test_heavy_hitters_distributed_fallback(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.functions.sketches import heavy_hitters
+
+    rows = [{"v": f"hot{i}"} for i in range(3) for _ in range(100 - 10 * i)]
+    rows += [{"v": f"n{i}"} for i in range(50)]
+    want = heavy_hitters(rd.from_items(rows).repartition(6), "v", k=3)
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    got = heavy_hitters(rd.from_items(rows).repartition(6), "v", k=3)
+    assert got.to_pylist() == want.to_pylist() == [
+        {"value": "hot0", "n": 100}, {"value": "hot1", "n": 90},
+        {"value": "hot2", "n": 80}]
