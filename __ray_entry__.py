@@ -1242,6 +1242,51 @@ def _q_audio_trim(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
 
 
+def _q_audio_dup_groups(sf_dir: str):
+    """Audio CONTENT dedup: codec-invariant spectral-envelope fingerprints
+    (sign-of-frame-energy-delta, Chromaprint-lite) grouped into clusters —
+    catches the same audio re-encoded through a different codec, which the
+    flagship's byte-level content hash cannot. Gated in the harness against
+    the datagen's planted dup_of truth (recall must be 1.0)."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            out = A.audio_fingerprint_batch(t)
+            outs.append(out.select(["clip_id", "audio_fp", "fp_frames"]))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    rows = ds.map_batches(per_fragment, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    df = pl.DataFrame(rows).drop_nulls(["audio_fp"])
+    # clusters keyed on (fp, frames); rep = min clip_id; singletons dropped
+    g = (df.group_by(["audio_fp", "fp_frames"])
+         .agg(pl.col("clip_id").sort().alias("members"))
+         .filter(pl.col("members").list.len() > 1))
+    out_rows = []
+    for members in g["members"].to_list():
+        rep = members[0]
+        out_rows.extend({"clip_id": m, "cluster_rep": rep} for m in members)
+    return pa.Table.from_pylist(sorted(out_rows, key=lambda r: r["clip_id"]),
+                                schema=pa.schema([
+                                    ("clip_id", pa.string()),
+                                    ("cluster_rep", pa.string())]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents containing any snippet of
     the (deterministic stand-in) benchmark set as a substring. Snippets are
@@ -1684,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot": _q_unpivot,
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
+        "audio_dup_groups": _q_audio_dup_groups,
         "string_agg": _q_string_agg,
         "count_distinct_grouped": _q_count_distinct_grouped,
         "regex_extract": _q_regex_extract,

@@ -167,6 +167,40 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} all clustered pairs share "
                       f">=50% token bags [{el:.1f}s]")
             continue
+        if name == "audio_dup_groups":
+            # gate: every planted (dup, source) pair from the datagen truth
+            # must share a cluster (recall 1.0 — planted dups are bit-exact
+            # copies, so the codec-invariant fingerprint MUST catch them);
+            # determinism across runs
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            truth_files = sorted(_glob.glob(os.path.join(clips_dir,
+                                                         "_truth_*.parquet")))
+            pairs = []
+            for tf in truth_files:
+                tt = _pq.read_table(tf, columns=["clip_id", "dup_of"])
+                for cid, src in zip(tt["clip_id"].to_pylist(),
+                                    tt["dup_of"].to_pylist()):
+                    if src is not None:
+                        pairs.append((cid, src))
+            rep = dict(zip(got["clip_id"], got["cluster_rep"]))
+            missed = sum(1 for a, b in pairs
+                         if rep.get(a) is None or rep.get(a) != rep.get(b))
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            if missed or not det or not pairs:
+                print(f"FAIL {name}: {missed}/{len(pairs)} planted dup pairs "
+                      f"not co-clustered (deterministic={det})")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} all {len(pairs)} planted "
+                      f"dup pairs co-clustered, deterministic [{el:.1f}s]")
+            continue
         if name == "audio_normalize":
             # gate: sampled independent recomputation — audioop decode, pure
             # float gain math; engine gain_db within 1e-6 dB and output byte

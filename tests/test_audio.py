@@ -272,3 +272,42 @@ def test_trim_silence_short_and_undecodable_passthrough():
     u = got["unk"]
     assert u["bytes"] == b"xyz" and u["codec"] == "opus"
     assert u["trim_start_ms"] is None or np.isnan(u["trim_start_ms"])
+
+
+def test_audio_fingerprint_codec_invariance():
+    """The SAME audio encoded as pcm16 vs ulaw must produce the SAME
+    fingerprint (byte hashes differ — this is the property that makes the
+    fingerprint an audio-content dedup key); different audio must differ."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions import audio as A
+
+    rng = np.random.default_rng(21)
+    sr = 8000
+    x = 0.4 * np.sin(np.arange(sr * 2) * 0.05) \
+        + 0.2 * np.sin(np.arange(sr * 2) * 0.013)
+    y = 0.4 * rng.standard_normal(sr * 2)
+    rows = [
+        {"clip_id": "x_pcm", "bytes": A.encode(x, "pcm16"),
+         "codec": "pcm16", "sr_hz": sr},
+        {"clip_id": "x_ulaw", "bytes": A.encode(x, "ulaw"),
+         "codec": "ulaw", "sr_hz": sr},
+        {"clip_id": "x_alaw", "bytes": A.encode(x, "alaw"),
+         "codec": "alaw", "sr_hz": sr},
+        {"clip_id": "y_pcm", "bytes": A.encode(y, "pcm16"),
+         "codec": "pcm16", "sr_hz": sr},
+        {"clip_id": "undec", "bytes": b"opaque-bytes", "codec": "mp3",
+         "sr_hz": sr},
+        {"clip_id": "undec2", "bytes": b"opaque-bytes", "codec": "mp3",
+         "sr_hz": sr},
+        {"clip_id": "nul", "bytes": None, "codec": "pcm16", "sr_hz": sr},
+    ]
+    out = A.audio_fingerprint_batch(pa.Table.from_pylist(rows))
+    got = {r["clip_id"]: (r["audio_fp"], r["fp_frames"])
+           for r in out.to_pylist()}
+    assert got["x_pcm"] == got["x_ulaw"] == got["x_alaw"]  # codec-invariant
+    assert got["x_pcm"] != got["y_pcm"]                     # content-sensitive
+    # byte-identical undecodables co-key with fp_frames = -1
+    assert got["undec"] == got["undec2"] and got["undec"][1] == -1
+    assert got["nul"] == (None, None)
