@@ -1517,6 +1517,35 @@ def _q_unpivot(sf_dir: str):
         [("p_partkey", "ascending"), ("attribute", "ascending")])
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """CDC-style diff of two deterministic derivations of orders (old =
+    keys %7≠0; new = keys %3≠0 with price +10 on %5==0): one full-outer
+    hash join with presence markers → added/removed/changed rows only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import snapshot_diff
+
+    def derive(pred, bump: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            p = t["o_totalprice"].to_numpy(zero_copy_only=False).copy()
+            if bump:
+                p[k % 5 == 0] += 10.0
+            keep = pred(k)
+            return pa.table({"o_orderkey": k[keep],
+                             "o_totalprice": p[keep]})
+        return f
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    old = base.map_batches(derive(lambda k: k % 7 != 0, False),
+                           batch_format="pyarrow")
+    new = base.map_batches(derive(lambda k: k % 3 != 0, True),
+                           batch_format="pyarrow")
+    out = snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+    return pa.Table.from_pylist(out.take_all()).sort_by("o_orderkey")
+
+
 def _q_string_agg(sf_dir: str):
     """Ordered string aggregation per group (region → '|'-joined nation
     names, name order): one hash exchange, polars join per partition."""
@@ -1730,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
         "audio_dup_groups": _q_audio_dup_groups,
+        "snapshot_diff": _q_snapshot_diff,
         "string_agg": _q_string_agg,
         "count_distinct_grouped": _q_count_distinct_grouped,
         "regex_extract": _q_regex_extract,
@@ -2147,6 +2177,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag,"
             " count(DISTINCT l_suppkey) AS n_supp FROM lineitem"
             " GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "snapshot_diff": (
+            "SELECT o_orderkey, CASE"
+            " WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0 THEN 'added'"
+            " WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0 THEN 'removed'"
+            " ELSE 'changed' END AS change"
+            " FROM orders"
+            " WHERE (o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0)"
+            "    OR (o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)"
+            "    OR (o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0"
+            "        AND o_orderkey % 5 = 0)"
+            " ORDER BY o_orderkey"),
         "regex_extract": (
             "SELECT p_partkey,"
             " regexp_extract(p_name, '^(\\S+) (\\S+)$', 1) AS adj,"

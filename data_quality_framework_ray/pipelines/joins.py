@@ -310,3 +310,57 @@ def asof_join_prev(ds, key: str, ts: str, value_cols: list[str] | None = None,
     return (ds.map_batches(add_part, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE)
             .groupby("__part").map_groups(per_part, batch_format="pyarrow"))
+
+
+def snapshot_diff(old, new, key: str, compare_cols: list[str],
+                  num_partitions: int | None = None):
+    """CDC-style diff of two table versions keyed on ``key``: one
+    hash-partitioned FULL OUTER join with presence markers, then a
+    vectorized per-batch classify into ``added`` / ``removed`` /
+    ``changed`` (unchanged rows are dropped — the diff is small even when
+    the tables are not). NULL-safe value compare (NULL vs NULL is
+    unchanged, NULL vs value is changed — SQL IS DISTINCT FROM semantics).
+
+    Returns a Dataset with (key, change)."""
+    import pyarrow.compute as pc
+
+    lcols = {c: f"{c}__old" for c in compare_cols}
+    rcols = {c: f"{c}__new" for c in compare_cols}
+
+    def mark(rename: dict, flag: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+            return t.append_column(flag, pa.array(
+                np.ones(t.num_rows, dtype=np.int8)))
+        return f
+
+    l = old.select_columns([key] + compare_cols).map_batches(
+        mark(lcols, "__l"), batch_format="pyarrow")
+    r = new.select_columns([key] + compare_cols).map_batches(
+        mark(rcols, "__r"), batch_format="pyarrow")
+    j = hash_join(l, r, on=key, join_type="full_outer",
+                  num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        if key not in t.column_names or t.num_rows == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             "change": pa.array([], type=pa.string())})
+        in_l = pc.is_valid(t["__l"]).to_numpy(zero_copy_only=False)
+        in_r = pc.is_valid(t["__r"]).to_numpy(zero_copy_only=False)
+        changed = np.zeros(t.num_rows, dtype=bool)
+        both = in_l & in_r
+        for c in compare_cols:
+            a, b = t[f"{c}__old"], t[f"{c}__new"]
+            neq = pc.or_kleene(
+                pc.not_equal(a, b),
+                pc.xor(pc.is_null(a), pc.is_null(b)))
+            changed |= pc.fill_null(neq, False).to_numpy(
+                zero_copy_only=False) & both
+        lab = np.where(~in_l, "added", np.where(~in_r, "removed",
+                                                np.where(changed, "changed",
+                                                         "")))
+        keep = lab != ""
+        return pa.table({key: t[key].filter(pa.array(keep)),
+                         "change": pa.array(lab[keep], type=pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -151,3 +151,27 @@ def test_distinct_set_ops_both_combines(ray_session):
     assert norm(shuffled.take_all()) == want
     driver = distinct_set_ops(left, "s", right, "s", combine="driver")
     assert norm(driver.to_pylist()) == want
+
+
+def test_snapshot_diff_null_semantics(ray_session):
+    """IS DISTINCT FROM value compare: NULL↔NULL unchanged, NULL↔value
+    changed; added/removed classified by presence markers, unchanged rows
+    dropped."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import snapshot_diff
+
+    old = rd.from_items([
+        {"k": 1, "v": 1.0}, {"k": 2, "v": None}, {"k": 3, "v": 3.0},
+        {"k": 4, "v": None}, {"k": 5, "v": 5.0}])
+    new = rd.from_items([
+        {"k": 1, "v": 1.0},          # unchanged → dropped
+        {"k": 2, "v": None},         # NULL == NULL → unchanged → dropped
+        {"k": 3, "v": None},         # value → NULL → changed
+        {"k": 4, "v": 4.0},          # NULL → value → changed
+        {"k": 6, "v": 6.0}])         # added; k=5 removed
+    got = sorted((r["k"], r["change"]) for r in
+                 snapshot_diff(old, new, "k", ["v"],
+                               num_partitions=2).take_all())
+    assert got == [(3, "changed"), (4, "changed"), (5, "removed"),
+                   (6, "added")]
