@@ -1474,7 +1474,7 @@ def _q_rolling_mean(sf_dir: str):
     import polars as pl
     import pyarrow as pa
 
-    from data_quality_framework_ray.pipelines.exchange import (join_partitions,
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
                                                                part_shuffle)
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
@@ -1490,7 +1490,7 @@ def _q_rolling_mean(sf_dir: str):
         return df.select(["user_id", "event_id", "avg3"]).to_arrow() \
             .cast(out_schema)
 
-    out = part_shuffle(ds, "user_id", kernel, out_schema, join_partitions())
+    out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
     return pa.Table.from_pylist(out.take_all()).sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
 

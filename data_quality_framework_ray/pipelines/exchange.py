@@ -59,3 +59,21 @@ def part_shuffle(ds, key_col: str, kernel, out_schema: pa.Schema,
             .groupby("__part").map_groups(run, batch_format="pyarrow")
             .map_batches(lambda t: empty_safe(
                 t, out_schema.names[-1], out_schema), batch_format="pyarrow"))
+
+
+def data_partitions(ds, requested: int | None = None) -> int:
+    """Partition count sized to the DATA like hash_join's rule: one per
+    ~64 MB of input (read metadata estimate), clamped to [2, cluster CPUs].
+    Small inputs must not pay per-partition actor/task spawn for partitions
+    they don't need; huge inputs hit the CPU cap and stream."""
+    if requested:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    by_data = max(2, nbytes // (64 << 20)) if nbytes else cpus
+    return int(max(2, min(cpus, by_data)))
