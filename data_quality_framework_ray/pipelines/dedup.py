@@ -1123,42 +1123,37 @@ def fuzzy_value_pairs(ds, col: str, max_dist: int = 1):
     vocab entry fans out to len+1 variant keys. Only (variant, value) rows
     ever shuffle; candidate pairs are verified with one exact
     edit-distance check. Vocab is combined driver-side below
-    ``BROADCAST_DUP_LIMIT`` and the fan-out/bucket/verify runs there (tiny);
-    a larger vocab would reuse the hot-bucket groupby path of
-    ``_minhash_distributed`` — asserted rather than silently degraded.
+    ``BROADCAST_DUP_LIMIT``; above it :func:`_fuzzy_distributed` takes over
+    (variant fan-out per batch, one groupby(variant).map_groups for pair
+    emission + in-group levenshtein verify, distinct-pair reduce — nothing
+    vocab-sized on the driver).
 
     Returns a pyarrow Table (a, b) with a < b, sorted."""
     assert max_dist == 1, "symmetric-delete blocking implemented for d=1"
 
+    from ray.data.aggregate import Count
+
     def distinct_partial(t: pa.Table) -> pa.Table:
         return t.select([col]).group_by(col).aggregate([])
 
-    vals = ds.map_batches(distinct_partial, batch_format="pyarrow") \
-             .take_all()
-    vocab = sorted({r[col] for r in vals if r[col] is not None})
-    assert len(vocab) <= config.BROADCAST_DUP_LIMIT, \
-        "vocab exceeds driver combine limit — use the distributed bucket path"
+    vals_ds = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+               .groupby(col).aggregate(Count(alias_name="__c"))
+               .materialize())
+    if vals_ds.count() > config.BROADCAST_DUP_LIMIT:
+        return _fuzzy_distributed(vals_ds, col)
+
+    import ray as _ray
+
+    vocab = sorted({r[col] for t in _ray.get(vals_ds.to_arrow_refs())
+                    if col in t.column_names
+                    for r in t.select([col]).to_pylist()
+                    if r[col] is not None})
 
     buckets: dict[str, list[int]] = {}
     for i, v in enumerate(vocab):
         buckets.setdefault(v, []).append(i)
         for j in range(len(v)):
             buckets.setdefault(v[:j] + v[j + 1:], []).append(i)
-
-    def lev1(a: str, b: str) -> bool:
-        if a == b:
-            return False
-        la, lb = len(a), len(b)
-        if abs(la - lb) > 1:
-            return False
-        if la == lb:  # one substitution
-            return sum(x != y for x, y in zip(a, b)) == 1
-        if la > lb:
-            a, b, la, lb = b, a, lb, la
-        i = 0  # a is shorter: one deletion from b
-        while i < la and a[i] == b[i]:
-            i += 1
-        return a[i:] == b[i + 1:]
 
     cand = set()
     for members in buckets.values():
@@ -1167,9 +1162,80 @@ def fuzzy_value_pairs(ds, col: str, max_dist: int = 1):
                 for y in range(x + 1, len(members)):
                     cand.add((members[x], members[y]))
     pairs = sorted((vocab[i], vocab[j]) for i, j in cand
-                   if lev1(vocab[i], vocab[j]))
+                   if _lev1(vocab[i], vocab[j]))
     return pa.table({"a": pa.array([p[0] for p in pairs], type=pa.string()),
                      "b": pa.array([p[1] for p in pairs], type=pa.string())})
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Exact edit-distance-1 check (substitution / single insert-delete)."""
+    if a == b:
+        return False
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0  # a is shorter: one deletion from b
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _fuzzy_distributed(vals_ds, col: str) -> pa.Table:
+    """Distributed symmetric-delete matching for vocabularies too large to
+    fold on the driver: per-batch deletion-variant fan-out (len+1 small rows
+    per value), ONE groupby(variant).map_groups emitting in-bucket verified
+    pairs, then a distinct-pair reduce. The driver only receives the final
+    verified pairs (near-dup pairs are sparse in any real vocab)."""
+    from ray.data.aggregate import Count
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return pa.table({"variant": pa.array([], type=pa.string()),
+                             "value": pa.array([], type=pa.string())})
+        variants, values = [], []
+        for v in t[col].to_pylist():
+            if v is None:
+                continue
+            variants.append(v)
+            values.append(v)
+            for j in range(len(v)):
+                variants.append(v[:j] + v[j + 1:])
+                values.append(v)
+        return pa.table({"variant": pa.array(variants, type=pa.string()),
+                         "value": pa.array(values, type=pa.string())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        vals = sorted(set(g["value"].to_pylist()))
+        rows_a, rows_b = [], []
+        for x in range(len(vals)):
+            for y in range(x + 1, len(vals)):
+                if _lev1(vals[x], vals[y]):
+                    rows_a.append(vals[x])
+                    rows_b.append(vals[y])
+        return pa.table({"a": pa.array(rows_a, type=pa.string()),
+                         "b": pa.array(rows_b, type=pa.string())})
+
+    pairs = (vals_ds.map_batches(fanout, batch_format="pyarrow")
+             .groupby("variant").map_groups(bucket_pairs,
+                                            batch_format="pyarrow")
+             .map_batches(lambda t: _empty_safe(t, "a", pair_schema),
+                          batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="__c")))
+    import ray as _ray
+
+    tabs = [t.select(["a", "b"]) for t in _ray.get(pairs.to_arrow_refs())
+            if t.num_rows and "a" in t.column_names]
+    if not tabs:
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string())})
+    return pa.concat_tables(tabs).sort_by([("a", "ascending"),
+                                           ("b", "ascending")])
 
 
 def repeated_passages(ds, id_col: str, text_col: str,

@@ -286,3 +286,17 @@ def test_heavy_hitters_distributed_fallback(ray_session, monkeypatch):
     assert got.to_pylist() == want.to_pylist() == [
         {"value": "hot0", "n": 100}, {"value": "hot1", "n": 90},
         {"value": "hot2", "n": 80}]
+
+
+def test_fuzzy_distributed_fallback_matches_broadcast(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import fuzzy_value_pairs
+
+    vocab = ["cat", "cart", "bat", "dog", "dig", "elephant"] * 3
+    ds = rd.from_items([{"v": v} for v in vocab]).repartition(4)
+    want = fuzzy_value_pairs(ds, "v").to_pylist()
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    got = fuzzy_value_pairs(ds, "v").to_pylist()
+    assert got == want and len(want) == 3
