@@ -264,3 +264,82 @@ def _heavy_hitters_distributed(parts_ds, k: int):
                   key=lambda kv: (-kv[1], kv[0]))[:k]
     return pa.table({"value": pa.array([v for v, _ in rows]),
                      "n": pa.array([n for _, n in rows], type=pa.int64())})
+
+
+# ---------------- Bloom filter (mergeable; join pre-filter) ----------------
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes) for ``n_keys`` at false-positive rate
+    ``fpp`` (standard formulas), m rounded up to a byte multiple."""
+    import math
+
+    m = max(64, int(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / max(n_keys, 1) * math.log(2)))
+    return m, k
+
+
+def bloom_partial(col, m_bits: int, k: int) -> np.ndarray:
+    """Bit array (uint8[m_bits/8]) with this batch's keys set. Double
+    hashing h1 + i·h2 (Kirsch-Mitzenmacher) over the 128-bit content hash —
+    vectorized, one np.unique-free pass; nulls dropped. Partials from
+    different batches merge with bitwise OR (same shape as HLL)."""
+    from data_quality_framework_ray.functions.hashing import content_hash_128
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(col) == 0:
+        return bits
+    h1, h2 = content_hash_128(col)
+    h1 = h1.view(np.uint64)
+    h2 = h2.view(np.uint64)
+    for i in range(k):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for b in parts[1:]:
+        np.bitwise_or(out, b, out=out)
+    return out
+
+
+def bloom_contains(col, bits: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized membership test: True = maybe present (no false
+    negatives), False = definitely absent. Nulls → False."""
+    from data_quality_framework_ray.functions.hashing import content_hash_128
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = np.asarray(col.is_valid())
+    m_bits = np.uint64(len(bits) * 8)
+    h1, h2 = content_hash_128(col)
+    h1 = h1.view(np.uint64)
+    h2 = h2.view(np.uint64)
+    present = valid.copy()
+    for i in range(k):
+        idx = ((h1 + np.uint64(i) * h2) % m_bits).astype(np.int64)
+        present &= (bits[idx >> 3] & (np.uint8(1) << (idx & 7).astype(np.uint8))) != 0
+    return present
+
+
+def build_bloom(ds, col: str, n_keys_hint: int | None = None,
+                fpp: float = 0.01) -> tuple[np.ndarray, int]:
+    """Distributed Bloom build: per-batch bit-array partials OR-merged on
+    the driver (each partial is m/8 bytes regardless of batch size).
+    Returns (bits, k)."""
+    n = n_keys_hint or max(int(ds.count()), 1)
+    m_bits, k = bloom_params(n, fpp)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = bloom_partial(batch[col], m_bits, k)
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = [np.frombuffer(r["bits"], dtype=np.uint8) for r in rows]
+    return (bloom_merge(parts) if parts
+            else np.zeros(m_bits // 8, dtype=np.uint8)), k

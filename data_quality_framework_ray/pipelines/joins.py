@@ -141,6 +141,30 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
         return left.map_batches(bfilter, batch_format="pyarrow",
                                 batch_size=config.TEXT_BATCH_SIZE)
 
+    if not anti:
+        # Bloom pre-filter before the exchange: a 1%-fpp filter over even
+        # 5M keys is ~6 MB (broadcastable when the key SET is not), and
+        # bloom-absent left rows are DEFINITELY non-matching — dropping them
+        # here shrinks the join's all-to-all by the left miss rate with zero
+        # correctness risk (the exact join confirms the maybes). Anti keeps
+        # every row until the exact join, so no pre-filter there.
+        import ray
+
+        from data_quality_framework_ray.functions.sketches import (
+            bloom_contains, build_bloom)
+
+        bits, kh = build_bloom(keys.select_columns([right_on]), right_on,
+                               n_keys_hint=keys.count())
+        bref = ray.put(bits)
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            bb = ray.get(bref) if not isinstance(bref, np.ndarray) else bref
+            return batch.filter(pa.array(
+                bloom_contains(batch[on], bb, kh)))
+
+        left = left.map_batches(prefilter, batch_format="pyarrow",
+                                batch_size=config.TEXT_BATCH_SIZE)
+
     joined = left.join(keys, "left_outer", _join_partitions(num_partitions),
                        on=(on,), right_on=(right_on,))
 

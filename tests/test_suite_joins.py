@@ -175,3 +175,33 @@ def test_snapshot_diff_null_semantics(ray_session):
                                num_partitions=2).take_all())
     assert got == [(3, "changed"), (4, "changed"), (5, "removed"),
                    (6, "added")]
+
+
+def test_bloom_filter_properties_and_semi_join_path(ray_session, monkeypatch):
+    """Bloom: zero false negatives (hard guarantee), fpp within ~3x target;
+    semi_join's join path (forced via BROADCAST_DUP_LIMIT=0, which now runs
+    the bloom pre-filter) returns exactly the broadcast-path rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.functions.sketches import (bloom_contains,
+                                                               bloom_params,
+                                                               bloom_partial)
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    keys = pa.array([f"k{i}" for i in range(2000)])
+    m, k = bloom_params(2000, fpp=0.01)
+    bits = bloom_partial(keys, m, k)
+    assert bloom_contains(keys, bits, k).all()  # no false negatives
+    absent = pa.array([f"x{i}" for i in range(5000)])
+    fpp = bloom_contains(absent, bits, k).mean()
+    assert fpp < 0.03
+
+    left = rd.from_items([{"k": f"k{i}", "v": i} for i in range(0, 3000, 3)])
+    right = rd.from_items([{"k": f"k{i}"} for i in range(2000)])
+    want = sorted(r["v"] for r in semi_join(left, right, "k").take_all())
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    got = sorted(r["v"] for r in semi_join(left, right, "k").take_all())
+    assert got == want and len(want) == 667
