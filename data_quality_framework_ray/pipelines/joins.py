@@ -157,10 +157,24 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
                                n_keys_hint=keys.count())
         bref = ray.put(bits)
 
+        # content_hash_128 is integer-WIDTH-sensitive (int32 ≠ int64 hashes):
+        # an int32 left key probed against an int64-built Bloom yields false
+        # NEGATIVES — silently dropped matching rows. Cast the left key to the
+        # right key's (dictionary-decoded) type before probing; an unsafe cast
+        # raises loudly rather than mis-hashing. (ADVICE.md round 3.)
+        ks_ = keys.schema()
+        key_t = dict(zip(ks_.names, ks_.types))[right_on]
+        if pa.types.is_dictionary(key_t):
+            key_t = key_t.value_type
+
         def prefilter(batch: pa.Table) -> pa.Table:
             bb = ray.get(bref) if not isinstance(bref, np.ndarray) else bref
-            return batch.filter(pa.array(
-                bloom_contains(batch[on], bb, kh)))
+            col = batch[on]
+            if pa.types.is_dictionary(col.type):
+                col = col.cast(col.type.value_type)
+            if col.type != key_t:
+                col = col.cast(key_t)
+            return batch.filter(pa.array(bloom_contains(col, bb, kh)))
 
         left = left.map_batches(prefilter, batch_format="pyarrow",
                                 batch_size=config.TEXT_BATCH_SIZE)
@@ -236,10 +250,18 @@ def distinct_set_ops(left, left_col: str, right, right_col: str, *,
     r = right.select_columns([right_col]).map_batches(
         tagger(right_col, 1), batch_format="pyarrow")
 
+    ls = left.schema()
+    key_type = dict(zip(ls.names, ls.types))[left_col]
+
     if combine == "driver":
         import polars as pl
 
         parts = l.union(r).take_all()
+        if not parts:  # both sides empty: pl.DataFrame([]) has no columns
+            # to group_by (ADVICE.md round 3)
+            return pa.table({"value": pa.array([], type=key_type),
+                             "in_left": pa.array([], type=pa.bool_()),
+                             "in_right": pa.array([], type=pa.bool_())})
         df = (pl.DataFrame(parts).group_by("value")
               .agg(pl.col("side").min().alias("__mn"),
                    pl.col("side").max().alias("__mx")))
@@ -250,8 +272,6 @@ def distinct_set_ops(left, left_col: str, right, right_col: str, *,
     agg = (l.union(r).groupby("value")
            .aggregate(Min("side", alias_name="__mn"),
                       Max("side", alias_name="__mx")))
-    ls = left.schema()
-    key_type = dict(zip(ls.names, ls.types))[left_col]
 
     def classify(t: pa.Table) -> pa.Table:
         if "value" not in t.column_names:  # Ray schema-less empty block —
@@ -365,9 +385,17 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
     j = hash_join(l, r, on=key, join_type="full_outer",
                   num_partitions=num_partitions)
 
+    # Empty/schema-less hash-join partitions (Ray emits them whenever distinct
+    # keys < partitions) must produce blocks whose key type matches the data
+    # blocks — derive it from old's schema, never hardcode (a string key with
+    # a hardcoded int64 empty block fails the downstream union/take_all; same
+    # class of bug as distinct_set_ops' classify, fixed round 3).
+    os_ = old.schema()
+    key_type = dict(zip(os_.names, os_.types))[key]
+
     def classify(t: pa.Table) -> pa.Table:
         if key not in t.column_names or t.num_rows == 0:
-            return pa.table({key: pa.array([], type=pa.int64()),
+            return pa.table({key: pa.array([], type=key_type),
                              "change": pa.array([], type=pa.string())})
         in_l = pc.is_valid(t["__l"]).to_numpy(zero_copy_only=False)
         in_r = pc.is_valid(t["__r"]).to_numpy(zero_copy_only=False)

@@ -351,7 +351,11 @@ def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
         is_dup = np.zeros(n, dtype=bool)
     else:
         left = pl.from_arrow(batch.select(["h1", "h2", "clip_id"]))
-        merged = left.join(pl.from_arrow(dups), on=["h1", "h2"], how="left")
+        # is_dup is applied POSITIONALLY to the original batch below, so the
+        # join must preserve left row order — polars does not contractually
+        # guarantee it without maintain_order (ADVICE.md round 3)
+        merged = left.join(pl.from_arrow(dups), on=["h1", "h2"], how="left",
+                           maintain_order="left")
         is_dup = (merged["winner"].is_not_null()
                   & (merged["winner"] != merged["clip_id"])).to_numpy()
 

@@ -205,6 +205,11 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
 
     parts = ds.map_batches(partials, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).take_all()
+    if not parts:  # empty/all-null input: pl.DataFrame([]) has no columns
+        # to group_by (ADVICE.md round 3) — return the typed empty result
+        s_ = ds.schema()
+        return pa.table({key: pa.array([], type=dict(zip(s_.names, s_.types))[key]),
+                         "n_outliers": pa.array([], type=pa.int64())})
     agg = (pl.DataFrame(parts).group_by(key)
            .agg(pl.col("n").sum(), pl.col("s").sum(), pl.col("ss").sum()))
     n = agg["n"].to_numpy().astype(np.float64)
@@ -256,6 +261,9 @@ def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
 
     parts = ds.map_batches(partials, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).take_all()
+    if not parts:  # empty/all-NaN input (ADVICE.md round 3)
+        return pa.table({"bin": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
     out = (pl.DataFrame(parts).group_by("bin")
            .agg(pl.col("n").sum()).sort("bin"))
     return out.to_arrow()
@@ -290,6 +298,10 @@ def psi_binned(ds, col: str, group_col: str, base_key, cur_key,
 
     parts = ds.map_batches(partials, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).take_all()
+    if not parts:  # empty input (ADVICE.md round 3)
+        f64 = pa.array([], type=pa.float64())
+        return pa.table({"bin": pa.array([], type=pa.int64()),
+                         "p_base": f64, "p_cur": f64, "contrib": f64})
     df = (pl.DataFrame(parts).group_by(["bin", "g"])
           .agg(pl.col("n").sum())
           .pivot(values="n", index="bin", on="g")
