@@ -28,7 +28,19 @@ MERSENNE61 = (1 << 61) - 1
 
 def content_hash_128(*cols: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """128-bit content hash of the row-wise tuple of columns (string/binary ok,
-    nulls hash as empty). Returns two int64 arrays (reinterpreted uint64)."""
+    nulls hash as empty). Returns two int64 arrays (reinterpreted uint64).
+
+    Hashes are LOGICAL-value hashes, invariant to Arrow physical encoding:
+    dictionary-encoded columns are decoded first (polars would otherwise hash
+    the categorical, not the value — a dictionary-encoded parquet fragment of
+    the same data would hash differently from a plain one, silently breaking
+    exact dedup and Bloom membership across fragments; round-3 ADVICE.md).
+    Integer WIDTH still matters (int32 ≠ int64 hashes) — callers comparing
+    hashes across two datasets must cast keys to a common type first (see
+    pipelines/joins.py semi_join)."""
+    cols = tuple(
+        c.cast(c.type.value_type) if pa.types.is_dictionary(c.type) else c
+        for c in cols)
     df = pl.from_arrow(pa.table({f"c{i}": c for i, c in enumerate(cols)}))
     df = df.with_columns(pl.col(c).fill_null(pl.lit(b"" if df[c].dtype == pl.Binary else "")) for c in df.columns)
     h1 = df.hash_rows(seed=11).to_numpy().view(np.int64)
@@ -100,6 +112,36 @@ def token_hashes(text) -> tuple[np.ndarray, np.ndarray]:
                        "tok": s.str.extract_all(TOKEN_RE)})
     ex = df.explode("tok").drop_nulls("tok")
     h = ex.select(pl.col("tok").hash(seed=7)).to_series().to_numpy().astype(np.uint64)
+    rows = ex["row"].to_numpy()
+    counts = np.bincount(rows, minlength=len(s)).astype(np.int64)
+    row_offsets = np.zeros(len(s) + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_offsets[1:])
+    return h, row_offsets
+
+
+def token_hashes_md5(text) -> tuple[np.ndarray, np.ndarray]:
+    """Like token_hashes but the per-token hash is DuckDB's
+    ``md5_number_lower`` (last 8 md5 digest bytes, little-endian) — the one
+    token hash both numpy AND an ANSI-SQL oracle can compute, which is what
+    lets dedup_simhash carry a full DuckDB values-MATCH oracle instead of a
+    property gate (round-3 verdict item #2). md5 runs once per UNIQUE token
+    (vocab-sized Python loop), then a polars join fans values back out to
+    token positions — the per-occurrence path stays vectorized."""
+    import hashlib
+
+    s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
+    df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64),
+                       "tok": s.str.extract_all(TOKEN_RE)})
+    ex = df.explode("tok").drop_nulls("tok")
+    uniq = ex["tok"].unique()
+    lut = pl.DataFrame({
+        "tok": uniq,
+        "h": np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little")
+             for u in uniq.to_list()),
+            dtype=np.uint64, count=len(uniq))})
+    ex = ex.join(lut, on="tok", how="left", maintain_order="left")
+    h = ex["h"].to_numpy().astype(np.uint64)
     rows = ex["row"].to_numpy()
     counts = np.bincount(rows, minlength=len(s)).astype(np.int64)
     row_offsets = np.zeros(len(s) + 1, dtype=np.int64)

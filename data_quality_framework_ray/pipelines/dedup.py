@@ -842,7 +842,8 @@ def near_dedup_filter(ds, id_col: str, cluster_map):
 # ---------------- SimHash ----------------
 
 def simhash_dup_groups(ds, text_col: str, id_col: str, *,
-                       hamming_max: int = 3, as_dataset: bool = False):
+                       hamming_max: int = 3, as_dataset: bool = False,
+                       hasher: str = "polars"):
     """64-bit SimHash near-dup. 4×16-bit bands guarantee CO-BUCKETING for
     hamming distance ≤ 3 (pigeonhole over 4 bands); candidate pairs are ALL
     within-bucket pairs (capped at MAX_PAIRS_PER_BUCKET), so the recall
@@ -853,17 +854,23 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 
     The sim value rides along in the band rows, so verification is one
     vectorized XOR-popcount — driver-side under BROADCAST_DUP_LIMIT
-    memberships, inside per-bucket map_groups above it."""
+    memberships, inside per-bucket map_groups above it.
+
+    hasher: "polars" (default, fastest) or "md5" (DuckDB
+    ``md5_number_lower``-compatible token hash — same clusters are then
+    recomputable by a pure-SQL oracle; see __ray_entry__ dedup_simhash)."""
     import polars as pl
     import ray
 
+    token_hash_fn = (H.token_hashes_md5 if hasher == "md5"
+                     else H.token_hashes)
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
 
     def _done(comp: dict):
         return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
 
     def sim_stage(batch: pa.Table) -> pa.Table:
-        th, off = H.token_hashes(batch[text_col])
+        th, off = token_hash_fn(batch[text_col])
         s = H.simhash64(th, off)
         ids = batch[id_col].to_pandas().to_numpy()
         n = len(ids)

@@ -144,29 +144,6 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} en_rate={en_rate:.3f} "
                       f"deterministic [{el:.1f}s]")
             continue
-        if name == "dedup_simhash":
-            # gate: every clustered (member, rep) pair has heavy TOKEN-BAG
-            # overlap (unigram Jaccard >= 0.5) — the property hamming<=3 on
-            # a token-unigram simhash actually implies (simhash is order-
-            # insensitive, so word-3-gram overlap would be the wrong check)
-            texts = dict(con.execute(
-                "SELECT doc_id, text FROM documents").fetchall())
-
-            bad = 0
-            for _, r in got.iterrows():
-                m, rep = int(r["doc_id"]), int(r["cluster_rep"])
-                if m == rep:
-                    continue
-                a, b = set(texts[m].split()), set(texts[rep].split())
-                if len(a & b) / max(len(a | b), 1) < 0.5:
-                    bad += 1
-            if bad:
-                print(f"FAIL {name}: {bad} clustered pairs lack token-bag overlap")
-                n_fail += 1
-            else:
-                print(f"ok   {name}: rows={len(got)} all clustered pairs share "
-                      f">=50% token bags [{el:.1f}s]")
-            continue
         if name == "audio_dup_groups":
             # gate: every planted (dup, source) pair from the datagen truth
             # must share a cluster (recall 1.0 — planted dups are bit-exact
