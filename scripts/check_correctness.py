@@ -495,7 +495,13 @@ def main() -> None:
             by_key = {(r["item_id"], int(r["frame_index"])): r
                       for _, r in got.iterrows()}
             checked = bad = 0
-            vids = {f"vid_{i:06d}": i for i in range(0, 200, 23)}
+            # sample ids from the tier's actual video count — hardcoding
+            # range(0,200,23) FAILed spuriously at sf0.001 (50 videos;
+            # round-3 ADVICE.md)
+            _n_vids = _em._VIDEO_SCALE.get(
+                os.path.basename(os.path.normpath(SF_DIR)), 50)
+            vids = {f"vid_{i:06d}": i
+                    for i in range(0, _n_vids, max(_n_vids // 9, 1))}
             for item_id, seed in vids.items():
                 nf = 20 + (seed % 5) * 10
                 b = synth_video(seed, n_frames=nf)
