@@ -150,7 +150,21 @@ def token_hashes_md5(text) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Hashes of k-token shingles per row (rolling over token hashes)."""
+    """Hashes of k-token shingles per row (rolling over token hashes).
+
+    Fully vectorized — NO per-row Python (round-3 verdict #4: the former
+    ``for i in range(len(lens))`` loop was 10⁹ interpreter iterations per
+    pass at 10⁹ short documents). Two passes over flat arrays:
+
+    1. Long rows (≥ k tokens): ONE global sliding polynomial over the whole
+       concatenated token-hash array (k shifted multiply-adds — the mod-2^64
+       polynomial ``((t0·P + t1)·P + t2)…`` distributes, so windows that
+       cross row boundaries are simply never gathered: per-row window starts
+       come from expand_ranges over (row start, n_windows)).
+    2. Short rows (0 < tokens < k) fall back to one whole-row shingle of
+       VARYING length L: the same polynomial as a weighted sum
+       ``Σ tok_j · P^(L−1−j)`` via a P-powers LUT indexed by
+       distance-to-row-end + np.add.reduceat at row boundaries."""
     th, off = token_hashes(text)
     lens = np.diff(off)
     out_lens = np.maximum(lens - k + 1, 0)
@@ -161,24 +175,30 @@ def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     out = np.zeros(int(row_offsets[-1]), dtype=np.uint64)
     P = np.uint64(0x9E3779B97F4A7C15)
     np_err = np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
-    for i in range(len(lens)):  # row loop over cheap slices (k small); the
-        # inner ops are vectorized — acceptable: #rows << #tokens
-        a, b = off[i], off[i + 1]
-        if lens[i] == 0:
-            continue
-        toks = th[a:b]
-        o = row_offsets[i]
-        if lens[i] < k:
-            acc = np.uint64(0)
-            for t in toks:
-                acc = acc * P + t
-            out[o] = acc
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(toks, k)
-            acc = np.zeros(len(w), dtype=np.uint64)
-            for j in range(k):
-                acc = acc * P + w[:, j]
-            out[o:o + len(w)] = acc
+    n_win_total = int(out_lens.sum())
+    if n_win_total > 0:
+        nwin = len(th) - k + 1
+        acc = np.zeros(nwin, dtype=np.uint64)
+        for j in range(k):
+            acc *= P
+            acc += th[j:j + nwin]
+        longm = lens >= k
+        src = expand_ranges(off[:-1][longm], out_lens[longm])
+        dst = expand_ranges(row_offsets[:-1][longm], out_lens[longm])
+        out[dst] = acc[src]
+    if short.any():
+        starts_s = off[:-1][short]
+        lens_s = lens[short]
+        idx = expand_ranges(starts_s, lens_s)
+        dist = (np.repeat(off[1:][short], lens_s) - 1 - idx).astype(np.int64)
+        ppow = np.empty(k, dtype=np.uint64)
+        ppow[0] = 1
+        for j in range(1, k):
+            ppow[j] = ppow[j - 1] * P
+        w = th[idx] * ppow[dist]
+        bstarts = np.zeros(len(lens_s), dtype=np.int64)
+        np.cumsum(lens_s[:-1], out=bstarts[1:])
+        out[row_offsets[:-1][short]] = np.add.reduceat(w, bstarts)
     np.seterr(**np_err)
     return out, row_offsets
 

@@ -248,3 +248,54 @@ def test_approx_quantiles_empty(ray_session):
     df = pd.DataFrame({"k": [1, 2], "v": [np.nan, np.nan]})
     res = approx_quantiles(rd.from_pandas(df), "v", ["k"], [0.5])
     assert len(res) == 1 and res[0][1] != res[0][1]  # NaN
+
+
+def _shingle_hashes_rowloop(text, k=3):
+    """Pre-round-4 per-row-loop implementation, kept as the reference the
+    vectorized shingle_hashes must reproduce bit-for-bit."""
+    th, off = H.token_hashes(text)
+    lens = np.diff(off)
+    out_lens = np.maximum(lens - k + 1, 0)
+    short = (lens > 0) & (lens < k)
+    row_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(out_lens + short, out=row_offsets[1:])
+    out = np.zeros(int(row_offsets[-1]), dtype=np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    np_err = np.seterr(over="ignore")
+    for i in range(len(lens)):
+        a, b = off[i], off[i + 1]
+        if lens[i] == 0:
+            continue
+        toks = th[a:b]
+        o = row_offsets[i]
+        if lens[i] < k:
+            acc = np.uint64(0)
+            for t in toks:
+                acc = acc * P + t
+            out[o] = acc
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(toks, k)
+            acc = np.zeros(len(w), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * P + w[:, j]
+            out[o:o + len(w)] = acc
+    np.seterr(**np_err)
+    return out, row_offsets
+
+
+def test_shingle_hashes_vectorized_equals_rowloop():
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(50)]
+    rows = list(TRICKY)
+    for n_tok in [0, 1, 2, 3, 4, 5, 7, 50, 200]:
+        for _ in range(3):
+            rows.append(" ".join(rng.choice(words, size=n_tok)))
+    arr = pa.array(rows, type=pa.string())
+    for k in (2, 3, 5):
+        got_h, got_off = H.shingle_hashes(arr, k)
+        want_h, want_off = _shingle_hashes_rowloop(arr, k)
+        np.testing.assert_array_equal(got_off, want_off)
+        np.testing.assert_array_equal(got_h, want_h)
+    # all-empty batch
+    got_h, got_off = H.shingle_hashes(pa.array([None, "", "  "], type=pa.string()), 3)
+    assert len(got_h) == 0 and got_off[-1] == 0
