@@ -55,6 +55,14 @@ BROADCAST_DUP_LIMIT = 5_000_000    # max duplicate-group entries to broadcast (s
                                    # pipelines/quality_filter.py dedup notes);
                                    # above it the dedup paths switch to the
                                    # distributed Dataset.join/groupby fallbacks
+MEMBERSHIP_BROADCAST_LIMIT = 5_000_000  # hot-bucket KEYS broadcast (pc.is_in)
+                                   # up to this count inside the distributed
+                                   # dedup paths; deliberately separate from
+                                   # BROADCAST_DUP_LIMIT so tests forcing the
+                                   # distributed paths (limit=0) don't also
+                                   # force the membership filter into a
+                                   # Dataset.join with near-empty right
+                                   # partitions (Ray 2.49.2 ArrowInvalid)
 MAX_PAIRS_PER_BUCKET = 100_000     # full all-pairs verification per LSH bucket up
                                    # to this many pairs (bucket ≈ 450 members);
                                    # larger buckets emit star+chain pairs (2k-3)

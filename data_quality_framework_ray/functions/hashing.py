@@ -203,6 +203,58 @@ def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return out, row_offsets
 
 
+def deletion_variant_hashes(text) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash of every deletion variant of every row — the string
+    itself plus the string minus one character, i.e. the SymSpell d=1
+    blocking keys — WITHOUT materializing any variant string (round-3
+    verdict #3: the per-value Python fan-out built len+1 sliced strings per
+    value).
+
+    Hash of a string s: ``H(s) = Σ_t s_t · P^t mod 2^64``. The deletion-at-j
+    hash then comes from prefix sums alone:
+    ``H(del_j) = prefix(j) + (total − prefix(j+1)) · P⁻¹`` (P odd → P⁻¹
+    exists mod 2^64), so the whole fan-out is gathers + one cumsum over the
+    flat codepoint array. Equal variant strings ⇒ equal hashes (exact
+    recall); hash collisions only ever ADD candidate pairs, which the
+    caller's edit-distance verify rejects.
+
+    Returns ``(hashes uint64, value_index int64)`` — one entry per variant,
+    identity variants first, then deletions row by row; ``value_index[v]``
+    is the input row the variant came from. Null/empty rows emit only their
+    identity variant (hash 0 for empty)."""
+    cps, offsets = _codepoint_rows(text)
+    # _codepoint_rows has no separator after the LAST row; pad one slot so
+    # offsets[-1] == len(cps) (the pad is past every queried prefix range)
+    cps = np.concatenate([cps, np.zeros(1, dtype=cps.dtype)])
+    starts = offsets[:-1]
+    lens = np.diff(offsets) - 1  # drop the inter-row separator
+    n = len(lens)
+    np_err = np.seterr(over="ignore")  # uint64 wraparound is the semantics
+    P = np.uint64(0x9E3779B97F4A7C15)
+    PINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+    maxlen = int(lens.max()) if n else 0
+    ppow = np.empty(maxlen + 2, dtype=np.uint64)
+    ppow[0] = 1
+    for j in range(1, maxlen + 2):
+        ppow[j] = ppow[j - 1] * P
+    pos = (np.arange(len(cps), dtype=np.int64)
+           - np.repeat(starts, np.diff(offsets)))
+    w = cps.astype(np.uint64) * ppow[pos]
+    cs0 = np.zeros(len(cps) + 1, dtype=np.uint64)
+    np.cumsum(w, out=cs0[1:])
+    base = cs0[starts]
+    total = cs0[starts + lens] - base
+    # deletion variants (rows with lens == 0 contribute none)
+    idx = expand_ranges(starts, lens)
+    rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pref_j = cs0[idx] - base[rowrep]
+    pref_j1 = cs0[idx + 1] - base[rowrep]
+    hdel = pref_j + (total[rowrep] - pref_j1) * PINV
+    np.seterr(**np_err)
+    return (np.concatenate([total, hdel]),
+            np.concatenate([np.arange(n, dtype=np.int64), rowrep]))
+
+
 def minhash_signatures(hashes: np.ndarray, row_offsets: np.ndarray,
                        num_perm: int = 128, seed: int = 1) -> np.ndarray:
     """MinHash signature matrix (rows × num_perm uint64) from per-row hash

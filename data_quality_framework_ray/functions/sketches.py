@@ -206,12 +206,21 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
 
     import ray
 
-    parts = [r for t in ray.get(parts_ds.to_arrow_refs())
-             for r in t.to_pylist()]
-    batch_counts: dict = {}
-    for r in parts:
-        batch_counts[r["value"]] = batch_counts.get(r["value"], 0) + r["n"]
-    cand = list(_mg_merge({}, batch_counts, capacity))
+    # combine the bounded partials with ONE polars fold, not a per-row dict
+    # loop (round-3 verdict #8); the MG cut then keeps <= capacity survivors
+    import polars as pl
+
+    tabs = [t for t in ray.get(parts_ds.to_arrow_refs())
+            if t.num_rows and "value" in t.column_names]
+    if not tabs:
+        return pa.table({"value": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    folded = (pl.from_arrow(pa.concat_tables(tabs)).group_by("value")
+              .agg(pl.col("n").sum()).sort("n", descending=True))
+    if folded.height > capacity:
+        cut = int(folded["n"][capacity])
+        folded = folded.head(capacity).filter(pl.col("n") > cut)
+    cand = folded["value"].to_list()
 
     if not cand:
         return pa.table({"value": pa.array([], type=pa.string()),
@@ -231,14 +240,18 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
         return pa.table({"value": pa.array(u, type=batch[col].type),
                          "n": c.astype(np.int64)})
 
-    parts2 = ds.map_batches(exact_pass, batch_format="pyarrow",
-                            batch_size=config.TEXT_BATCH_SIZE).take_all()
-    exact: dict = {}
-    for r in parts2:
-        exact[r["value"]] = exact.get(r["value"], 0) + r["n"]
-    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    return pa.table({"value": pa.array([v for v, _ in top]),
-                     "n": pa.array([n for _, n in top], type=pa.int64())})
+    parts2 = [t for t in ray.get(
+        ds.map_batches(exact_pass, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE).to_arrow_refs())
+        if t.num_rows and "value" in t.column_names]
+    if not parts2:
+        return pa.table({"value": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    top = (pl.from_arrow(pa.concat_tables(parts2)).group_by("value")
+           .agg(pl.col("n").sum())
+           .sort(["n", "value"], descending=[True, False]).head(k))
+    return pa.table({"value": pa.array(top["value"].to_list()),
+                     "n": pa.array(top["n"].to_list(), type=pa.int64())})
 
 
 def _heavy_hitters_distributed(parts_ds, k: int):

@@ -514,7 +514,70 @@ def _hot_buckets(counts, num_partitions: int):
     return (counts.map_batches(partial(_bucket_part_col,
                                        num_partitions=num_partitions),
                                batch_format="pyarrow")
-            .groupby("__part").map_groups(combine, batch_format="pyarrow"))
+            .groupby("__part").map_groups(combine, batch_format="pyarrow")
+            # hash partitions that received no rows emit SCHEMA-LESS empty
+            # blocks; the Acero join this feeds rejects them ("No match for
+            # FieldRef band on right side" — flaky, scheduling-dependent).
+            # Normalize here so every consumer joining on hot is safe.
+            .map_batches(lambda t: _empty_safe(t, "band", _HOT_SCHEMA),
+                         batch_format="pyarrow"))
+
+
+def _bucket_membership(bands_ds, hot, num_partitions: int):
+    """Rows of ``bands_ds`` whose (band, bh) bucket is hot.
+
+    Implemented as a semi_join on ONE combined 64-bit key column rather than
+    ``Dataset.join`` on (band, bh): Ray 2.49.2's hash join raises
+    ArrowInvalid when a right hash partition receives no rows, and few hot
+    buckets vs many partitions is the COMMON near-dedup case (a corpus with
+    one skewed bucket reproduced it ~50% of runs). semi_join broadcasts the
+    key set below BROADCAST_DUP_LIMIT (vectorized pc.is_in, no shuffle at
+    all) and only joins above it, where every partition is non-empty w.h.p.
+    A 64-bit combine collision can only ADD a membership row — downstream
+    pair emission re-groups by the real (band, bh) and every candidate pair
+    is verified, so recall and precision are unaffected.
+
+    The broadcast threshold is MEMBERSHIP_BROADCAST_LIMIT, deliberately NOT
+    BROADCAST_DUP_LIMIT: tests force the distributed dedup paths by zeroing
+    the latter, and the membership filter must still be allowed to
+    broadcast (the whole point of the workaround)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if "band" not in t.column_names:  # schema-less empty block
+            return pa.Table.from_pylist([], schema=pa.schema(
+                list(_HOT_SCHEMA) + [("__bb", pa.int64())]))
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = (t["bh"].to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+        key = ((band * np.uint64(1099511628211)) ^ bh).view(np.int64)
+        return t.append_column("__bb", pa.array(key))
+
+    left = bands_ds.map_batches(add_key, batch_format="pyarrow",
+                                batch_size=config.TEXT_BATCH_SIZE)
+    right = hot.map_batches(add_key, batch_format="pyarrow").materialize()
+
+    if right.count() <= config.MEMBERSHIP_BROADCAST_LIMIT:
+        keys = pa.concat_tables(
+            [t.select(["__bb"]) for t in ray.get(right.to_arrow_refs())
+             if t.num_rows and "__bb" in t.column_names] or
+            [pa.table({"__bb": pa.array([], type=pa.int64())})])
+        ref = ray.put(keys["__bb"].combine_chunks())
+
+        def bfilter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+            keep = pc.fill_null(pc.is_in(batch["__bb"], value_set=ks), False)
+            return batch.filter(keep)
+
+        return left.map_batches(bfilter, batch_format="pyarrow",
+                                batch_size=config.TEXT_BATCH_SIZE) \
+            .drop_columns(["__bb"])
+
+    return semi_join(left, right, on="__bb",
+                     num_partitions=num_partitions).drop_columns(["__bb"])
 
 
 def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
@@ -750,8 +813,7 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
     hot = _hot_buckets(counts, num_partitions)
-    membership = bands_ds.join(hot, "inner", num_partitions,
-                               on=("band", "bh"))
+    membership = _bucket_membership(bands_ds, hot, num_partitions)
     pair_schema = _pair_schema(id_type)
     pairs = (_partitioned_bucket_pairs(membership, pair_schema, num_partitions)
              # polars promotes string→large_string; cast back so join keys match
@@ -950,7 +1012,7 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
         .agg(pl.len().alias("cnt")).to_arrow(),
         batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
     hot = _hot_buckets(counts, num_partitions)
-    membership = bands_ds.join(hot, "inner", num_partitions, on=("band", "bh"))
+    membership = _bucket_membership(bands_ds, hot, num_partitions)
 
     def verify_pairs(pairs: pa.Table) -> pa.Table:
         if pairs.num_rows == 0:
@@ -1191,58 +1253,86 @@ def _lev1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def _fuzzy_distributed(vals_ds, col: str) -> pa.Table:
+def _fuzzy_distributed(vals_ds, col: str,
+                       num_partitions: int | None = None) -> pa.Table:
     """Distributed symmetric-delete matching for vocabularies too large to
-    fold on the driver: per-batch deletion-variant fan-out (len+1 small rows
-    per value), ONE groupby(variant).map_groups emitting in-bucket verified
-    pairs, then a distinct-pair reduce. The driver only receives the final
-    verified pairs (near-dup pairs are sparse in any real vocab)."""
-    from ray.data.aggregate import Count
+    fold on the driver, sharing the LSH paths' machinery end to end
+    (round-3 verdict #3 — the old version fanned variants out with a
+    per-value Python loop and emitted per-bucket pairs in an UNCAPPED O(k²)
+    map_groups, which stalls on skewed variant keys: thousands of short
+    names share one deletion variant):
 
+      vectorized deletion-variant HASH fan-out (no variant strings —
+        :func:`~...functions.hashing.deletion_variant_hashes`)
+        → hot buckets (``_hot_buckets``: per-batch count partials,
+          hash-partitioned combine, cnt > 1)
+        → inner join membership on the variant hash
+        → partition-level vectorized CAPPED pair emission
+          (``_partitioned_bucket_pairs``; above MAX_PAIRS_PER_BUCKET a
+          bucket degrades to star+chain — in a symmetric-delete bucket the
+          only way pairs exceed the cap is a pathological key cluster where
+          the TRUE answer is itself quadratic)
+        → per-batch pair dedupe, exact ``_lev1`` verify per candidate
+        → distinct-pair reduce; the driver receives only verified pairs.
+
+    Equal variant strings hash equal, so recall through candidate
+    generation is exact under the cap; hash collisions only add candidates
+    that the verify rejects."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    num_partitions = _join_partitions(num_partitions)
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    band_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
+                             ("id", pa.string())])
 
     def fanout(t: pa.Table) -> pa.Table:
-        if col not in t.column_names:
-            return pa.table({"variant": pa.array([], type=pa.string()),
-                             "value": pa.array([], type=pa.string())})
-        variants, values = [], []
-        for v in t[col].to_pylist():
-            if v is None:
-                continue
-            variants.append(v)
-            values.append(v)
-            for j in range(len(v)):
-                variants.append(v[:j] + v[j + 1:])
-                values.append(v)
-        return pa.table({"variant": pa.array(variants, type=pa.string()),
-                         "value": pa.array(values, type=pa.string())})
+        if col not in t.column_names or t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=band_schema)
+        t = t.filter(pc.is_valid(t[col]))
+        hs, vi = H.deletion_variant_hashes(t[col])
+        return pa.table({
+            "band": np.zeros(len(hs), dtype=np.int64),
+            "bh": hs.view(np.int64),
+            "id": t[col].take(pa.array(vi)),
+        }).cast(band_schema)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        vals = sorted(set(g["value"].to_pylist()))
-        rows_a, rows_b = [], []
-        for x in range(len(vals)):
-            for y in range(x + 1, len(vals)):
-                if _lev1(vals[x], vals[y]):
-                    rows_a.append(vals[x])
-                    rows_b.append(vals[y])
-        return pa.table({"a": pa.array(rows_a, type=pa.string()),
-                         "b": pa.array(rows_b, type=pa.string())})
+    bands_ds = vals_ds.map_batches(
+        fanout, batch_format="pyarrow",
+        batch_size=config.TEXT_BATCH_SIZE).materialize()
+    counts = bands_ds.map_batches(
+        lambda b: pl.from_arrow(b).group_by(["band", "bh"])
+        .agg(pl.len().alias("cnt")).to_arrow(),
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+    hot = _hot_buckets(counts, num_partitions)
+    membership = _bucket_membership(bands_ds, hot, num_partitions)
+    cand = (_partitioned_bucket_pairs(membership, pair_schema,
+                                      num_partitions)
+            .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
+                         .cast(pair_schema), batch_format="pyarrow"))
 
-    pairs = (vals_ds.map_batches(fanout, batch_format="pyarrow")
-             .groupby("variant").map_groups(bucket_pairs,
-                                            batch_format="pyarrow")
-             .map_batches(lambda t: _empty_safe(t, "a", pair_schema),
-                          batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__c")))
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        keep = np.fromiter(
+            (x != y and _lev1(x, y)
+             for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist())),
+            dtype=bool, count=t.num_rows)
+        return t.filter(pa.array(keep))
+
+    verified = verify  # exact check; same-value pairs (dup rows) rejected
+    pairs = (cand.map_batches(verified, batch_format="pyarrow")
+             .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
+                          .cast(pair_schema), batch_format="pyarrow"))
     import ray as _ray
 
     tabs = [t.select(["a", "b"]) for t in _ray.get(pairs.to_arrow_refs())
             if t.num_rows and "a" in t.column_names]
     if not tabs:
-        return pa.table({"a": pa.array([], type=pa.string()),
-                         "b": pa.array([], type=pa.string())})
-    return pa.concat_tables(tabs).sort_by([("a", "ascending"),
-                                           ("b", "ascending")])
+        return pa.Table.from_pylist([], schema=pair_schema)
+    out = pl.from_arrow(pa.concat_tables(tabs)).unique().to_arrow() \
+        .cast(pair_schema)
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def repeated_passages(ds, id_col: str, text_col: str,

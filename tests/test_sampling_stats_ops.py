@@ -300,3 +300,29 @@ def test_fuzzy_distributed_fallback_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
     got = fuzzy_value_pairs(ds, "v").to_pylist()
     assert got == want and len(want) == 3
+
+
+def test_fuzzy_distributed_hot_bucket_bounded(ray_session, monkeypatch):
+    """A skewed variant key — 5k distinct 2-char strings 'aX' all sharing
+    deletion variant 'a' — must complete within BOUNDED pairs (round-3
+    verdict #3: the old uncapped per-bucket O(k^2) loop enumerated all
+    12.5M candidate pairs in one task). Above MAX_PAIRS_PER_BUCKET the
+    bucket degrades to star+chain (2k-3 candidates); every emitted pair
+    must still be a genuine edit-distance-1 match."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import _lev1, fuzzy_value_pairs
+
+    n = 5000
+    vocab = ["a" + chr(0x4E00 + i) for i in range(n)]
+    ds = rd.from_items([{"v": v} for v in vocab]).repartition(8)
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)  # force distributed
+    monkeypatch.setattr(config, "MAX_PAIRS_PER_BUCKET", 1000)
+    out = fuzzy_value_pairs(ds, "v")
+    # star+chain caps the candidate set at 2k-3 per bucket; three buckets
+    # can go hot here ('a' via 2nd-char deletion, plus nothing else shared),
+    # so the verified output must be ~O(k), nowhere near C(5000,2)
+    assert 0 < out.num_rows <= 2 * n
+    for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist()):
+        assert a < b and _lev1(a, b)
