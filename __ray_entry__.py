@@ -60,6 +60,52 @@ def _videos_parquet_for(sf_dir: str) -> str:
     return path
 
 
+_MULTILANG_SCALE = {"sf0.001": 2000, "sf0.01": 6000, "sf0.1": 24000}
+_MULTILANG_LANGS = ("en", "fr", "de", "es", "it", "xx")
+
+
+def _multilang_parquet_for(sf_dir: str) -> str:
+    """Deterministic multilingual corpus WITH per-row truth labels, sized to
+    the sf tier — the hard gate for language-ID (round-3 verdict #7: the
+    documents table is monolingual English, so its gate could only assert
+    en_rate; this table lets the harness check per-row agreement against
+    stored truth). Text comes from the same template-corpus generator the
+    models were trained on but with a DISJOINT seed stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_framework_ray.datagen import corpora
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _MULTILANG_SCALE.get(name, 2000)
+    path = f"/tmp/dqfr_multilang_{name}.parquet"
+    if not os.path.exists(path):
+        import numpy as np
+
+        rng = np.random.default_rng(20260818)
+        rows = []
+        for i in range(n):
+            lang = _MULTILANG_LANGS[i % len(_MULTILANG_LANGS)]
+            rows.append({"item_id": i,
+                         "truth_lang": lang,
+                         "text": corpora.sentence(lang, rng)})
+        pq.write_table(pa.Table.from_pylist(rows), path)
+    return path
+
+
+def _q_langid_multilingual(sf_dir: str):
+    """Language ID over the labeled multilingual corpus (model op — the
+    harness gates per-row agreement vs the stored truth_lang at >=99%)."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import with_langid
+
+    ds = rd.read_parquet(_multilang_parquet_for(sf_dir),
+                         columns=["item_id", "truth_lang", "text"])
+    return with_langid(ds, models_dir=MODELS_DIR) \
+        .select_columns(["item_id", "truth_lang", "pred_lang"])
+
+
 def _personnes_parquet() -> str:
     """Write the deterministic personnes fixture to /tmp so the DuckDB oracle
     can read the SAME rows the Ray query checks (the check LOGIC is
@@ -1738,6 +1784,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "langid_documents": _q_langid_documents,
+        "langid_multilingual": _q_langid_multilingual,
         "fingerprints": _q_fingerprints,
         "dedup_minhash": _q_minhash_dedup,
         "dedup_simhash": _q_simhash_dedup,

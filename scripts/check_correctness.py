@@ -144,6 +144,26 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} en_rate={en_rate:.3f} "
                       f"deterministic [{el:.1f}s]")
             continue
+        if name == "langid_multilingual":
+            # HARD gate (round-3 verdict #7): per-row agreement with the
+            # datagen-stored truth label >= 99%, plus determinism — not an
+            # aggregate en-rate proxy
+            agree = (got["pred_lang"] == got["truth_lang"]).mean()
+            per_lang = (got.assign(__ok=got["pred_lang"] == got["truth_lang"])
+                        .groupby("truth_lang")["__ok"].mean())
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            n_langs = got["truth_lang"].nunique()
+            if agree < 0.99 or not det or n_langs < 6:
+                print(f"FAIL {name}: per-row agreement={agree:.4f} "
+                      f"deterministic={det} langs={n_langs} "
+                      f"(per-lang: {per_lang.round(3).to_dict()})")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} per-row truth agreement "
+                      f"{agree:.4f} over {n_langs} languages, deterministic "
+                      f"[{el:.1f}s]")
+            continue
         if name == "audio_dup_groups":
             # gate: every planted (dup, source) pair from the datagen truth
             # must share a cluster (recall 1.0 — planted dups are bit-exact
