@@ -207,6 +207,33 @@ def generate_clips(out_dir: str, n_clips: int, n_fragments: int, seed: int = 42,
     return man
 
 
+def append_fragment(out_dir: str, n_rows: int, seed: int | None = None) -> dict:
+    """Append ONE new fragment to an existing clip table (the Lance
+    append-fragment analogue): writes frag_<N> + its truth file and extends
+    the manifest in place. Existing fragments are untouched, so a resume-
+    aware consumer reprocesses only the new fragment."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    k = 1 + max(fr["frag_id"] for fr in man["fragments"])
+    t, tt = generate_fragment(seed if seed is not None
+                              else man["params"]["seed"], k, n_rows,
+                              man["params"]["max_dur_s"])
+    path = os.path.join(out_dir, f"frag_{k:05d}.parquet")
+    pq.write_table(t, path)
+    pq.write_table(tt, os.path.join(out_dir, f"_truth_{k:05d}.parquet"))
+    man["fragments"].append({"frag_id": k, "path": os.path.basename(path),
+                             "num_rows": t.num_rows})
+    man["params"] = {**man["params"],
+                     "n_clips": man["params"]["n_clips"] + t.num_rows,
+                     "n_fragments": man["params"]["n_fragments"] + 1}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)
+    return man
+
+
 def fragment_paths(out_dir: str) -> list[str]:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         man = json.load(f)

@@ -336,6 +336,41 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> pa.Table:
     return pa.concat_tables(tabs).cast(_WINNER_SCHEMA)
 
 
+def _pair_key_u64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """One combined 64-bit key per (h1, h2) pair (membership tests only — a
+    collision can only cause a spurious fragment REWRITE, never a stale
+    link)."""
+    return ((np.ascontiguousarray(h1, dtype=np.int64).view(np.uint64)
+             * np.uint64(1099511628211))
+            ^ np.ascontiguousarray(h2, dtype=np.int64).view(np.uint64))
+
+
+def _changed_dup_keys(old: pa.Table, new: pa.Table) -> np.ndarray:
+    """Combined keys of (h1, h2) groups whose winner assignment differs
+    between two winner tables — added, removed, or re-assigned (a new
+    fragment can contribute a smaller clip_id to an existing group)."""
+    import polars as pl
+
+    j = (pl.from_arrow(old).join(pl.from_arrow(new), on=["h1", "h2"],
+                                 how="full", suffix="_n", coalesce=True)
+         .filter(pl.col("winner").ne_missing(pl.col("winner_n"))))
+    return _pair_key_u64(j["h1"].to_numpy(), j["h2"].to_numpy())
+
+
+def _frag_touches(part_path: str, changed_keys: np.ndarray) -> bool:
+    """True when the decision part's (h1, h2) set intersects the changed
+    dup-group keys. Reads only the few-KB persisted dup partial."""
+    if len(changed_keys) == 0:
+        return False
+    dup_path = os.path.join(os.path.dirname(part_path),
+                            "dup-" + os.path.basename(part_path))
+    if not os.path.exists(dup_path):
+        return True  # no partial → cannot prove untouched; rewrite
+    t = pq.read_table(dup_path, columns=["h1", "h2"])
+    keys = _pair_key_u64(t["h1"].to_numpy(), t["h2"].to_numpy())
+    return bool(np.isin(keys, changed_keys).any())
+
+
 def mark_duplicates(batch: pa.Table, dup_ref) -> pa.Table:
     """Append the 'duplicate' reason for losers of content groups (winner =
     min clip_id). Lookup is a vectorized polars left join against the
@@ -449,27 +484,50 @@ def _invalidate_on_input_change(out_dir: str, store: FragmentStore) -> None:
     hash of the input manifest (params + fragment list + row counts); if a
     previous run's stamp mismatches — e.g. the input was regenerated in place
     with new params but identical fragment count — clear lineage/decisions/
-    final so stale DONE markers can't short-circuit phase A over old data."""
+    final so stale DONE markers can't short-circuit phase A over old data.
+
+    APPEND-aware (round-3 verdict #5): a manifest that strictly EXTENDS the
+    previous one — every previously-known fragment identical by (frag_id,
+    path, num_rows), new fragments only added — keeps lineage and derived
+    state, so the resume processes only the appended fragments and the
+    incremental phase-B link path can skip the untouched ones."""
     import hashlib
     import json
 
     man_hash = hashlib.sha256(
         json.dumps(store.manifest, sort_keys=True).encode()).hexdigest()
+    def _ident(fr: dict) -> tuple:
+        # (frag_id, path, rows, file bytes, mtime_ns): regeneration in place
+        # (same shape, new content) must NOT look like an append — size and
+        # mtime change on any rewrite; a false mismatch only costs a safe
+        # full recompute
+        st = os.stat(os.path.join(store.root, fr["path"]))
+        return (int(fr["frag_id"]), str(fr["path"]), int(fr["num_rows"]),
+                int(st.st_size), int(st.st_mtime_ns))
+
+    frag_idents = sorted(_ident(fr) for fr in store.fragments)
     stamp_path = os.path.join(out_dir, "input_stamp.json")
-    prev = None
+    prev, prev_frags = None, None
     try:
         with open(stamp_path) as f:
-            prev = json.load(f).get("manifest_sha256")
+            st = json.load(f)
+        prev = st.get("manifest_sha256")
+        prev_frags = st.get("fragments")
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     if prev != man_hash:
-        if prev is not None or os.path.isdir(os.path.join(out_dir, "lineage")):
-            for sub in ("lineage", "decisions", "final", "final.tmp", "metrics"):
+        is_append = (prev_frags is not None and
+                     {tuple(x) for x in prev_frags} <= set(frag_idents))
+        if not is_append and (prev is not None
+                              or os.path.isdir(os.path.join(out_dir, "lineage"))):
+            for sub in ("lineage", "decisions", "final", "final.tmp",
+                        "metrics", "state"):
                 shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         tmp = stamp_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"manifest_sha256": man_hash, "in_dir": store.root}, f)
+            json.dump({"manifest_sha256": man_hash, "in_dir": store.root,
+                       "fragments": frag_idents}, f)
         os.replace(tmp, stamp_path)
 
 
@@ -591,18 +649,54 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
 
+    state_dir = os.path.join(out_dir, "state")
+    winners_path = os.path.join(state_dir, "winners.parquet")
+
     if winners is not None:
         dup_ref = ray.put(winners)
 
+        # Incremental phase B (round-3 verdict #5): a fragment's final part
+        # depends only on its decision part + the winner assignment on ITS
+        # (h1,h2) set. Against the persisted previous winner table, a part
+        # whose keys avoid every changed dup group and whose old final part
+        # is newer than its decision part is HARD-LINKED instead of re-marked
+        # and re-written — a resume that adds 1 of N fragments rewrites O(dup
+        # overlap) parts, not N. Metric partials persist under final/_metrics
+        # (underscore prefix → invisible to read_parquet) and are linked too.
+        changed_ref = None
+        if os.path.exists(winners_path) and os.path.isdir(final_dir):
+            changed_ref = ray.put(
+                _changed_dup_keys(pq.read_table(winners_path), winners))
+
         def _finalize(b: pa.Table) -> pa.Table:
             outs = []
+            ch = (None if changed_ref is None else
+                  (ray.get(changed_ref)
+                   if not isinstance(changed_ref, np.ndarray) else changed_ref))
+            os.makedirs(os.path.join(tmp_dir, "_metrics"), exist_ok=True)
             for p in b["path"].to_pylist():
-                t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
                 sub = os.path.basename(os.path.dirname(p))
+                base = os.path.basename(p)
                 d = os.path.join(tmp_dir, sub)
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(t, os.path.join(d, os.path.basename(p)))
-                outs.append(_metric_partials(t))
+                met_name = f"{sub}-{base}"
+                old_part = os.path.join(final_dir, sub, base)
+                old_met = os.path.join(final_dir, "_metrics", met_name)
+                if (ch is not None and os.path.exists(old_part)
+                        and os.path.exists(old_met)
+                        # decision part re-written after the old final part
+                        # (fragment re-processed) → must re-mark
+                        and os.path.getmtime(old_part) >= os.path.getmtime(p)
+                        and not _frag_touches(p, ch)):
+                    os.link(old_part, os.path.join(d, base))
+                    os.link(old_met, os.path.join(tmp_dir, "_metrics", met_name))
+                    outs.append(pq.read_table(old_met))
+                    continue
+                t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
+                pq.write_table(t, os.path.join(d, base))
+                mp = _metric_partials(t)
+                pq.write_table(mp, os.path.join(tmp_dir, "_metrics", met_name))
+                outs.append(mp)
             return pa.concat_tables(outs)
 
         partials = rd.from_items([{"path": p} for p in part_files],
@@ -645,6 +739,16 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     agg_rows = aggregate_final_partials(partials)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.replace(tmp_dir, final_dir)
+    if winners is not None:
+        # persist the winner table AFTER final/ swaps in, atomically, so the
+        # stored table always matches the final layer it produced
+        os.makedirs(state_dir, exist_ok=True)
+        pq.write_table(winners, winners_path + ".tmp")
+        os.replace(winners_path + ".tmp", winners_path)
+    elif os.path.exists(winners_path):
+        # join-path run: no driver winner table to diff against next time —
+        # drop the stale one so the next broadcast run rewrites everything
+        os.remove(winners_path)
     metrics_summary = write_metrics_from_agg(out_dir, run_id, agg_rows)
     elapsed = round(time.time() - t0, 3)
     return {"run_id": run_id, "frags_total": len(store.frag_ids()),

@@ -16,7 +16,7 @@ from tests.conftest import MODELS_DIR
 
 
 def _final_df(out_dir):
-    files = glob.glob(os.path.join(out_dir, "final", "**", "*.parquet"), recursive=True)
+    files = glob.glob(os.path.join(out_dir, "final", "frag-*", "*.parquet"))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
     df["drop_reasons"] = df["drop_reasons"].map(tuple)
     return (df.sort_values("clip_id").reset_index(drop=True)

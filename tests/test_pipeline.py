@@ -13,8 +13,7 @@ import pyarrow.parquet as pq
 
 
 def _final_df(pipeline_out) -> pd.DataFrame:
-    files = glob.glob(os.path.join(pipeline_out, "final", "**", "*.parquet"),
-                      recursive=True)
+    files = glob.glob(os.path.join(pipeline_out, "final", "frag-*", "*.parquet"))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
     return df.sort_values("clip_id").reset_index(drop=True)
 

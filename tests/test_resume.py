@@ -14,7 +14,9 @@ from tests.conftest import MODELS_DIR
 
 
 def _final_df(out_dir):
-    files = glob.glob(os.path.join(out_dir, "final", "**", "*.parquet"), recursive=True)
+    # frag dirs only: final/_metrics holds per-part metric partials (the
+    # underscore prefix hides them from read_parquet, not from a raw glob)
+    files = glob.glob(os.path.join(out_dir, "final", "frag-*", "*.parquet"))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
     df["drop_reasons"] = df["drop_reasons"].map(list)
     return df.sort_values("clip_id").reset_index(drop=True)
@@ -104,3 +106,52 @@ def test_retry_overwrites_partial_attempt(ray_session, tmp_path):
     assert files_first == files_second  # overwrote, no uuid accumulation
     total = sum(pq.read_metadata(f).num_rows for f in files_second)
     assert total == pq.read_metadata(path).num_rows  # no duplicated rows
+
+
+def test_append_fragment_incremental_phase_b(ray_session, tmp_path):
+    """Appending 1 fragment to an N-fragment table must (a) reprocess only
+    that fragment in phase A, (b) REWRITE only O(1) final parts — untouched
+    fragments are hard-linked (same inode / original mtime) because their
+    (h1,h2) sets avoid every changed dup group — and (c) produce final
+    output byte-identical to a fresh run over the appended table (round-3
+    verdict #5)."""
+    import filecmp
+
+    from data_quality_framework_ray.datagen.clips import (append_fragment,
+                                                          generate_clips)
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = str(tmp_path / "clips")
+    generate_clips(clips, n_clips=1200, n_fragments=6, seed=7)
+    out = str(tmp_path / "out")
+    qf.run(clips, out, models_dir=MODELS_DIR)
+
+    def part_inodes(d):
+        return {os.path.relpath(p, d): os.stat(p).st_ino
+                for p in glob.glob(os.path.join(d, "final", "frag-*",
+                                                "*.parquet"))}
+
+    before = part_inodes(out)
+    append_fragment(clips, n_rows=200)
+    s2 = qf.run(clips, out, models_dir=MODELS_DIR)
+    assert s2["frags_processed"] == 1  # phase A: only the appended fragment
+    after = part_inodes(out)
+
+    rewritten = [p for p in before if after.get(p) != before[p]]
+    new_parts = [p for p in after if p not in before]
+    # planted dups are intra-fragment, so no old fragment shares a changed
+    # dup group: every pre-existing part must be hard-linked, not rewritten
+    assert rewritten == [], f"unexpected rewrites: {rewritten}"
+    assert new_parts, "appended fragment produced no final part"
+
+    # byte-identical to a fresh full run over the appended table
+    fresh = str(tmp_path / "fresh")
+    qf.run(clips, fresh, models_dir=MODELS_DIR)
+    res_files = sorted(glob.glob(os.path.join(out, "final", "frag-*",
+                                              "*.parquet")))
+    fresh_files = sorted(glob.glob(os.path.join(fresh, "final", "frag-*",
+                                                "*.parquet")))
+    assert [os.path.relpath(p, out) for p in res_files] == \
+        [os.path.relpath(p, fresh) for p in fresh_files]
+    for a, b in zip(res_files, fresh_files):
+        assert filecmp.cmp(a, b, shallow=False), f"{a} differs from fresh run"
