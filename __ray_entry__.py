@@ -1636,11 +1636,32 @@ def _q_count_distinct_grouped(sf_dir: str):
     import pyarrow as pa
     from ray.data.aggregate import Count
 
+    import ray
+
+    from data_quality_framework_ray import config
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
     pairs = ds.map_batches(
         lambda t: t.group_by(["l_returnflag", "l_suppkey"]).aggregate([]),
-        batch_format="pyarrow")
-    # second distinct over the union of per-batch partials, then count
+        batch_format="pyarrow").materialize()
+    if pairs.count() <= config.BROADCAST_DUP_LIMIT:
+        # the per-batch distinct partials are tiny (groups × keys-per-group
+        # bounded); ONE polars fold beats two Ray hash-aggregate shuffles'
+        # ~2 s fixed constants (same driver-combine pattern as q3/stats)
+        import polars as pl
+
+        tabs = [t for t in ray.get(pairs.to_arrow_refs())
+                if t.num_rows and "l_returnflag" in t.column_names]
+        if not tabs:
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "n_supp": pa.array([], type=pa.int64())})
+        out = (pl.from_arrow(pa.concat_tables(tabs))
+               .group_by("l_returnflag")
+               .agg(pl.col("l_suppkey").n_unique().cast(pl.Int64)
+                    .alias("n_supp"))
+               .sort("l_returnflag"))
+        return out.to_arrow()
+    # distinct-pair set too large for the driver: two distributed reduces
     dedup = pairs.groupby(["l_returnflag", "l_suppkey"]).aggregate(
         Count(alias_name="__c"))
     out = (dedup.groupby("l_returnflag")

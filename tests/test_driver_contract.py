@@ -40,3 +40,15 @@ def test_queries_at_smallest_tier(ray_session):
         n = res.count() if hasattr(res, "count") and not hasattr(res, "num_rows") \
             else res.num_rows
         assert n >= 0, name
+
+
+def test_queries_ordered_oracled_first():
+    """DuckDB-oracled entries must precede gated ones in queries() iteration
+    order — a driver that checks a time-bounded prefix then records the hard
+    rows+schema+values MATCHes first (round-3 verdict #1)."""
+    q = list(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    flags = [name in o for name in q]
+    first_gated = flags.index(False) if False in flags else len(flags)
+    assert all(not f for f in flags[first_gated:]), \
+        "oracled query found after a gated one"
