@@ -365,8 +365,96 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
     the tables are not). NULL-safe value compare (NULL vs NULL is
     unchanged, NULL vs value is changed — SQL IS DISTINCT FROM semantics).
 
-    Returns a Dataset with (key, change)."""
+    Returns a Dataset with (key, change).
+
+    Two paths by the NEW side's size (keys assumed unique per snapshot —
+    CDC semantics):
+    - new fits ``config.BROADCAST_DUP_LIMIT`` → broadcast it once and stream
+      ONE map_batches pass over old: removed/changed classify per batch plus
+      a per-batch matched-key emission (total ≤ |new| rows since old's keys
+      are unique), then ``added = new − matched`` on the driver. No Join
+      actors, no all-to-all — the old side streams once.
+    - otherwise → hash-partitioned FULL OUTER ``Dataset.join`` (both sides
+      large; the exchange is the operator's lower bound)."""
     import pyarrow.compute as pc
+
+    os_schema = old.schema()
+    key_type = dict(zip(os_schema.names, os_schema.types))[key]
+    out_schema = pa.schema([(key, key_type), ("change", pa.string())])
+
+    new_mat = new.select_columns([key] + compare_cols).materialize()
+    if new_mat.count() <= config.BROADCAST_DUP_LIMIT:
+        import polars as pl
+        import ray
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(new_mat.to_arrow_refs())
+                if t.num_rows and key in t.column_names]
+        if not tabs:
+            # new side empty: every old row is 'removed'
+            def all_removed(t: pa.Table) -> pa.Table:
+                if key not in t.column_names:
+                    return pa.Table.from_pylist([], schema=out_schema)
+                return pa.table({key: t[key],
+                                 "change": pa.array(["removed"] * t.num_rows,
+                                                    type=pa.string())}) \
+                    .cast(out_schema)
+            return old.map_batches(all_removed, batch_format="pyarrow")
+        # unify block schemas: from_items-style blocks type an all-null
+        # column as null, which concat rejects against a typed sibling
+        ns = new_mat.schema()
+        target = pa.schema(list(zip(ns.names, ns.types)))
+        new_tbl = pa.concat_tables([t.cast(target) for t in tabs])
+        rename = {c: f"{c}__new" for c in compare_cols}
+        new_tbl = new_tbl.rename_columns(
+            [rename.get(c, c) for c in new_tbl.column_names])
+        new_tbl = new_tbl.append_column(
+            "__r", pa.array(np.ones(new_tbl.num_rows, dtype=np.int8)))
+        ref = ray.put(new_tbl)
+
+        def probe(t: pa.Table) -> pa.Table:
+            if key not in t.column_names or t.num_rows == 0:
+                return pa.Table.from_pylist([], schema=out_schema)
+            nt = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+            m = pl.from_arrow(t.select([key] + compare_cols)).join(
+                pl.from_arrow(nt), on=key, how="left",
+                maintain_order="left").to_arrow()
+            in_r = pc.is_valid(m["__r"]).to_numpy(zero_copy_only=False)
+            changed = np.zeros(m.num_rows, dtype=bool)
+            for c in compare_cols:
+                a, b = m[c], m[f"{c}__new"]
+                neq = pc.or_kleene(pc.not_equal(a, b),
+                                   pc.xor(pc.is_null(a), pc.is_null(b)))
+                changed |= pc.fill_null(neq, False).to_numpy(
+                    zero_copy_only=False) & in_r
+            lab = np.where(~in_r, "removed",
+                           np.where(changed, "changed", "__m"))
+            return pa.table({key: m[key],
+                             "change": pa.array(lab, type=pa.string())}) \
+                .cast(out_schema)
+
+        classified = old.map_batches(
+            probe, batch_format="pyarrow",
+            batch_size=config.TEXT_BATCH_SIZE).materialize()
+        # matched keys (changed AND unchanged — both present in new) stream
+        # back ≤ |new| rows (old keys unique per CDC)
+        seen = [t.filter(pc.not_equal(t["change"], "removed")).select([key])
+                for t in ray.get(classified.to_arrow_refs())
+                if t.num_rows and key in t.column_names]
+        matched = (pa.concat_tables(seen)[key].combine_chunks()
+                   if seen else pa.array([], type=key_type))
+        added_keys = new_tbl[key].filter(
+            pc.invert(pc.is_in(new_tbl[key], value_set=matched))) \
+            .combine_chunks()
+        added = pa.table({key: added_keys,
+                          "change": pa.array(["added"] * len(added_keys),
+                                             type=pa.string())}).cast(out_schema)
+        diff = classified.map_batches(
+            lambda t: (t.filter(pc.not_equal(t["change"], "__m"))
+                       if "change" in t.column_names else
+                       pa.Table.from_pylist([], schema=out_schema)),
+            batch_format="pyarrow")
+        return diff.union(rd.from_arrow(added))
 
     lcols = {c: f"{c}__old" for c in compare_cols}
     rcols = {c: f"{c}__new" for c in compare_cols}
@@ -387,12 +475,9 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
 
     # Empty/schema-less hash-join partitions (Ray emits them whenever distinct
     # keys < partitions) must produce blocks whose key type matches the data
-    # blocks — derive it from old's schema, never hardcode (a string key with
-    # a hardcoded int64 empty block fails the downstream union/take_all; same
-    # class of bug as distinct_set_ops' classify, fixed round 3).
-    os_ = old.schema()
-    key_type = dict(zip(os_.names, os_.types))[key]
-
+    # blocks — key_type derived from old's schema above, never hardcoded (a
+    # string key with a hardcoded int64 empty block fails the downstream
+    # union/take_all; same class of bug as distinct_set_ops' classify).
     def classify(t: pa.Table) -> pa.Table:
         if key not in t.column_names or t.num_rows == 0:
             return pa.table({key: pa.array([], type=key_type),
