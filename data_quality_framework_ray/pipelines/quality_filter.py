@@ -638,9 +638,29 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     paths_ds = rd.from_items([{"path": p} for p in pass1_files],
                              override_num_blocks=max(len(pass1_files), 1))
     pairs = paths_ds.map_batches(_winner_partials, batch_format="pyarrow",
-                                 batch_size=None)
+                                 batch_size=None)  # lazy; executed only on
+    # the distributed combine / join fallback paths below
     try:
-        winners = combine_dup_partials(pairs, approx_rows=store.num_rows())
+        if len(pass1_files) <= 256:
+            # few-KB partial files and few of them: read them on the DRIVER
+            # and fold with one polars group_by — skipping pass 1's entire
+            # Ray round (~0.5 s of task/exchange constants that dominate
+            # phase B at small fragment counts). Above 256 files the listing
+            # itself is worth distributing; the pairs Dataset path takes over.
+            import polars as pl
+
+            batch = pa.table({"path": pa.array(pass1_files)})
+            local = _winner_partials(batch)
+            g = (pl.from_arrow(local).group_by(["h1", "h2"])
+                 .agg(pl.col("min_clip").min().alias("winner"),
+                      pl.col("cnt").sum())
+                 .filter(pl.col("cnt") > 1)
+                 .select(["h1", "h2", "winner"]))
+            if g.height > config.BROADCAST_DUP_LIMIT:
+                raise ValueError("dup groups exceed broadcast limit")
+            winners = g.to_arrow().cast(_WINNER_SCHEMA)
+        else:
+            winners = combine_dup_partials(pairs, approx_rows=store.num_rows())
     except ValueError:
         winners = None  # over broadcast limit → Dataset.join path below
 
