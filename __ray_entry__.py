@@ -1729,10 +1729,18 @@ def _q_video_frames(sf_dir: str):
 
     from data_quality_framework_ray.stages.multimodal import VideoFrameStage
 
+    import ray
+
     ds = rd.read_parquet(_videos_parquet_for(sf_dir))
+    # FIXED pool: the autoscaling (1,4) pool sat at 1-2 actors for most of
+    # the run (same ramp pathology as the model pools, BASELINE.md round 2);
+    # 8 fixed actors measure 1.1 s vs 1.8-2.3 s at sf0.1
+    # cap BELOW cluster CPUs: a pool that takes every CPU starves the read
+    # tasks and the pipeline deadlocks on a small cluster
+    pool = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
     return ds.map_batches(VideoFrameStage,
                           fn_constructor_kwargs={"every_ms": 500},
-                          concurrency=(1, 4), batch_size=64,
+                          concurrency=pool, batch_size=64,
                           batch_format="pyarrow")
 
 
