@@ -132,6 +132,20 @@ def entry() -> Any:
 
 # ---------------------------------------------------------------- helpers
 
+def _collect(ds) -> "pa.Table":
+    """Materialize a SMALL result Dataset into one Arrow table by zero-copy
+    block concat — not take_all()+from_pylist, which round-trips every row
+    through a Python dict (and re-infers types: list<uint64> degraded to
+    list<int64> in the fingerprints query before it switched)."""
+    import pyarrow as pa
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.Table.from_pylist([])
+    return pa.concat_tables(tabs, promote_options="default")
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -203,7 +217,7 @@ def _q_grouped_agg(sf_dir: str):
            .groupby("o_orderstatus")
            .aggregate(Count(alias_name="n_orders"),
                       Sum("o_totalprice", alias_name="total_price")))
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     import pyarrow.compute as pc
 
     return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
@@ -234,7 +248,7 @@ def _q_q1_lineitem(sf_dir: str):
          .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                     Sum("sum_base_price", alias_name="sum_base_price"),
                     Sum("count_order", alias_name="count_order")))
-    t = pa.Table.from_pylist(g.take_all())
+    t = _collect(g)
     for c in ("sum_qty", "sum_base_price"):
         t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
     return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
@@ -257,7 +271,7 @@ def _q_latest_per_type(sf_dir: str):
                       Count(alias_name="n_events")))
     import pyarrow as pa
 
-    return pa.Table.from_pylist(out.take_all()).sort_by("event_type")
+    return _collect(out).sort_by("event_type")
 
 
 def _q_dev_prod(sf_dir: str):
@@ -325,7 +339,7 @@ def _q_windowed_agg(sf_dir: str):
          .map_batches(partials, batch_format="pyarrow")
          .groupby(["event_type", "day"])
          .aggregate(Sum("n_events", alias_name="n_events")))
-    return pa.Table.from_pylist(g.take_all()).sort_by(
+    return _collect(g).sort_by(
         [("event_type", "ascending"), ("day", "ascending")])
 
 
@@ -559,7 +573,7 @@ def _q_speech_ratio(sf_dir: str):
     ds = rd.from_items([{"path": p} for p in paths],
                        override_num_blocks=len(paths))
     out = ds.map_batches(per_fragment, batch_format="pyarrow", batch_size=None)
-    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+    return _collect(out).sort_by("clip_id")
 
 
 def _q_speech_segments(sf_dir: str):
@@ -601,7 +615,7 @@ def _q_speech_segments(sf_dir: str):
     ds = rd.from_items([{"path": p} for p in paths],
                        override_num_blocks=len(paths))
     out = ds.map_batches(per_fragment, batch_format="pyarrow", batch_size=None)
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("clip_id", "ascending"), ("seg_idx", "ascending")])
 
 
@@ -658,7 +672,7 @@ def _q_join_broadcast(sf_dir: str):
     out = (joined.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),
                       Sum("o_totalprice", alias_name="total_price")))
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
                          pc.round(t["total_price"], 2))
             .sort_by("c_mktsegment"))
@@ -727,7 +741,7 @@ def _q_json_extract(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["props"]).map_batches(f, batch_format="pyarrow")
     out = ds.groupby("k_mod").aggregate(Count(alias_name="n"))
-    return pa.Table.from_pylist(out.take_all()).sort_by("k_mod")
+    return _collect(out).sort_by("k_mod")
 
 
 def _q_sessionize(sf_dir: str):
@@ -758,7 +772,7 @@ def _q_sessionize(sf_dir: str):
     out = (_read(sf_dir, "events", ["user_id", "ts"])
            .map_batches(add_part, batch_format="pyarrow")
            .groupby("__part").map_groups(per_part, batch_format="pyarrow"))
-    return pa.Table.from_pylist(out.take_all()).sort_by("user_id")
+    return _collect(out).sort_by("user_id")
 
 
 def _q_top_tokens(sf_dir: str):
@@ -779,7 +793,7 @@ def _q_top_tokens(sf_dir: str):
     g = (_read(sf_dir, "documents", ["text"])
          .map_batches(partials, batch_format="pyarrow")
          .groupby("tok").aggregate(Sum("n", alias_name="n")))
-    t = pa.Table.from_pylist(g.take_all())
+    t = _collect(g)
     return t.sort_by([("n", "descending"), ("tok", "ascending")]).slice(0, 20)
 
 
@@ -862,7 +876,7 @@ def _q_grouped_quantiles(sf_dir: str):
     # sort over distinct values, no per-group kernel); identical values
     out = grouped_quantiles(ds, "l_linestatus", "l_extendedprice", [0.5, 0.9],
                             method="counts")
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("l_linestatus", "ascending"), ("p", "ascending")])
 
 
@@ -935,7 +949,7 @@ def _q_hopping_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts"])
     g = (ds.map_batches(fanout_partials, batch_format="pyarrow")
          .groupby("ws").aggregate(Sum("n", alias_name="n")))
-    t = pa.Table.from_pylist(g.take_all()).sort_by("ws")
+    t = _collect(g).sort_by("ws")
     return pa.table({"window_start": t["ws"].cast(pa.timestamp("us")),
                      "n": t["n"]})
 
@@ -960,7 +974,7 @@ def _q_pivot(sf_dir: str):
     g = (ds.map_batches(partial, batch_format="pyarrow")
          .groupby("l_returnflag").aggregate(Sum("qty_F", alias_name="qty_F"),
                                             Sum("qty_O", alias_name="qty_O")))
-    t = pa.Table.from_pylist(g.take_all())
+    t = _collect(g)
     import pyarrow.compute as pc
 
     t = t.set_column(t.column_names.index("qty_F"), "qty_F",
@@ -982,7 +996,7 @@ def _q_stratified_sample(sf_dir: str):
         return (pl.from_arrow(g).sort("event_id").head(5)).to_arrow()
 
     out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("event_type", "ascending"), ("event_id", "ascending")])
 
 
@@ -1023,7 +1037,7 @@ def _q_range_join(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts"])
     j = range_join_broadcast(ds, windows, "ts", "w_start", "w_end")
     out = j.groupby("window_id").aggregate(Count(alias_name="n"))
-    return pa.Table.from_pylist(out.take_all()).sort_by("window_id")
+    return _collect(out).sort_by("window_id")
 
 
 def _q_window_rank(sf_dir: str):
@@ -1043,7 +1057,7 @@ def _q_window_rank(sf_dir: str):
         return df.to_arrow()
 
     out = ds.groupby("o_orderstatus").map_groups(per_group, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("o_orderstatus", "ascending"), ("rnk", "ascending")])
 
 
@@ -1069,7 +1083,7 @@ def _q_union_names(sf_dir: str):
     n = _read(sf_dir, "nation", ["n_name"]).rename_columns({"n_name": "name"})
     # result is ~30 rows: sort driver-side instead of paying a distributed
     # sort's fixed all-to-all (~2 s) on a trivial table
-    return pa.Table.from_pylist(r.union(n).take_all()).sort_by("name")
+    return _collect(r.union(n)).sort_by("name")
 
 
 def _q_profile_columns(sf_dir: str):
@@ -1184,7 +1198,7 @@ def _q_q3_shipping(sf_dir: str):
         top = (hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey")
                .sort(["rev", "l_orderkey"], descending=[True, False])
                .limit(10))
-        t = pa.Table.from_pylist(top.take_all())
+        t = _collect(top)
     return pa.table({
         "l_orderkey": t["l_orderkey"],
         "revenue": pa.array(np.round(t["rev"].to_numpy(), 2),
@@ -1228,7 +1242,7 @@ def _q_audio_stats(sf_dir: str):
                        override_num_blocks=len(paths))
     out = ds.map_batches(per_fragment, batch_format="pyarrow",
                          batch_size=None)
-    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+    return _collect(out).sort_by("clip_id")
 
 
 def _q_audio_normalize(sf_dir: str):
@@ -1264,7 +1278,7 @@ def _q_audio_normalize(sf_dir: str):
                        override_num_blocks=len(paths))
     out = ds.map_batches(per_fragment, batch_format="pyarrow",
                          batch_size=None)
-    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+    return _collect(out).sort_by("clip_id")
 
 
 def _q_audio_trim(sf_dir: str):
@@ -1301,7 +1315,7 @@ def _q_audio_trim(sf_dir: str):
                        override_num_blocks=len(paths))
     out = ds.map_batches(per_fragment, batch_format="pyarrow",
                          batch_size=None)
-    return pa.Table.from_pylist(out.take_all()).sort_by("clip_id")
+    return _collect(out).sort_by("clip_id")
 
 
 def _q_audio_dup_groups(sf_dir: str):
@@ -1430,7 +1444,7 @@ def _q_token_budget(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     out = token_budget_cap(ds, "source", "doc_id", "n_chars", budget=50_000)
-    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    return _collect(out).sort_by("doc_id")
 
 
 def _q_zscore_outliers(sf_dir: str):
@@ -1480,7 +1494,7 @@ def _q_ntile(sf_dir: str):
         return out.to_arrow()
 
     out = ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("event_type", "ascending"), ("tile", "ascending")])
 
 
@@ -1553,7 +1567,7 @@ def _q_rolling_mean(sf_dir: str):
             .cast(out_schema)
 
     out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
@@ -1575,7 +1589,7 @@ def _q_unpivot(sf_dir: str):
             ("value", pa.float64())]))
 
     out = ds.map_batches(melt, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return _collect(out).sort_by(
         [("p_partkey", "ascending"), ("attribute", "ascending")])
 
 
@@ -1605,7 +1619,7 @@ def _q_snapshot_diff(sf_dir: str):
     new = base.map_batches(derive(lambda k: k % 3 != 0, True),
                            batch_format="pyarrow")
     out = snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
-    return pa.Table.from_pylist(out.take_all()).sort_by("o_orderkey")
+    return _collect(out).sort_by("o_orderkey")
 
 
 def _q_string_agg(sf_dir: str):
@@ -1627,7 +1641,7 @@ def _q_string_agg(sf_dir: str):
         return df.to_arrow().cast(out_schema)
 
     out = part_shuffle(ds, "n_regionkey", kernel, out_schema, 4)
-    return pa.Table.from_pylist(out.take_all()).sort_by("n_regionkey")
+    return _collect(out).sort_by("n_regionkey")
 
 
 def _q_count_distinct_grouped(sf_dir: str):
@@ -1666,7 +1680,7 @@ def _q_count_distinct_grouped(sf_dir: str):
         Count(alias_name="__c"))
     out = (dedup.groupby("l_returnflag")
            .aggregate(Count(alias_name="n_supp")))
-    return pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+    return _collect(out).sort_by("l_returnflag")
 
 
 def _q_regex_extract(sf_dir: str):
@@ -1685,7 +1699,7 @@ def _q_regex_extract(sf_dir: str):
                          "noun": pc.struct_field(ex, "noun")})
 
     out = ds.map_batches(f, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by("p_partkey")
+    return _collect(out).sort_by("p_partkey")
 
 
 def _q_psi_drift(sf_dir: str):
