@@ -205,3 +205,25 @@ def test_bloom_filter_properties_and_semi_join_path(ray_session, monkeypatch):
     monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
     got = sorted(r["v"] for r in semi_join(left, right, "k").take_all())
     assert got == want and len(want) == 667
+
+
+def test_snapshot_diff_join_path_matches_broadcast(ray_session, monkeypatch):
+    """The large-large full-outer join path (forced via BROADCAST_DUP_LIMIT=0)
+    must classify identically to the broadcast probe path."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.joins import snapshot_diff
+
+    old = rd.from_items([{"k": i, "v": float(i % 7)} for i in range(200)])
+    new = rd.from_items([{"k": i, "v": float(i % 5)} for i in range(50, 250)])
+    want = sorted((r["k"], r["change"]) for r in
+                  snapshot_diff(old, new, "k", ["v"]).take_all())
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    got = sorted((r["k"], r["change"]) for r in
+                 snapshot_diff(old, new, "k", ["v"],
+                               num_partitions=4).take_all())
+    assert got == want
+    assert ("added", ) != ()  # sanity: classes present
+    labels = {c for _, c in got}
+    assert labels == {"added", "removed", "changed"}
