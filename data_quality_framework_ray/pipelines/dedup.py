@@ -547,9 +547,10 @@ def _bucket_membership(bands_ds, hot, num_partitions: int):
     from data_quality_framework_ray.pipelines.joins import semi_join
 
     def add_key(t: pa.Table) -> pa.Table:
-        if "band" not in t.column_names:  # schema-less empty block
-            return pa.Table.from_pylist([], schema=pa.schema(
-                list(_HOT_SCHEMA) + [("__bb", pa.int64())]))
+        if "band" not in t.column_names:  # schema-less empty block: keep
+            # whatever columns the block has (left blocks also carry id /
+            # extras — fabricating a hot-shaped schema would drop them)
+            return t.append_column("__bb", pa.array([], type=pa.int64()))
         band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bh = (t["bh"].to_numpy(zero_copy_only=False)
               .astype(np.int64).view(np.uint64))

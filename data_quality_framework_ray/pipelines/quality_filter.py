@@ -708,8 +708,15 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
                         # (fragment re-processed) → must re-mark
                         and os.path.getmtime(old_part) >= os.path.getmtime(p)
                         and not _frag_touches(p, ch)):
-                    os.link(old_part, os.path.join(d, base))
-                    os.link(old_met, os.path.join(tmp_dir, "_metrics", met_name))
+                    # retry-safe: pq.write_table overwrites, os.link raises
+                    # FileExistsError — drop a failed attempt's link first
+                    for src, dst in ((old_part, os.path.join(d, base)),
+                                     (old_met, os.path.join(tmp_dir,
+                                                            "_metrics",
+                                                            met_name))):
+                        if os.path.exists(dst):
+                            os.unlink(dst)
+                        os.link(src, dst)
                     outs.append(pq.read_table(old_met))
                     continue
                 t = mark_duplicates(pq.read_table(p), dup_ref=dup_ref)
