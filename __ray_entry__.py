@@ -56,7 +56,9 @@ def _videos_parquet_for(sf_dir: str) -> str:
                          "bytes": synth_video(i, n_frames=nf),
                          "mime": "video/x-rawv",
                          "dur_ms": nf * 100})
-        pq.write_table(pa.Table.from_pylist(rows), path)
+        # atomic: a run killed mid-write must not poison the /tmp cache
+        pq.write_table(pa.Table.from_pylist(rows), path + ".tmp")
+        os.replace(path + ".tmp", path)
     return path
 
 
@@ -89,7 +91,9 @@ def _multilang_parquet_for(sf_dir: str) -> str:
             rows.append({"item_id": i,
                          "truth_lang": lang,
                          "text": corpora.sentence(lang, rng)})
-        pq.write_table(pa.Table.from_pylist(rows), path)
+        # atomic: a run killed mid-write must not poison the /tmp cache
+        pq.write_table(pa.Table.from_pylist(rows), path + ".tmp")
+        os.replace(path + ".tmp", path)
     return path
 
 
@@ -485,8 +489,10 @@ def _q_simhash_dedup(sf_dir: str):
 
     def drop_tokenless(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        # same EXPLICIT ASCII class as token_hashes_md5 and the oracle —
+        # \s differs between regex engines (Unicode vs ASCII)
         has_tok = pc.match_substring_regex(
-            pc.coalesce(t["text"], ""), r"[^\s\x1c-\x1f]")
+            pc.coalesce(t["text"], ""), r"[^\t\n\f\r \x1c-\x1f]")
         return t.filter(has_tok)
 
     ds = ds.map_batches(drop_tokenless, batch_format="pyarrow")
@@ -1674,7 +1680,10 @@ def _q_count_distinct_grouped(sf_dir: str):
                .agg(pl.col("l_suppkey").n_unique().cast(pl.Int64)
                     .alias("n_supp"))
                .sort("l_returnflag"))
-        return out.to_arrow()
+        # polars emits large_string; cast back so this path's schema matches
+        # the distributed fallback's (path-independent query schema)
+        return out.to_arrow().cast(pa.schema(
+            [("l_returnflag", pa.string()), ("n_supp", pa.int64())]))
     # distinct-pair set too large for the driver: two distributed reduces
     dedup = pairs.groupby(["l_returnflag", "l_suppkey"]).aggregate(
         Count(alias_name="__c"))
@@ -1750,8 +1759,9 @@ def _q_video_frames(sf_dir: str):
     # the run (same ramp pathology as the model pools, BASELINE.md round 2);
     # 8 fixed actors measure 1.1 s vs 1.8-2.3 s at sf0.1
     # cap BELOW cluster CPUs: a pool that takes every CPU starves the read
-    # tasks and the pipeline deadlocks on a small cluster
-    pool = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    # tasks and the pipeline deadlocks on a small cluster (floor 1, not 2 —
+    # a max(2,·) floor would itself take every CPU of a 2-CPU cluster)
+    pool = max(1, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
     return ds.map_batches(VideoFrameStage,
                           fn_constructor_kwargs={"every_ms": 500},
                           concurrency=pool, batch_size=64,
@@ -2087,7 +2097,7 @@ def oracle_sql() -> dict[str, str]:
             # xor)+popcount(hi xor), components via recursive CTE.
             "WITH RECURSIVE toks AS ("
             " SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''),"
-            "  '[^\\s\\x1c-\\x1f]+')) AS tok FROM documents),"
+            "  '[^\\t\\n\\f\\r \\x1c-\\x1f]+')) AS tok FROM documents),"
             "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),"
             "bits AS (SELECT doc_id, b,"
             " sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn"

@@ -25,6 +25,12 @@ from data_quality_framework_ray.functions.textstats import TOKEN_RE
 
 MERSENNE61 = (1 << 61) - 1
 
+# Tokenizer for SQL-oracled hash paths: explicit ASCII separators only (an
+# engine-portable subset — Rust regex \s is Unicode, RE2 \s is ASCII; an
+# explicit class parses identically in both, so engine and DuckDB oracle see
+# the same token multiset even on non-ASCII whitespace).
+MD5_TOKEN_RE = r"[^\t\n\f\r \x1c-\x1f]+"
+
 
 def content_hash_128(*cols: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """128-bit content hash of the row-wise tuple of columns (string/binary ok,
@@ -46,6 +52,20 @@ def content_hash_128(*cols: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.
     h1 = df.hash_rows(seed=11).to_numpy().view(np.int64)
     h2 = df.hash_rows(seed=2025).to_numpy().view(np.int64)
     return h1, h2
+
+
+def pair_key_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """ONE combined 64-bit key per (a, b) int64 pair — the FNV-multiply-xor
+    combine shared by bucket partitioning, hot-bucket membership and the
+    phase-B winner diff (membership/partition use only: a collision can add
+    a spurious row to a filter or co-partition two buckets, never corrupt a
+    verified result)."""
+    np_err = np.seterr(over="ignore")
+    out = ((np.ascontiguousarray(a, dtype=np.int64).view(np.uint64)
+            * np.uint64(1099511628211))
+           ^ np.ascontiguousarray(b, dtype=np.int64).view(np.uint64))
+    np.seterr(**np_err)
+    return out
 
 
 def fnv1a64(data: bytes) -> int:
@@ -126,12 +146,17 @@ def token_hashes_md5(text) -> tuple[np.ndarray, np.ndarray]:
     lets dedup_simhash carry a full DuckDB values-MATCH oracle instead of a
     property gate (round-3 verdict item #2). md5 runs once per UNIQUE token
     (vocab-sized Python loop), then a polars join fans values back out to
-    token positions — the per-occurrence path stays vectorized."""
+    token positions — the per-occurrence path stays vectorized.
+
+    Tokenizes with MD5_TOKEN_RE — an EXPLICIT ASCII class, not ``\\s`` —
+    because the engine (Rust regex: Unicode \\s) and the oracle (RE2: ASCII
+    \\s) disagree on e.g. NBSP; an explicit class means identical token
+    multisets in every engine."""
     import hashlib
 
     s = pl.from_arrow(pa.table({"t": text}))["t"].fill_null("")
     df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64),
-                       "tok": s.str.extract_all(TOKEN_RE)})
+                       "tok": s.str.extract_all(MD5_TOKEN_RE)})
     ex = df.explode("tok").drop_nulls("tok")
     uniq = ex["tok"].unique()
     lut = pl.DataFrame({

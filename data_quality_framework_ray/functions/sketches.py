@@ -155,18 +155,6 @@ def approx_quantiles(ds, value_col: str, key_cols: list[str],
     return out
 
 
-def _mg_merge(counts: dict, other: dict, capacity: int) -> dict:
-    """Merge two Misra-Gries summaries: sum counters, then decrement all by
-    the (capacity+1)-th largest so at most ``capacity`` survive (Agarwal et
-    al., 'Mergeable Summaries' — error bounds add)."""
-    for k, v in other.items():
-        counts[k] = counts.get(k, 0) + v
-    if len(counts) > capacity:
-        cut = sorted(counts.values(), reverse=True)[capacity]
-        counts = {k: v - cut for k, v in counts.items() if v > cut}
-    return counts
-
-
 def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
     """Exact top-k of a high-cardinality column WITHOUT a full groupby
     shuffle: per-batch Misra-Gries summaries (vectorized np.unique counts

@@ -491,10 +491,9 @@ _HOT_SCHEMA = pa.schema([("band", pa.int64()), ("bh", pa.int64())])
 
 
 def _bucket_part_col(t: pa.Table, num_partitions: int) -> pa.Table:
-    band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    bh = t["bh"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    part = ((band * np.uint64(1099511628211) ^ bh)
-            % np.uint64(num_partitions)).astype(np.int64)
+    key = H.pair_key_u64(t["band"].to_numpy(zero_copy_only=False),
+                         t["bh"].to_numpy(zero_copy_only=False))
+    part = (key % np.uint64(num_partitions)).astype(np.int64)
     return t.append_column("__part", pa.array(part))
 
 
@@ -551,10 +550,9 @@ def _bucket_membership(bands_ds, hot, num_partitions: int):
             # whatever columns the block has (left blocks also carry id /
             # extras — fabricating a hot-shaped schema would drop them)
             return t.append_column("__bb", pa.array([], type=pa.int64()))
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = (t["bh"].to_numpy(zero_copy_only=False)
-              .astype(np.int64).view(np.uint64))
-        key = ((band * np.uint64(1099511628211)) ^ bh).view(np.int64)
+        key = H.pair_key_u64(
+            t["band"].to_numpy(zero_copy_only=False),
+            t["bh"].to_numpy(zero_copy_only=False)).view(np.int64)
         return t.append_column("__bb", pa.array(key))
 
     left = bands_ds.map_batches(add_key, batch_format="pyarrow",
@@ -1185,18 +1183,24 @@ def fuzzy_value_pairs(ds, col: str, max_dist: int = 1):
     (currently 1) via symmetric-delete blocking (SymSpell): two strings with
     edit distance ≤ 1 necessarily share a deletion variant (the string
     itself, or the string minus one character), so bucketing every variant
-    gives EXACT recall — no missed pairs, unlike probabilistic LSH.
+    gives EXACT recall — no missed pairs, unlike probabilistic LSH. Exact
+    recall holds UNDER the per-bucket pair cap: on the distributed path a
+    variant bucket whose candidate-pair count exceeds MAX_PAIRS_PER_BUCKET
+    degrades to star+chain emission (2k−3 pairs), so a pathological key
+    cluster whose TRUE pair set is itself quadratic returns a connected,
+    verified subset of it rather than all C(k,2) pairs. The broadcast path
+    (vocab ≤ BROADCAST_DUP_LIMIT) is always uncapped/complete.
 
     Scale shape: the corpus reduces to its distinct vocabulary first
     (per-batch distinct partials — for natural-language name/label columns
     the vocab is orders of magnitude smaller than the corpus), then each
-    vocab entry fans out to len+1 variant keys. Only (variant, value) rows
-    ever shuffle; candidate pairs are verified with one exact
+    vocab entry fans out to len+1 variant keys. Only (variant-hash, value)
+    rows ever shuffle; candidate pairs are verified with one exact
     edit-distance check. Vocab is combined driver-side below
     ``BROADCAST_DUP_LIMIT``; above it :func:`_fuzzy_distributed` takes over
-    (variant fan-out per batch, one groupby(variant).map_groups for pair
-    emission + in-group levenshtein verify, distinct-pair reduce — nothing
-    vocab-sized on the driver).
+    (vectorized deletion-variant hash fan-out, hot-bucket semi-join, capped
+    partition-level pair emission + lev1 verify, distinct-pair reduce —
+    nothing vocab-sized on the driver).
 
     Returns a pyarrow Table (a, b) with a < b, sorted."""
     assert max_dist == 1, "symmetric-delete blocking implemented for d=1"

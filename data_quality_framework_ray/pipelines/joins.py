@@ -468,8 +468,9 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
 
     l = old.select_columns([key] + compare_cols).map_batches(
         mark(lcols, "__l"), batch_format="pyarrow")
-    r = new.select_columns([key] + compare_cols).map_batches(
-        mark(rcols, "__r"), batch_format="pyarrow")
+    # reuse the already-materialized selection — rebuilding from `new` would
+    # re-execute its upstream pipeline and waste the pinned blocks
+    r = new_mat.map_batches(mark(rcols, "__r"), batch_format="pyarrow")
     j = hash_join(l, r, on=key, join_type="full_outer",
                   num_partitions=num_partitions)
 

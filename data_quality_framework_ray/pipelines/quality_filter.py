@@ -337,12 +337,11 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> pa.Table:
 
 
 def _pair_key_u64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-    """One combined 64-bit key per (h1, h2) pair (membership tests only — a
-    collision can only cause a spurious fragment REWRITE, never a stale
-    link)."""
-    return ((np.ascontiguousarray(h1, dtype=np.int64).view(np.uint64)
-             * np.uint64(1099511628211))
-            ^ np.ascontiguousarray(h2, dtype=np.int64).view(np.uint64))
+    """Combined 64-bit (h1, h2) key (membership tests only — a collision can
+    only cause a spurious fragment REWRITE, never a stale link)."""
+    from data_quality_framework_ray.functions.hashing import pair_key_u64
+
+    return pair_key_u64(h1, h2)
 
 
 def _changed_dup_keys(old: pa.Table, new: pa.Table) -> np.ndarray:
@@ -641,12 +640,15 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
                                  batch_size=None)  # lazy; executed only on
     # the distributed combine / join fallback paths below
     try:
-        if len(pass1_files) <= 256:
-            # few-KB partial files and few of them: read them on the DRIVER
-            # and fold with one polars group_by — skipping pass 1's entire
-            # Ray round (~0.5 s of task/exchange constants that dominate
-            # phase B at small fragment counts). Above 256 files the listing
-            # itself is worth distributing; the pairs Dataset path takes over.
+        if (len(pass1_files) <= 256 and pass1_files is dup_files
+                and store.num_rows() < 5_000_000):
+            # few-KB PARTIAL files, few of them, and a total row budget the
+            # 5M driver-combine contract allows: read them on the DRIVER and
+            # fold with one polars group_by — skipping pass 1's entire Ray
+            # round (~0.5 s of task/exchange constants that dominate phase B
+            # at small fragment counts). The legacy branch (pass1 = raw
+            # decision parts) and anything bigger keep the distributed
+            # combine + its over-limit ValueError fallback.
             import polars as pl
 
             batch = pa.table({"path": pa.array(pass1_files)})
