@@ -299,3 +299,58 @@ def test_shingle_hashes_vectorized_equals_rowloop():
     # all-empty batch
     got_h, got_off = H.shingle_hashes(pa.array([None, "", "  "], type=pa.string()), 3)
     assert len(got_h) == 0 and got_off[-1] == 0
+
+
+def test_deletion_variant_hashes_equal_string_reference():
+    """The prefix-sum deletion-variant hashes must equal direct polynomial
+    hashes of the MATERIALIZED variant strings (identity first, then
+    deletions row by row), including empty/null/unicode rows."""
+    P = 0x9E3779B97F4A7C15
+
+    def direct(s: str) -> int:
+        h = 0
+        for t, ch in enumerate(s):
+            h = (h + ord(ch) * pow(P, t, 1 << 64)) % (1 << 64)
+        return h
+
+    vals = ["abc", "", "a", "hello", "héllo", None, "ab", "aa", "ünïcødé"]
+    hs, vi = H.deletion_variant_hashes(pa.array(vals, type=pa.string()))
+    want = [(direct(v or ""), i) for i, v in enumerate(vals)]
+    for i, v in enumerate(vals):
+        v = v or ""
+        for j in range(len(v)):
+            want.append((direct(v[:j] + v[j + 1:]), i))
+    assert list(zip(hs.tolist(), vi.tolist())) == want
+    # equal variant strings => equal hashes (the exact-recall property)
+    hs2, vi2 = H.deletion_variant_hashes(
+        pa.array(["cat", "cart"], type=pa.string()))
+    by_val = {}
+    srcs = ["cat", "cart"]
+    pos = 0
+    variants = [s for s in srcs] + [
+        s[:j] + s[j + 1:] for s in srcs for j in range(len(s))]
+    for h, s in zip(hs2.tolist(), variants):
+        by_val.setdefault(s, set()).add(h)
+    assert all(len(v) == 1 for v in by_val.values())
+    assert "cat" in by_val and by_val["cat"] == {hs2[0]}
+
+
+def test_token_hashes_md5_matches_duckdb():
+    """Engine md5 token hashes must be bit-identical to DuckDB's
+    md5_number_lower over the same explicit-ASCII-class tokenization — the
+    property the dedup_simhash SQL oracle rests on."""
+    import duckdb
+
+    texts = ["hello world", "a  b\tc", "", None, "héllo wörld", "x"]
+    th, off = H.token_hashes_md5(pa.array(texts, type=pa.string()))
+    con = duckdb.connect()
+    want = []
+    for t in texts:
+        toks = con.execute(
+            "SELECT regexp_extract_all(coalesce(?, ''),"
+            " '[^\\t\\n\\f\\r \\x1c-\\x1f]+')", [t]).fetchone()[0]
+        want.extend(int(con.execute(
+            "SELECT md5_number_lower(?)", [tok]).fetchone()[0])
+            for tok in toks)
+    assert th.tolist() == want
+    assert off[-1] == len(want)
