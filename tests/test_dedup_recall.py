@@ -612,3 +612,35 @@ def test_semi_anti_join_null_keys_sql_parity(ray_session, monkeypatch):
     monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
     assert run(False) == [2, 4]
     assert run(True) == [0, 1, 3]
+
+
+def test_bucket_membership_broadcast_equals_join(ray_session, monkeypatch):
+    """_bucket_membership must return the same member rows through the
+    broadcast pc.is_in path and the semi-join path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import (_bucket_membership,
+                                                            _hot_buckets)
+    import polars as pl
+
+    rows = [{"band": int(b), "bh": int(h), "id": f"d{i}"}
+            for i, (b, h) in enumerate([(0, 5), (0, 5), (1, 7), (1, 7),
+                                        (1, 7), (2, 9), (3, 5)])]
+    bands = rd.from_items(rows).repartition(3).materialize()
+    counts = bands.map_batches(
+        lambda t: pl.from_arrow(t).group_by(["band", "bh"])
+        .agg(pl.len().alias("cnt")).to_arrow(), batch_format="pyarrow")
+    hot = _hot_buckets(counts, 4).materialize()
+
+    def collect(ds):
+        return sorted((r["band"], r["bh"], r["id"])
+                      for r in ds.take_all())
+
+    want = collect(_bucket_membership(bands, hot, 4))
+    assert {x[2] for x in want} == {"d0", "d1", "d2", "d3", "d4"}
+    monkeypatch.setattr(config, "MEMBERSHIP_BROADCAST_LIMIT", 0)
+    got = collect(_bucket_membership(bands, hot, 4))
+    assert got == want

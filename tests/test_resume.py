@@ -155,3 +155,25 @@ def test_append_fragment_incremental_phase_b(ray_session, tmp_path):
         [os.path.relpath(p, fresh) for p in fresh_files]
     for a, b in zip(res_files, fresh_files):
         assert filecmp.cmp(a, b, shallow=False), f"{a} differs from fresh run"
+
+
+def test_changed_dup_keys_semantics():
+    """The winner diff must flag re-assigned, added, and removed groups —
+    and nothing else."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.quality_filter import (
+        _changed_dup_keys, _pair_key_u64)
+
+    old = pa.table({"h1": [1, 2, 3], "h2": [10, 20, 30],
+                    "winner": ["a", "b", "c"]})
+    new = pa.table({"h1": [1, 2, 4], "h2": [10, 20, 40],
+                    "winner": ["a", "b2", "d"]})
+    changed = set(_changed_dup_keys(old, new).tolist())
+    key = lambda a, b: int(_pair_key_u64(np.array([a]), np.array([b]))[0])
+    assert key(2, 20) in changed      # winner re-assigned
+    assert key(3, 30) in changed      # group removed
+    assert key(4, 40) in changed      # group added
+    assert key(1, 10) not in changed  # unchanged
+    assert len(changed) == 3
