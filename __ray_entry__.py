@@ -421,7 +421,14 @@ def _q_ann_pq(sf_dir: str):
     books = train_pq(ds, m=8, nbits=6)
     qrows = ds.take(3)
     q = np.stack([np.asarray(r["embedding"]) for r in qrows])
-    return pq_topk(ds, q, books, k=5).select(["query_id", "id"])
+    # floor the exact-refine pool at min(n, 256) candidates: at tiny tiers
+    # the codebooks train on few points and ADC ranking is noisy (recall
+    # 0.73 at 500 vectors with a 50-candidate pool); at scale the floor is
+    # a no-op relative to the ADC scan cost
+    k = 5
+    refine = max(10, -(-min(ds.count(), 256) // k))
+    return pq_topk(ds, q, books, k=k,
+                   refine_factor=refine).select(["query_id", "id"])
 
 
 def _q_langid_documents(sf_dir: str):
