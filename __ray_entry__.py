@@ -217,16 +217,28 @@ def _q_grouped_agg(sf_dir: str):
 
     import pyarrow as pa
 
-    out = (_read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
-           .groupby("o_orderstatus")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="total_price")))
-    t = _collect(out)
     import pyarrow.compute as pc
 
-    return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
-                         pc.round(t["total_price"], 2))
-            .sort_by("o_orderstatus"))
+    def to_cents(t: pa.Table) -> pa.Table:
+        # money as EXACT int64 cents before the distributed sum: a double
+        # sum over 50k+ values carries order-dependent error (~0.07 at 1e10
+        # magnitude), so the Ray partial-sum tree and DuckDB disagree past
+        # round(,2) at sf0.1+; integer cents sum identically everywhere
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64())
+        return t.append_column("cents", cents)
+
+    out = (_read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+           .map_batches(to_cents, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("cents", alias_name="cents")))
+    t = _collect(out)
+    return pa.table({
+        "o_orderstatus": t["o_orderstatus"],
+        "n_orders": t["n_orders"],
+        "total_price": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+    }).sort_by("o_orderstatus")
 
 
 def _q_q1_lineitem(sf_dir: str):
@@ -238,9 +250,15 @@ def _q_q1_lineitem(sf_dir: str):
         import polars as pl
 
         df = pl.from_arrow(batch)
-        return (df.group_by(["l_returnflag", "l_linestatus"])
+        # money summed as EXACT int64 cents (same reasoning as
+        # _q_grouped_agg: double-sum order error exceeds round(,2) at scale);
+        # l_quantity is integer-valued, its double sum is exact to 2^53
+        return (df.with_columns(
+                    (pl.col("l_extendedprice") * 100).round(0)
+                    .cast(pl.Int64).alias("__cents"))
+                .group_by(["l_returnflag", "l_linestatus"])
                 .agg(pl.col("l_quantity").sum().alias("sum_qty"),
-                     pl.col("l_extendedprice").sum().alias("sum_base_price"),
+                     pl.col("__cents").sum().alias("__cents"),
                      pl.len().alias("count_order")).to_arrow())
 
     from ray.data.aggregate import Sum
@@ -250,11 +268,19 @@ def _q_q1_lineitem(sf_dir: str):
     g = (ds.map_batches(partials, batch_format="pyarrow")
          .groupby(["l_returnflag", "l_linestatus"])
          .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                    Sum("sum_base_price", alias_name="sum_base_price"),
+                    Sum("__cents", alias_name="__cents"),
                     Sum("count_order", alias_name="count_order")))
     t = _collect(g)
-    for c in ("sum_qty", "sum_base_price"):
-        t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+    t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
+                     pc.round(t["sum_qty"], 2))
+    t = pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "sum_qty": t["sum_qty"],
+        "sum_base_price": pc.divide(pc.cast(t["__cents"], pa.float64()),
+                                    100.0),
+        "count_order": t["count_order"],
+    })
     return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
@@ -679,16 +705,26 @@ def _q_join_broadcast(sf_dir: str):
     from data_quality_framework_ray.pipelines.joins import broadcast_hash_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # exact int64 cents before the sum (see _q_grouped_agg)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64())
+        return t.append_column("cents", cents)
+
     joined = broadcast_hash_join(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
-        cust, left_on="o_custkey", right_on="c_custkey")
+        cust, left_on="o_custkey", right_on="c_custkey") \
+        .map_batches(to_cents, batch_format="pyarrow")
     out = (joined.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="total_price")))
+                      Sum("cents", alias_name="cents")))
     t = _collect(out)
-    return (t.set_column(t.schema.get_field_index("total_price"), "total_price",
-                         pc.round(t["total_price"], 2))
-            .sort_by("c_mktsegment"))
+    return pa.table({
+        "c_mktsegment": t["c_mktsegment"],
+        "n_orders": t["n_orders"],
+        "total_price": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+    }).sort_by("c_mktsegment")
 
 
 def _q_join_hash(sf_dir: str):
@@ -1936,11 +1972,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"),
         "grouped_agg": (
             "SELECT o_orderstatus, count(*) AS n_orders, "
-            "round(sum(o_totalprice), 2) AS total_price "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 "
+            "AS total_price "
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
         "q1_lineitem": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 "
+            "AS sum_base_price, "
             "count(*) AS count_order FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
         "topk_events": (
@@ -1985,7 +2023,8 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct_tokens FROM documents"),
         "join_broadcast": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "round(sum(o_totalprice), 2) AS total_price "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 "
+            "AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
         "join_hash": (
