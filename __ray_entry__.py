@@ -219,26 +219,36 @@ def _q_grouped_agg(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        # money as EXACT int64 cents before the distributed sum: a double
-        # sum over 50k+ values carries order-dependent error (~0.07 at 1e10
-        # magnitude), so the Ray partial-sum tree and DuckDB disagree past
-        # round(,2) at sf0.1+; integer cents sum identically everywhere
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
-                        pa.int64())
-        return t.append_column("cents", cents)
+    def partials(t: pa.Table) -> pa.Table:
+        # money as EXACT int64 cents (a double sum over 50k+ values carries
+        # order-dependent error ~0.07 at 1e10 magnitude — the Ray sum tree
+        # and DuckDB disagreed past round(,2) at sf0.1), combined per batch
+        # so the shuffle carries only tiny partials
+        import polars as pl
 
-    out = (_read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
-           .map_batches(to_cents, batch_format="pyarrow")
-           .groupby("o_orderstatus")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("cents", alias_name="cents")))
-    t = _collect(out)
+        return (pl.from_arrow(t)
+                .with_columns((pl.col("o_totalprice") * 100).round(0)
+                              .cast(pl.Int64).alias("__cents"))
+                .group_by("o_orderstatus")
+                .agg(pl.len().cast(pl.Int64).alias("n_orders"),
+                     pl.col("__cents").sum()).to_arrow())
+
+    # enum key (3 statuses): partials are <= 3 rows per block — fold on the
+    # driver (same pattern as distinct_set_ops combine='driver'); a second
+    # Ray aggregate costs more in constants than the fold at any data size
+    import polars as pl
+
+    parts = _collect(_read(sf_dir, "orders",
+                           ["o_orderstatus", "o_totalprice"])
+                     .map_batches(partials, batch_format="pyarrow"))
+    t = (pl.from_arrow(parts).group_by("o_orderstatus")
+         .agg(pl.col("n_orders").sum(), pl.col("__cents").sum())
+         .sort("o_orderstatus").to_arrow())
     return pa.table({
-        "o_orderstatus": t["o_orderstatus"],
+        "o_orderstatus": t["o_orderstatus"].cast(pa.string()),
         "n_orders": t["n_orders"],
-        "total_price": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
-    }).sort_by("o_orderstatus")
+        "total_price": pc.divide(pc.cast(t["__cents"], pa.float64()), 100.0),
+    })
 
 
 def _q_q1_lineitem(sf_dir: str):
@@ -706,25 +716,32 @@ def _q_join_broadcast(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        # exact int64 cents before the sum (see _q_grouped_agg)
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
-                        pa.int64())
-        return t.append_column("cents", cents)
+    def partials(t: pa.Table) -> pa.Table:
+        # exact int64 cents, combined per batch (see _q_grouped_agg)
+        import polars as pl
 
-    joined = broadcast_hash_join(
+        return (pl.from_arrow(t)
+                .with_columns((pl.col("o_totalprice") * 100).round(0)
+                              .cast(pl.Int64).alias("__cents"))
+                .group_by("c_mktsegment")
+                .agg(pl.len().cast(pl.Int64).alias("n_orders"),
+                     pl.col("__cents").sum()).to_arrow())
+
+    # enum key (5 segments): driver fold over <= 5-row partials per block
+    import polars as pl
+
+    parts = _collect(broadcast_hash_join(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
-        cust, left_on="o_custkey", right_on="c_custkey") \
-        .map_batches(to_cents, batch_format="pyarrow")
-    out = (joined.groupby("c_mktsegment")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("cents", alias_name="cents")))
-    t = _collect(out)
+        cust, left_on="o_custkey", right_on="c_custkey")
+        .map_batches(partials, batch_format="pyarrow"))
+    t = (pl.from_arrow(parts).group_by("c_mktsegment")
+         .agg(pl.col("n_orders").sum(), pl.col("__cents").sum())
+         .sort("c_mktsegment").to_arrow())
     return pa.table({
-        "c_mktsegment": t["c_mktsegment"],
+        "c_mktsegment": t["c_mktsegment"].cast(pa.string()),
         "n_orders": t["n_orders"],
-        "total_price": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
-    }).sort_by("c_mktsegment")
+        "total_price": pc.divide(pc.cast(t["__cents"], pa.float64()), 100.0),
+    })
 
 
 def _q_join_hash(sf_dir: str):
