@@ -499,10 +499,17 @@ def _invalidate_on_input_change(out_dir: str, store: FragmentStore) -> None:
         # (frag_id, path, rows, file bytes, mtime_ns): regeneration in place
         # (same shape, new content) must NOT look like an append — size and
         # mtime change on any rewrite; a false mismatch only costs a safe
-        # full recompute
-        st = os.stat(os.path.join(store.root, fr["path"]))
+        # full recompute. A manifest-listed fragment MISSING on disk must
+        # also read as a non-append (sentinel ident) so the run falls
+        # through to full invalidation instead of crashing here — the
+        # actual read failure surfaces later with its own error (ADVICE r4).
+        try:
+            st = os.stat(os.path.join(store.root, fr["path"]))
+            size, mtime = int(st.st_size), int(st.st_mtime_ns)
+        except OSError:
+            size, mtime = -1, -1
         return (int(fr["frag_id"]), str(fr["path"]), int(fr["num_rows"]),
-                int(st.st_size), int(st.st_mtime_ns))
+                size, mtime)
 
     frag_idents = sorted(_ident(fr) for fr in store.fragments)
     stamp_path = os.path.join(out_dir, "input_stamp.json")

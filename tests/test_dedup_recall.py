@@ -644,3 +644,58 @@ def test_bucket_membership_broadcast_equals_join(ray_session, monkeypatch):
     monkeypatch.setattr(config, "MEMBERSHIP_BROADCAST_LIMIT", 0)
     got = collect(_bucket_membership(bands, hot, 4))
     assert got == want
+
+
+def test_keyed_dup_groups_broadcast_equals_join(ray_session):
+    """keyed_dup_groups must emit identical (id, cluster_rep) rows through
+    the broadcast-merge path and the combined-key join path, bit-cast uint64
+    keys >= 2^63 (the round-4 bench crash), drop null-key rows, and keep
+    groups with equal fp but different frame counts apart."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    big = (1 << 63) + 12345  # uint64 beyond int64 range
+    rows = [
+        {"clip_id": "c1", "fp": big, "nf": 10},
+        {"clip_id": "c2", "fp": big, "nf": 10},
+        {"clip_id": "c5", "fp": big, "nf": 10},
+        {"clip_id": "c3", "fp": 7, "nf": 4},
+        {"clip_id": "c4", "fp": 7, "nf": 4},
+        {"clip_id": "c6", "fp": 7, "nf": 5},   # same fp, different frames
+        {"clip_id": "c7", "fp": 99, "nf": 3},  # singleton
+        {"clip_id": "c8", "fp": None, "nf": None},  # null key dropped
+    ]
+    t = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("clip_id", pa.string()), ("fp", pa.uint64()), ("nf", pa.int32())]))
+    ds = rd.from_arrow(t).repartition(3).materialize()
+
+    def collect(out):
+        return sorted((r["clip_id"], r["cluster_rep"])
+                      for r in out.take_all())
+
+    want = [("c1", "c1"), ("c2", "c1"), ("c3", "c3"), ("c4", "c3"),
+            ("c5", "c1")]
+    got_bc = collect(keyed_dup_groups(ds, ["fp", "nf"], "clip_id"))
+    assert got_bc == want
+    got_join = collect(keyed_dup_groups(ds, ["fp", "nf"], "clip_id",
+                                        broadcast_limit=0))
+    assert got_join == want
+
+
+def test_keyed_dup_groups_no_dups_empty(ray_session):
+    """All-singleton input yields an empty result with the right schema on
+    both paths."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    t = pa.Table.from_pylist(
+        [{"clip_id": f"c{i}", "fp": i, "nf": 1} for i in range(5)],
+        schema=pa.schema([("clip_id", pa.string()), ("fp", pa.uint64()),
+                          ("nf", pa.int32())]))
+    ds = rd.from_arrow(t).materialize()
+    for lim in (None, 0):
+        out = keyed_dup_groups(ds, ["fp", "nf"], "clip_id",
+                               broadcast_limit=lim)
+        assert out.take_all() == []
