@@ -547,8 +547,11 @@ def _q_simhash_dedup(sf_dir: str):
         return t.filter(has_tok)
 
     ds = ds.map_batches(drop_tokenless, batch_format="pyarrow")
+    # uncapped pair emission: the all-pairs SQL oracle has no
+    # MAX_PAIRS_PER_BUCKET star+chain degradation, so on a skewed corpus a
+    # capped engine would drop candidate pairs the oracle joins (ADVICE r4)
     comp = simhash_dup_groups(ds, "text", "doc_id", hamming_max=3,
-                              hasher="md5")
+                              hasher="md5", max_pairs_per_bucket=1 << 62)
     rows = [{"doc_id": int(k), "cluster_rep": int(v)}
             for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(

@@ -77,3 +77,8 @@ TOPK_MERGE_LIMIT = 1_000_000       # similarity partial-row count (nq*k*blocks)
                                    # above which the top-k merge runs as a
                                    # distributed groupby instead of one
                                    # vectorized driver pass
+PARTIAL_FOLD_LIMIT = 2_000_000     # per-batch partial rows (groups/bins ×
+                                   # batches) folded on the driver in
+                                   # pipelines/stats.py; above it the fold
+                                   # runs as a distributed groupby Sum
+                                   # (round-4 verdict #6)

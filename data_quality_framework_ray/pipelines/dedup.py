@@ -727,7 +727,8 @@ def _bucket_membership(bands_ds, hot, num_partitions: int):
 
 def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
                               num_partitions: int,
-                              extra_cols: tuple[str, ...] = ()):
+                              extra_cols: tuple[str, ...] = (),
+                              max_pairs: int | None = None):
     """Distributed capped within-bucket pair emission WITHOUT per-bucket
     Python: hash-partition band rows on (band, bh), then run the vectorized
     lexsort+boundary-scan emitter once per PARTITION (a per-bucket
@@ -739,7 +740,8 @@ def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
         bh = part_tbl["bh"].to_numpy(zero_copy_only=False)
         ids = np.asarray(part_tbl["id"].to_pandas())
         extras = tuple(np.asarray(part_tbl[c].to_pandas()) for c in extra_cols)
-        a, b, extra_pairs = _emit_pairs_arrays(band, bh, ids, extras=extras)
+        a, b, extra_pairs = _emit_pairs_arrays(band, bh, ids, extras=extras,
+                                               max_pairs=max_pairs)
         cols = {"a": pa.array(a, type=pair_schema.field("a").type),
                 "b": pa.array(b, type=pair_schema.field("b").type)}
         for c, (ea, eb) in zip(extra_cols, extra_pairs):
@@ -1050,7 +1052,8 @@ def near_dedup_filter(ds, id_col: str, cluster_map):
 
 def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                        hamming_max: int = 3, as_dataset: bool = False,
-                       hasher: str = "polars"):
+                       hasher: str = "polars",
+                       max_pairs_per_bucket: int | None = None):
     """64-bit SimHash near-dup. 4×16-bit bands guarantee CO-BUCKETING for
     hamming distance ≤ 3 (pigeonhole over 4 bands); candidate pairs are ALL
     within-bucket pairs (capped at MAX_PAIRS_PER_BUCKET), so the recall
@@ -1065,7 +1068,13 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 
     hasher: "polars" (default, fastest) or "md5" (DuckDB
     ``md5_number_lower``-compatible token hash — same clusters are then
-    recomputable by a pure-SQL oracle; see __ray_entry__ dedup_simhash)."""
+    recomputable by a pure-SQL oracle; see __ray_entry__ dedup_simhash).
+
+    max_pairs_per_bucket: override of config.MAX_PAIRS_PER_BUCKET for both
+    the broadcast and distributed paths. The SQL-oracled caller passes an
+    effectively-infinite cap so engine semantics stay exact all-pairs on any
+    corpus skew (the oracle has no cap; ADVICE r4) — at the documented
+    O(bucket²) cost the default cap otherwise bounds."""
     import polars as pl
     import ray
 
@@ -1103,13 +1112,14 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
            .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1))
     if agg.height == 0:
         return _done({})
+    s_cap = max_pairs_per_bucket or config.MAX_PAIRS_PER_BUCKET
     s_cnts = agg["cnt"].to_numpy()
-    s_pairs_est = int(np.minimum(s_cnts * (s_cnts - 1) // 2,
-                                 config.MAX_PAIRS_PER_BUCKET).sum())
+    s_pairs_est = int(np.minimum(s_cnts * (s_cnts - 1) // 2, s_cap).sum())
     if (int(agg["cnt"].sum()) > config.BROADCAST_DUP_LIMIT
             or s_pairs_est > config.DRIVER_PAIR_LIMIT):
         return _simhash_distributed(bands_ds, hamming_max=hamming_max,
-                                    id_type=id_type, as_dataset=as_dataset)
+                                    id_type=id_type, as_dataset=as_dataset,
+                                    max_pairs_per_bucket=max_pairs_per_bucket)
 
     multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
     mk_ref = ray.put(multi_keys)
@@ -1128,7 +1138,8 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
     a, b, extras = _emit_pairs_arrays(mdf["band"].to_numpy(),
                                       mdf["bh"].to_numpy(),
                                       mdf["id"].to_numpy(),
-                                      extras=(mdf["sim"].to_numpy(),))
+                                      extras=(mdf["sim"].to_numpy(),),
+                                      max_pairs=max_pairs_per_bucket)
     if len(a) == 0:
         return _done({})
     sa = extras[0][0].astype(np.int64).view(np.uint64)
@@ -1142,7 +1153,8 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 def _simhash_distributed(bands_ds, *, hamming_max: int,
                          id_type: pa.DataType | None = None,
                          num_partitions: int | None = None,
-                         as_dataset: bool = False):
+                         as_dataset: bool = False,
+                         max_pairs_per_bucket: int | None = None):
     """Distributed SimHash fallback: hot buckets via hash-partitioned
     combine, membership join, partition-level vectorized pair emission AND
     hamming verification (the sim value rides in the band rows), then
@@ -1169,7 +1181,8 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
                          "b": pairs["b"].filter(pa.array(hit))}).cast(pair_schema)
 
     verified_ds = (_partitioned_bucket_pairs(membership, pair_schema,
-                                             num_partitions, extra_cols=("sim",))
+                                             num_partitions, extra_cols=("sim",),
+                                             max_pairs=max_pairs_per_bucket)
                    .map_batches(verify_pairs, batch_format="pyarrow")
                    .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
                                 .cast(pair_schema), batch_format="pyarrow"))

@@ -182,6 +182,61 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
     return part_shuffle(parts, key, finish, out_schema, join_partitions())
 
 
+def _fold_partials(parts, key_cols: list[str], sum_cols: list[str],
+                   limit: int | None = None):
+    """Fold a (key…, partial…) Dataset into per-key sums, bounded: while the
+    partial-row count (distinct keys × batches) stays under
+    ``PARTIAL_FOLD_LIMIT`` the fold is one zero-copy driver pass (measured
+    faster than a second Ray aggregate for enum-keyed partials, round-4
+    BASELINE); above it — unbounded group/bin cardinality — a distributed
+    ``groupby().aggregate(Sum…)`` runs first and only the true per-key rows
+    reach the driver (round-4 verdict #6: these folds previously had no
+    guard). Returns a polars DataFrame with columns key_cols + sum_cols."""
+    import polars as pl
+    import ray
+
+    from data_quality_framework_ray.pipelines.exchange import empty_safe
+
+    def _concat(ds_):
+        tabs = [t for t in ray.get(ds_.to_arrow_refs())
+                if t.num_rows and sum_cols[0] in t.column_names]
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs, promote_options="default")
+
+    lim = config.PARTIAL_FOLD_LIMIT if limit is None else limit
+    parts = parts.materialize()
+    s_ = parts.schema()
+    if s_ is None:  # fully-empty Dataset: schema() is None; callers branch
+        # on height==0 (int64 placeholder types never reach a result)
+        types = {c: pa.int64() for c in key_cols + sum_cols}
+    else:
+        types = dict(zip(s_.names, s_.types))
+    empty = pa.Table.from_pylist([], schema=pa.schema(
+        [(c, types[c]) for c in key_cols + sum_cols]))
+    if parts.count() <= lim:
+        t = _concat(parts)
+        if t is None:
+            return pl.from_arrow(empty)
+        return (pl.from_arrow(t).group_by(key_cols)
+                .agg(pl.col(c).sum() for c in sum_cols))
+
+    from ray.data.aggregate import Sum
+
+    agg_schema = pa.schema(
+        [(c, types[c]) for c in key_cols]
+        + [(f"sum({c})", types[c]) for c in sum_cols])
+    agg = (parts.groupby(key_cols).aggregate(*[Sum(c) for c in sum_cols])
+           .map_batches(lambda t: empty_safe(
+               t, f"sum({sum_cols[0]})", agg_schema),
+               batch_format="pyarrow"))
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pl.from_arrow(empty)
+    out = pl.from_arrow(pa.concat_tables(tabs, promote_options="default"))
+    return out.rename({f"sum({c})": c for c in sum_cols})
+
+
 def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
     """Per-group z-score outlier counts in TWO streaming passes, no shuffle:
     pass 1 folds algebraic partials (n, Σx, Σx²) per batch and combines the
@@ -203,15 +258,14 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
                      ss=(pl.col("x").cast(pl.Float64) ** 2).sum())
                 .to_arrow())
 
-    parts = ds.map_batches(partials, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE).take_all()
-    if not parts:  # empty/all-null input: pl.DataFrame([]) has no columns
-        # to group_by (ADVICE.md round 3) — return the typed empty result
+    agg = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key], ["n", "s", "ss"])
+    if agg.height == 0:  # empty/all-null input (ADVICE.md round 3)
         s_ = ds.schema()
         return pa.table({key: pa.array([], type=dict(zip(s_.names, s_.types))[key]),
                          "n_outliers": pa.array([], type=pa.int64())})
-    agg = (pl.DataFrame(parts).group_by(key)
-           .agg(pl.col("n").sum(), pl.col("s").sum(), pl.col("ss").sum()))
     n = agg["n"].to_numpy().astype(np.float64)
     mean = agg["s"].to_numpy() / np.maximum(n, 1)
     var = np.where(n > 1, (agg["ss"].to_numpy() - n * mean * mean)
@@ -239,10 +293,10 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
                 .group_by(key).agg(pl.col("o").sum().cast(pl.Int64)
                                    .alias("n_outliers")).to_arrow())
 
-    parts2 = ds.map_batches(count_out, batch_format="pyarrow",
-                            batch_size=config.TEXT_BATCH_SIZE).take_all()
-    out = (pl.DataFrame(parts2).group_by(key)
-           .agg(pl.col("n_outliers").sum()).sort(key))
+    out = _fold_partials(
+        ds.map_batches(count_out, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key], ["n_outliers"]).sort(key)
     return out.to_arrow()
 
 
@@ -259,13 +313,10 @@ def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
         u, c = np.unique(bins, return_counts=True)
         return pa.table({"bin": u, "n": c.astype(np.int64)})
 
-    parts = ds.map_batches(partials, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE).take_all()
-    if not parts:  # empty/all-NaN input (ADVICE.md round 3)
-        return pa.table({"bin": pa.array([], type=pa.int64()),
-                         "n": pa.array([], type=pa.int64())})
-    out = (pl.DataFrame(parts).group_by("bin")
-           .agg(pl.col("n").sum()).sort("bin"))
+    out = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        ["bin"], ["n"]).sort("bin")
     return out.to_arrow()
 
 
@@ -296,14 +347,15 @@ def psi_binned(ds, col: str, group_col: str, base_key, cur_key,
                          "g": np.concatenate(out_g),
                          "n": np.concatenate(out_n)})
 
-    parts = ds.map_batches(partials, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE).take_all()
-    if not parts:  # empty input (ADVICE.md round 3)
+    folded = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        ["bin", "g"], ["n"])
+    if folded.height == 0:  # empty input (ADVICE.md round 3)
         f64 = pa.array([], type=pa.float64())
         return pa.table({"bin": pa.array([], type=pa.int64()),
                          "p_base": f64, "p_cur": f64, "contrib": f64})
-    df = (pl.DataFrame(parts).group_by(["bin", "g"])
-          .agg(pl.col("n").sum())
+    df = (folded.with_columns(pl.col("g").cast(pl.String))
           .pivot(values="n", index="bin", on="g")
           .sort("bin"))
     nb = df["0"].fill_null(0).to_numpy().astype(np.float64) \

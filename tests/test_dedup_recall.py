@@ -699,3 +699,19 @@ def test_keyed_dup_groups_no_dups_empty(ray_session):
         out = keyed_dup_groups(ds, ["fp", "nf"], "clip_id",
                                broadcast_limit=lim)
         assert out.take_all() == []
+
+
+def test_emit_pairs_uncapped_override():
+    """max_pairs override must reach the per-bucket emitter: an over-cap
+    bucket emits all C(k,2) pairs instead of star+chain (the SQL-oracled
+    simhash path relies on this, ADVICE r4)."""
+    from data_quality_framework_ray.pipelines.dedup import _emit_pairs_arrays
+
+    k = 100
+    band = np.zeros(k, dtype=np.int64)
+    bh = np.zeros(k, dtype=np.int64)
+    ids = np.arange(k)
+    a, b, _ = _emit_pairs_arrays(band, bh, ids, max_pairs=10)
+    assert len(a) == 2 * k - 3
+    a2, b2, _ = _emit_pairs_arrays(band, bh, ids, max_pairs=1 << 62)
+    assert len(a2) == k * (k - 1) // 2
