@@ -399,6 +399,18 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(ds, ["text"], "doc_id").select_columns(["doc_id"])
 
 
+def _q_dup_groups_keyed(sf_dir: str):
+    """Exact-composite-key dup grouping (the distributed winner pattern the
+    audio content dedup runs on, here over a SQL-expressible key so the
+    primitive gets a hard driver MATCH row): orders sharing
+    (o_custkey, o_orderdate) cluster together, rep = min(o_orderkey)."""
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = keyed_dup_groups(ds, ["o_custkey", "o_orderdate"], "o_orderkey")
+    return _collect(out).sort_by("o_orderkey")
+
+
 def _q_token_counts(sf_dir: str):
     """Token counting (whitespace + BPE-ish regex) over documents."""
     from data_quality_framework_ray.pipelines.text_analysis import with_token_counts
@@ -1878,6 +1890,7 @@ ROTATED_FIRST = [
     "histogram", "ntile", "normalize_text", "fuzzy_names", "psi_drift",
     "heavy_hitters", "repeated_passages", "rolling_mean", "unpivot",
     "string_agg", "count_distinct_grouped", "snapshot_diff", "regex_extract",
+    "dup_groups_keyed",  # new in round 5 (keyed_dup_groups primitive)
 ]
 
 
@@ -1920,6 +1933,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "integer_valued": _q_integer_valued,
         "windowed_agg": _q_windowed_agg,
         "dedup_exact": _q_dedup_exact,
+        "dup_groups_keyed": _q_dup_groups_keyed,
         "token_counts": _q_token_counts,
         "quality_stats": _q_quality_stats,
         "ann_topk": _q_ann_topk,
@@ -2057,6 +2071,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM (SELECT doc_id, "
             "min(doc_id) OVER (PARTITION BY text) AS m FROM documents) "
             "WHERE doc_id = m"),
+        "dup_groups_keyed": (
+            "SELECT o.o_orderkey AS o_orderkey, g.cluster_rep AS cluster_rep "
+            "FROM orders o JOIN (SELECT o_custkey, o_orderdate, "
+            "min(o_orderkey) AS cluster_rep FROM orders "
+            "GROUP BY o_custkey, o_orderdate HAVING count(*) > 1) g "
+            "USING (o_custkey, o_orderdate) ORDER BY o_orderkey"),
         "token_counts": (
             "SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+')) AS ws_tokens, "

@@ -179,6 +179,15 @@ def _key_i64(col) -> pa.Array:
         return pa.array(v.view(np.int64), type=pa.int64())
     if pa.types.is_integer(col.type):
         return col.cast(pa.int64())
+    if pa.types.is_temporal(col.type):
+        # temporal keys are integer physical — bit-cast to int64 (injective)
+        # BEFORE any shuffle: Ray's hash aggregate round-trips timestamps
+        # through numpy and silently changes their unit (us→s), so keying
+        # on raw temporals makes the winner table's values diverge from the
+        # probe side's (observed: empty join on a timestamp('us') key)
+        if pa.types.is_date32(col.type):
+            return col.cast(pa.int32()).cast(pa.int64())
+        return col.cast(pa.int64())
     return col
 
 
@@ -208,7 +217,8 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     kcols = [f"k{i}" for i in range(len(key_cols))]
     types = dict(zip(ds.schema().names, ds.schema().types))
     id_type = types[id_col]
-    ktypes = [pa.int64() if pa.types.is_integer(types[c]) else types[c]
+    ktypes = [pa.int64() if (pa.types.is_integer(types[c])
+                             or pa.types.is_temporal(types[c])) else types[c]
               for c in key_cols]
     out_schema = pa.schema([(id_col, id_type), ("cluster_rep", id_type)])
 
@@ -271,18 +281,24 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     # distributed assignment: combine key cols into one int64 join key
     num_partitions = _join_partitions(num_partitions)
 
+    def _col_i64(v) -> np.ndarray:
+        # int64 image of one (null-free, keyed()-filtered) key column:
+        # integers pass through; anything else (string/timestamp/binary)
+        # hashes via polars row hash — NOT content_hash_128, whose
+        # string-typed fill_null breaks on temporal columns
+        if pa.types.is_integer(v.type):
+            return np.ascontiguousarray(
+                v.to_numpy(zero_copy_only=False), dtype=np.int64)
+        import polars as pl
+
+        s = pl.from_arrow(v.combine_chunks()
+                          if isinstance(v, pa.ChunkedArray) else v)
+        return s.hash(seed=11).to_numpy().view(np.int64)
+
     def combine_key(t: pa.Table, names: list[str]) -> pa.Table:
-        k = t[names[0]].to_numpy(zero_copy_only=False)
-        if not pa.types.is_integer(t[names[0]].type):
-            k = H.content_hash_128(t[names[0]])[0]
-        k = np.ascontiguousarray(k, dtype=np.int64)
+        k = _col_i64(t[names[0]])
         for nm in names[1:]:
-            v = t[nm]
-            o = (v.to_numpy(zero_copy_only=False)
-                 if pa.types.is_integer(v.type)
-                 else H.content_hash_128(v)[0])
-            k = H.pair_key_u64(k, np.ascontiguousarray(o, dtype=np.int64)) \
-                 .view(np.int64)
+            k = H.pair_key_u64(k, _col_i64(t[nm])).view(np.int64)
         return t.append_column("__kk", pa.array(k, type=pa.int64()))
 
     tagged = ds.map_batches(keyed, batch_format="pyarrow",

@@ -715,3 +715,32 @@ def test_emit_pairs_uncapped_override():
     assert len(a) == 2 * k - 3
     a2, b2, _ = _emit_pairs_arrays(band, bh, ids, max_pairs=1 << 62)
     assert len(a2) == k * (k - 1) // 2
+
+
+def test_keyed_dup_groups_timestamp_key_join_path(ray_session):
+    """Composite (int, timestamp) key must work through BOTH assignment
+    paths — the join path hashes non-integer keys via polars row hash
+    (content_hash_128's string fill_null would break on temporal cols)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    d1 = dt.datetime(2024, 1, 1)
+    d2 = dt.datetime(2024, 1, 2)
+    t = pa.Table.from_pylist([
+        {"ok": 10, "cust": 1, "d": d1},
+        {"ok": 11, "cust": 1, "d": d1},
+        {"ok": 12, "cust": 1, "d": d2},   # same cust, other day
+        {"ok": 13, "cust": 2, "d": d1},   # other cust, same day
+        {"ok": 14, "cust": 2, "d": d1},
+        {"ok": 15, "cust": 3, "d": None},  # null key dropped
+    ], schema=pa.schema([("ok", pa.int64()), ("cust", pa.int64()),
+                         ("d", pa.timestamp("us"))]))
+    ds = rd.from_arrow(t).repartition(2).materialize()
+    want = [(10, 10), (11, 10), (13, 13), (14, 13)]
+    for lim in (None, 0):
+        out = keyed_dup_groups(ds, ["cust", "d"], "ok", broadcast_limit=lim)
+        got = sorted((r["ok"], r["cluster_rep"]) for r in out.take_all())
+        assert got == want, (lim, got)
