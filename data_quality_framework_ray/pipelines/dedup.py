@@ -73,7 +73,31 @@ def _exact_dup_groups_ds(ds, key_cols: list[str], id_col: str):
         return t.filter(pc.greater(t["sum(cnt)"], 1))
 
     pairs = ds.map_batches(partial(_exact_partials, key_cols=key_cols, id_col=id_col),
-                           batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE)
+                           batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+    if pairs.count() <= config.PARTIAL_FOLD_LIMIT:
+        # bounded driver fold of the (h1, h2, min_id, cnt) partials — same
+        # guard shape as keyed_dup_groups / stats._fold_partial_sums: the Ray
+        # hash-aggregate round costs task/exchange constants that dwarf the
+        # fold itself at these cardinalities; above the limit (mostly-unique
+        # corpora at scale) the distributed groupby below runs unchanged
+        import polars as pl
+        import ray
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(pairs.to_arrow_refs())
+                if t.num_rows and "cnt" in t.column_names]
+        if tabs:
+            win = (pl.from_arrow(pa.concat_tables(tabs,
+                                                  promote_options="default"))
+                   .group_by(["h1", "h2"])
+                   .agg(pl.col("min_id").min().alias("min(min_id)"),
+                        pl.col("cnt").sum().alias("sum(cnt)"))
+                   .filter(pl.col("sum(cnt)") > 1)
+                   .to_arrow().cast(schema))
+        else:
+            win = pa.Table.from_pylist([], schema=schema)
+        return rd.from_arrow(win).materialize()
     return (pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
             .map_batches(only_dups, batch_format="pyarrow").materialize())
 
@@ -212,6 +236,7 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     scale and crashed the bench on uint64 fingerprints (VERDICT r4 #1/#2)."""
     import pyarrow.compute as pc
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     kcols = [f"k{i}" for i in range(len(key_cols))]
@@ -246,14 +271,39 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
         t = _empty_safe(t, "sum(cnt)", agg_schema)
         return t.filter(pc.greater(t["sum(cnt)"], 1))
 
-    dups = (ds.map_batches(partials, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE)
-            .groupby(kcols).aggregate(Min("min_id"), Sum("cnt"))
-            .map_batches(only_dups, batch_format="pyarrow").materialize())
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+    if parts.count() <= config.PARTIAL_FOLD_LIMIT:
+        # bounded driver fold of the tiny (key…, min_id, cnt) partials — the
+        # Ray hash-aggregate round costs seconds of task/exchange constants
+        # that dwarfed the actual fold (bench: dup_groups_keyed 4.4 s on a
+        # 150k-row table, ~0.4 s with this path); above the limit the
+        # distributed groupby below is unchanged (same guard shape as
+        # stats._fold_partial_sums / the flagship 5M driver-combine contract)
+        import polars as pl
+
+        tabs = [t for t in ray.get(parts.to_arrow_refs())
+                if t.num_rows and "cnt" in t.column_names]
+        if tabs:
+            win_pl = (pl.from_arrow(pa.concat_tables(
+                          tabs, promote_options="default"))
+                      .group_by(kcols)
+                      .agg(pl.col("min_id").min().alias("min(min_id)"),
+                           pl.col("cnt").sum().alias("sum(cnt)"))
+                      .filter(pl.col("sum(cnt)") > 1))
+            win_arrow = win_pl.to_arrow().cast(agg_schema)
+        else:
+            win_arrow = pa.Table.from_pylist([], schema=agg_schema)
+        dups = rd.from_arrow(win_arrow)  # join path consumes a Dataset
+        n_dups = win_arrow.num_rows
+    else:
+        dups = (parts.groupby(kcols).aggregate(Min("min_id"), Sum("cnt"))
+                .map_batches(only_dups, batch_format="pyarrow").materialize())
+        n_dups = dups.count()
 
     limit = (config.BROADCAST_DUP_LIMIT if broadcast_limit is None
              else broadcast_limit)
-    if dups.count() <= limit:
+    if n_dups <= limit:
         win_t = pa.concat_tables(
             [t for t in ray.get(dups.to_arrow_refs())
              if t.num_rows and "sum(cnt)" in t.column_names] or
