@@ -1480,9 +1480,9 @@ def _q_repetition_stats(sf_dir: str):
 
 def _q_read_formats(sf_dir: str):
     """Format-agnostic source facade: the SAME supplier table rendered to
-    CSV and JSONL (deterministic /tmp copies), read back through
+    CSV, JSONL and ORC (deterministic /tmp copies), read back through
     sources/tabular.read_table with explicit schemas (no sniffing), unioned.
-    Oracle: supplier UNION ALL supplier — proves byte-value parity of both
+    Oracle: supplier UNION ALL ×3 — proves byte-value parity of all three
     non-parquet readers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1493,6 +1493,7 @@ def _q_read_formats(sf_dir: str):
     t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
     csv_path = f"/tmp/dqfr_supplier_{name}.csv"
     jsonl_path = f"/tmp/dqfr_supplier_{name}.jsonl"
+    orc_path = f"/tmp/dqfr_supplier_{name}.orc"
     if not os.path.exists(csv_path):
         from pyarrow import csv as pacsv
 
@@ -1503,13 +1504,18 @@ def _q_read_formats(sf_dir: str):
         with open(jsonl_path, "w") as f:
             for row in t.to_pylist():
                 f.write(_json.dumps(row) + "\n")
+    if not os.path.exists(orc_path):
+        from pyarrow import orc as paorc
+
+        paorc.write_table(t, orc_path)
 
     schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
                         ("s_nationkey", pa.int32()),
                         ("s_acctbal", pa.float64())])
     a = read_table(csv_path, fmt="csv", expected_schema=schema)
     b = read_table(jsonl_path, fmt="jsonl", expected_schema=schema)
-    return a.union(b)
+    c = read_table(orc_path, fmt="orc", expected_schema=schema)
+    return a.union(b).union(c)
 
 
 def _q_resample_weighted(sf_dir: str):
@@ -2358,7 +2364,8 @@ def oracle_sql() -> dict[str, str]:
             "       AS ws_tokens FROM documents)"
             " ORDER BY doc_id"),
         "read_formats": (
-            "SELECT * FROM supplier UNION ALL SELECT * FROM supplier"),
+            "SELECT * FROM supplier UNION ALL SELECT * FROM supplier"
+            " UNION ALL SELECT * FROM supplier"),
         "resample_weighted": (
             "SELECT doc_id, lang FROM documents"
             " WHERE (doc_id * 48271) % 100000 <"

@@ -8,9 +8,14 @@ landed in. ``read_table`` fronts Ray Data's native readers with a uniform
 - parquet: pruned at the read (``columns=``) — bytes never leave storage;
 - CSV: Arrow CSV reader with explicit per-column types (no type sniffing —
   sniffed schemas drift between files at scale) + include_columns pruning;
-- JSONL: Arrow JSON reader with an explicit schema.
+- JSONL: Arrow JSON reader with an explicit schema;
+- ORC: Ray Data has no native reader, so files fan out as one map task per
+  file (the repo's per-fragment pattern) and each task reads via
+  ``pyarrow.orc`` with ``columns=`` pruning — stripes for unselected
+  columns never leave storage, and per-file tasks keep the read
+  distributed and resumable at any file count.
 
-All three return a streaming ``ray.data.Dataset`` whose schema is cast to
+All four return a streaming ``ray.data.Dataset`` whose schema is cast to
 ``expected_schema`` column order/types, so downstream stages are
 format-blind.
 """
@@ -53,6 +58,27 @@ def read_table(path: str, *, fmt: str = "parquet",
         ds = rd.read_json(path, parse_options=parse)
         if columns:
             ds = ds.select_columns(columns)
+    elif fmt == "orc":
+        import glob as _glob
+        import os as _os
+
+        paths = (sorted(_glob.glob(_os.path.join(path, "*.orc")))
+                 if _os.path.isdir(path) else [path])
+        if not paths:
+            raise ValueError(f"no .orc files under: {path}")
+        want = columns
+
+        def _read_orc(b: pa.Table) -> pa.Table:
+            from pyarrow import orc as paorc
+
+            return pa.concat_tables(
+                [paorc.read_table(p, columns=want)
+                 for p in b["path"].to_pylist()])
+
+        ds = rd.from_items([{"path": p} for p in paths],
+                           override_num_blocks=len(paths)) \
+               .map_batches(_read_orc, batch_format="pyarrow",
+                            batch_size=None)
     else:
         raise ValueError(f"unknown format: {fmt}")
 

@@ -64,9 +64,14 @@ def test_read_table_formats(ray_session, tmp_path):
         for row in t.to_pylist():
             f.write(json.dumps(row) + "\n")
 
+    from pyarrow import orc as paorc
+
+    orc_p = str(tmp_path / "t.orc")
+    paorc.write_table(t, orc_p)
+
     schema = pa.schema([("a", pa.int64()), ("b", pa.string()),
                         ("c", pa.float64())])
-    for fmt, path in (("csv", csv_p), ("jsonl", jsonl_p)):
+    for fmt, path in (("csv", csv_p), ("jsonl", jsonl_p), ("orc", orc_p)):
         got = (read_table(path, fmt=fmt, expected_schema=schema)
                .to_pandas().sort_values("a").reset_index(drop=True))
         assert got["a"].tolist() == [1, 2, 3], fmt
@@ -76,6 +81,16 @@ def test_read_table_formats(ray_session, tmp_path):
     # column pruning without a schema (csv include_columns path)
     pruned = read_table(csv_p, fmt="csv", columns=["a"]).to_pandas()
     assert list(pruned.columns) == ["a"]
+
+    # orc: column pruning at the stripe read + directory-of-files input
+    pruned_orc = read_table(orc_p, fmt="orc", columns=["a"]).to_pandas()
+    assert list(pruned_orc.columns) == ["a"]
+    orc_dir = tmp_path / "orcs"
+    orc_dir.mkdir()
+    paorc.write_table(t, str(orc_dir / "p0.orc"))
+    paorc.write_table(t, str(orc_dir / "p1.orc"))
+    both = read_table(str(orc_dir), fmt="orc", expected_schema=schema)
+    assert both.count() == 6
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
