@@ -57,6 +57,30 @@ def _exact_partials(batch: pa.Table, key_cols: list[str], id_col: str) -> pa.Tab
             .to_arrow())
 
 
+def _fold_dup_partials(parts, key_cols: list[str],
+                       agg_schema: pa.Schema) -> pa.Table:
+    """Driver fold of a MATERIALIZED (key…, min_id, cnt) partial Dataset into
+    the winner table (groups with >1 member) as one Arrow table. Caller
+    guarantees ``parts.count() <= config.PARTIAL_FOLD_LIMIT``; the Ray
+    hash-aggregate round this replaces costs task/exchange constants that
+    dwarf the fold itself at bounded cardinalities (same guard shape as
+    ``stats._fold_partial_sums``). Shared by ``_exact_dup_groups_ds`` and
+    ``keyed_dup_groups``."""
+    import polars as pl
+    import ray
+
+    tabs = [t for t in ray.get(parts.to_arrow_refs())
+            if t.num_rows and "cnt" in t.column_names]
+    if not tabs:
+        return pa.Table.from_pylist([], schema=agg_schema)
+    return (pl.from_arrow(pa.concat_tables(tabs, promote_options="default"))
+            .group_by(key_cols)
+            .agg(pl.col("min_id").min().alias("min(min_id)"),
+                 pl.col("cnt").sum().alias("sum(cnt)"))
+            .filter(pl.col("sum(cnt)") > 1)
+            .to_arrow().cast(agg_schema))
+
+
 def _exact_dup_groups_ds(ds, key_cols: list[str], id_col: str):
     """Materialized Dataset of (h1, h2, min(min_id), sum(cnt)) for content
     groups with >1 member — shared by the broadcast and join paths so the
@@ -72,32 +96,19 @@ def _exact_dup_groups_ds(ds, key_cols: list[str], id_col: str):
         t = _empty_safe(t, "sum(cnt)", schema)
         return t.filter(pc.greater(t["sum(cnt)"], 1))
 
+    # materializing the partials is deliberate: the fold-vs-groupby decision
+    # needs their count, and BOTH branches then consume the materialized
+    # blocks exactly once (no upstream re-execution — the partials map may
+    # sit on expensive work like fingerprint decode); above the limit the
+    # groupby's shuffle would materialize the same rows anyway, spill-backed
     pairs = ds.map_batches(partial(_exact_partials, key_cols=key_cols, id_col=id_col),
                            batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).materialize()
     if pairs.count() <= config.PARTIAL_FOLD_LIMIT:
-        # bounded driver fold of the (h1, h2, min_id, cnt) partials — same
-        # guard shape as keyed_dup_groups / stats._fold_partial_sums: the Ray
-        # hash-aggregate round costs task/exchange constants that dwarf the
-        # fold itself at these cardinalities; above the limit (mostly-unique
-        # corpora at scale) the distributed groupby below runs unchanged
-        import polars as pl
-        import ray
         import ray.data as rd
 
-        tabs = [t for t in ray.get(pairs.to_arrow_refs())
-                if t.num_rows and "cnt" in t.column_names]
-        if tabs:
-            win = (pl.from_arrow(pa.concat_tables(tabs,
-                                                  promote_options="default"))
-                   .group_by(["h1", "h2"])
-                   .agg(pl.col("min_id").min().alias("min(min_id)"),
-                        pl.col("cnt").sum().alias("sum(cnt)"))
-                   .filter(pl.col("sum(cnt)") > 1)
-                   .to_arrow().cast(schema))
-        else:
-            win = pa.Table.from_pylist([], schema=schema)
-        return rd.from_arrow(win).materialize()
+        return rd.from_arrow(
+            _fold_dup_partials(pairs, ["h1", "h2"], schema)).materialize()
     return (pairs.groupby(["h1", "h2"]).aggregate(Min("min_id"), Sum("cnt"))
             .map_batches(only_dups, batch_format="pyarrow").materialize())
 
@@ -203,13 +214,18 @@ def _key_i64(col) -> pa.Array:
         return pa.array(v.view(np.int64), type=pa.int64())
     if pa.types.is_integer(col.type):
         return col.cast(pa.int64())
-    if pa.types.is_temporal(col.type):
+    t = col.type
+    if (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t) or pa.types.is_duration(t)):
         # temporal keys are integer physical — bit-cast to int64 (injective)
         # BEFORE any shuffle: Ray's hash aggregate round-trips timestamps
         # through numpy and silently changes their unit (us→s), so keying
         # on raw temporals makes the winner table's values diverge from the
-        # probe side's (observed: empty join on a timestamp('us') key)
-        if pa.types.is_date32(col.type):
+        # probe side's (observed: empty join on a timestamp('us') key).
+        # 32-bit-physical types (date32, time32) need the int32 two-step;
+        # interval types (also is_temporal, NOT int64-castable) fall through
+        # untouched like any other non-integer key
+        if pa.types.is_date32(t) or pa.types.is_time32(t):
             return col.cast(pa.int32()).cast(pa.int64())
         return col.cast(pa.int64())
     return col
@@ -242,9 +258,17 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     kcols = [f"k{i}" for i in range(len(key_cols))]
     types = dict(zip(ds.schema().names, ds.schema().types))
     id_type = types[id_col]
-    ktypes = [pa.int64() if (pa.types.is_integer(types[c])
-                             or pa.types.is_temporal(types[c])) else types[c]
-              for c in key_cols]
+    def _keyed_type(t: pa.DataType) -> pa.DataType:
+        # mirror _key_i64 exactly: integer and int-physical temporal keys
+        # shuffle as int64; everything else (string/binary/interval) keeps
+        # its own type
+        if (pa.types.is_integer(t) or pa.types.is_timestamp(t)
+                or pa.types.is_date(t) or pa.types.is_time(t)
+                or pa.types.is_duration(t)):
+            return pa.int64()
+        return t
+
+    ktypes = [_keyed_type(types[c]) for c in key_cols]
     out_schema = pa.schema([(id_col, id_type), ("cluster_rep", id_type)])
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -271,29 +295,15 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
         t = _empty_safe(t, "sum(cnt)", agg_schema)
         return t.filter(pc.greater(t["sum(cnt)"], 1))
 
+    # materialize rationale: see _exact_dup_groups_ds (count probe + both
+    # branches consume the blocks once, no upstream re-execution)
     parts = ds.map_batches(partials, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).materialize()
     if parts.count() <= config.PARTIAL_FOLD_LIMIT:
-        # bounded driver fold of the tiny (key…, min_id, cnt) partials — the
-        # Ray hash-aggregate round costs seconds of task/exchange constants
-        # that dwarfed the actual fold (bench: dup_groups_keyed 4.4 s on a
-        # 150k-row table, ~0.4 s with this path); above the limit the
-        # distributed groupby below is unchanged (same guard shape as
-        # stats._fold_partial_sums / the flagship 5M driver-combine contract)
-        import polars as pl
-
-        tabs = [t for t in ray.get(parts.to_arrow_refs())
-                if t.num_rows and "cnt" in t.column_names]
-        if tabs:
-            win_pl = (pl.from_arrow(pa.concat_tables(
-                          tabs, promote_options="default"))
-                      .group_by(kcols)
-                      .agg(pl.col("min_id").min().alias("min(min_id)"),
-                           pl.col("cnt").sum().alias("sum(cnt)"))
-                      .filter(pl.col("sum(cnt)") > 1))
-            win_arrow = win_pl.to_arrow().cast(agg_schema)
-        else:
-            win_arrow = pa.Table.from_pylist([], schema=agg_schema)
+        # bounded driver fold (bench: dup_groups_keyed 4.4 s → ~0.4 s on a
+        # 150k-row table); above the limit the distributed groupby below is
+        # unchanged. See _fold_dup_partials for the guard rationale.
+        win_arrow = _fold_dup_partials(parts, kcols, agg_schema)
         dups = rd.from_arrow(win_arrow)  # join path consumes a Dataset
         n_dups = win_arrow.num_rows
     else:

@@ -744,3 +744,50 @@ def test_keyed_dup_groups_timestamp_key_join_path(ray_session):
         out = keyed_dup_groups(ds, ["cust", "d"], "ok", broadcast_limit=lim)
         got = sorted((r["ok"], r["cluster_rep"]) for r in out.take_all())
         assert got == want, (lim, got)
+
+
+def test_keyed_dup_groups_distributed_fold_branch(ray_session, monkeypatch):
+    """Force PARTIAL_FOLD_LIMIT=0 so the winner aggregation takes the
+    distributed Ray groupby branch (otherwise unreachable at test sizes),
+    through BOTH member-assignment paths — this is the branch where Ray's
+    hash aggregate silently changes timestamp units, which the int64
+    bit-cast in _key_i64 must neutralize."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    monkeypatch.setattr(config, "PARTIAL_FOLD_LIMIT", 0)
+    d1 = dt.datetime(2024, 1, 1)
+    t = pa.Table.from_pylist([
+        {"ok": 10, "cust": 1, "d": d1},
+        {"ok": 11, "cust": 1, "d": d1},
+        {"ok": 12, "cust": 2, "d": d1},
+    ], schema=pa.schema([("ok", pa.int64()), ("cust", pa.int64()),
+                         ("d", pa.timestamp("us"))]))
+    ds = rd.from_arrow(t).repartition(2).materialize()
+    want = [(10, 10), (11, 10)]
+    for lim in (None, 0):
+        out = keyed_dup_groups(ds, ["cust", "d"], "ok", broadcast_limit=lim)
+        got = sorted((r["ok"], r["cluster_rep"]) for r in out.take_all())
+        assert got == want, (lim, got)
+
+
+def test_exact_dedup_distributed_fold_branch(ray_session, monkeypatch):
+    """Same forced-limit coverage for _exact_dup_groups_ds's groupby branch."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.dedup import exact_dedup
+
+    monkeypatch.setattr(config, "PARTIAL_FOLD_LIMIT", 0)
+    t = pa.Table.from_pylist([
+        {"id": 1, "text": "aa"}, {"id": 2, "text": "aa"},
+        {"id": 3, "text": "bb"},
+    ])
+    ds = rd.from_arrow(t).repartition(2).materialize()
+    kept = sorted(r["id"] for r in
+                  exact_dedup(ds, ["text"], "id").take_all())
+    assert kept == [1, 3]
