@@ -177,8 +177,25 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
                          "p": np.concatenate(chunks_p),
                          "value": np.concatenate(chunks_v)}).cast(out_schema)
 
+    col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=config.TEXT_BATCH_SIZE)
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+    if parts.count() <= config.PARTIAL_FOLD_LIMIT:
+        # bounded driver fold: the partials are distinct (key, value) count
+        # rows; under the limit, `finish` runs once on the driver over the
+        # whole table (it already handles many keys in one sorted pass) —
+        # skipping the hash shuffle whose exchange constants dominate at
+        # these cardinalities. Above the limit (high-cardinality value
+        # columns at scale) the partitioned path below is unchanged.
+        import ray
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(parts.to_arrow_refs())
+                if t.num_rows and "c" in t.column_names]
+        t = (pa.concat_tables(tabs, promote_options="default") if tabs
+             else pa.Table.from_pylist([], schema=pa.schema(
+                 [(key, key_type), (col, col_type), ("c", pa.int64())])))
+        return rd.from_arrow(finish(t))
     return part_shuffle(parts, key, finish, out_schema, join_partitions())
 
 

@@ -351,6 +351,16 @@ def test_stats_folds_distributed_path_same_results(ray_session, monkeypatch):
     assert sum(r["n_outliers"] for r in want_o) >= 1
     assert sum(r["n"] for r in want_h) == 900
 
+    from data_quality_framework_ray.pipelines.stats import grouped_quantiles
+
+    def _gq():
+        out = grouped_quantiles(ds, "g", "x", [0.5, 0.9], method="counts")
+        return sorted(((r["g"], r["p"], r["value"])
+                       for r in out.take_all()))
+
+    want_q = _gq()
+    assert len(want_q) == 6  # 3 groups × 2 quantiles
+
     monkeypatch.setattr(config, "PARTIAL_FOLD_LIMIT", 0)
     assert grouped_outlier_counts(ds, "g", "x", z=2.0).to_pylist() == want_o
     assert histogram_fixed(ds, "x", width=10.0).to_pylist() == want_h
@@ -358,6 +368,8 @@ def test_stats_folds_distributed_path_same_results(ray_session, monkeypatch):
     assert [r["bin"] for r in got_p] == [r["bin"] for r in want_p]
     for a, b in zip(got_p, want_p):
         assert abs(a["contrib"] - b["contrib"]) < 1e-12
+    # counts-method quantiles: forced limit routes through part_shuffle
+    assert _gq() == want_q
 
 
 def test_stats_folds_distributed_empty_input(ray_session, monkeypatch):
