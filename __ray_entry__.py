@@ -1494,25 +1494,28 @@ def _q_read_formats(sf_dir: str):
     csv_path = f"/tmp/dqfr_supplier_{name}.csv"
     jsonl_path = f"/tmp/dqfr_supplier_{name}.jsonl"
     orc_path = f"/tmp/dqfr_supplier_{name}.orc"
-    # write-to-.tmp + rename: a run killed mid-write must not leave a
-    # truncated cache file that every later run trusts via os.path.exists
+    # write-to-tmp + rename: a run killed mid-write must not leave a
+    # truncated cache file that every later run trusts via os.path.exists;
+    # the tmp name carries the pid so concurrent runs can't truncate each
+    # other's in-flight write (last rename wins with a complete file)
+    tmp_sfx = f".tmp.{os.getpid()}"
     if not os.path.exists(csv_path):
         from pyarrow import csv as pacsv
 
-        pacsv.write_csv(t, csv_path + ".tmp")
-        os.replace(csv_path + ".tmp", csv_path)
+        pacsv.write_csv(t, csv_path + tmp_sfx)
+        os.replace(csv_path + tmp_sfx, csv_path)
     if not os.path.exists(jsonl_path):
         import json as _json
 
-        with open(jsonl_path + ".tmp", "w") as f:
+        with open(jsonl_path + tmp_sfx, "w") as f:
             for row in t.to_pylist():
                 f.write(_json.dumps(row) + "\n")
-        os.replace(jsonl_path + ".tmp", jsonl_path)
+        os.replace(jsonl_path + tmp_sfx, jsonl_path)
     if not os.path.exists(orc_path):
         from pyarrow import orc as paorc
 
-        paorc.write_table(t, orc_path + ".tmp")
-        os.replace(orc_path + ".tmp", orc_path)
+        paorc.write_table(t, orc_path + tmp_sfx)
+        os.replace(orc_path + tmp_sfx, orc_path)
 
     schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
                         ("s_nationkey", pa.int32()),

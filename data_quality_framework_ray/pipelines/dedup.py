@@ -38,6 +38,7 @@ from data_quality_framework_ray.functions import hashing as H
 # ---------------- shared (canonical implementations in exchange.py) ----------------
 
 from data_quality_framework_ray.pipelines.exchange import (  # noqa: E402
+    collect_partials,
     empty_safe as _empty_safe,
     join_partitions as _join_partitions,
     part_shuffle as _part_shuffle_impl,
@@ -64,16 +65,14 @@ def _fold_dup_partials(parts, key_cols: list[str],
     guarantees ``parts.count() <= config.PARTIAL_FOLD_LIMIT``; the Ray
     hash-aggregate round this replaces costs task/exchange constants that
     dwarf the fold itself at bounded cardinalities (same guard shape as
-    ``stats._fold_partial_sums``). Shared by ``_exact_dup_groups_ds`` and
+    ``stats._fold_partials``). Shared by ``_exact_dup_groups_ds`` and
     ``keyed_dup_groups``."""
     import polars as pl
-    import ray
 
-    tabs = [t for t in ray.get(parts.to_arrow_refs())
-            if t.num_rows and "cnt" in t.column_names]
-    if not tabs:
-        return pa.Table.from_pylist([], schema=agg_schema)
-    return (pl.from_arrow(pa.concat_tables(tabs, promote_options="default"))
+    t = collect_partials(parts, "cnt", agg_schema)
+    if not t.num_rows:
+        return t
+    return (pl.from_arrow(t)
             .group_by(key_cols)
             .agg(pl.col("min_id").min().alias("min(min_id)"),
                  pl.col("cnt").sum().alias("sum(cnt)"))
@@ -222,9 +221,11 @@ def _key_i64(col) -> pa.Array:
         # through numpy and silently changes their unit (us→s), so keying
         # on raw temporals makes the winner table's values diverge from the
         # probe side's (observed: empty join on a timestamp('us') key).
-        # 32-bit-physical types (date32, time32) need the int32 two-step;
-        # interval types (also is_temporal, NOT int64-castable) fall through
-        # untouched like any other non-integer key
+        # 32-bit-physical types (date32, time32) need the int32 two-step.
+        # Interval types (also pa.types.is_temporal) are NOT supported as
+        # keys — polars can't import month_day_nano_interval, so both the
+        # fold and the join-path hash would fail; keyed_dup_groups rejects
+        # them up front with a clear error
         if pa.types.is_date32(t) or pa.types.is_time32(t):
             return col.cast(pa.int32()).cast(pa.int64())
         return col.cast(pa.int64())
@@ -258,6 +259,15 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     kcols = [f"k{i}" for i in range(len(key_cols))]
     types = dict(zip(ds.schema().names, ds.schema().types))
     id_type = types[id_col]
+    for c in key_cols:
+        if pa.types.is_interval(types[c]):
+            # see _key_i64: polars cannot import interval columns, so both
+            # the driver fold and the join-path row hash would crash deep
+            # inside; fail fast with an actionable message instead
+            raise ValueError(
+                f"interval-typed key column {c!r} is not supported; cast it "
+                "to a duration or integer representation first")
+
     def _keyed_type(t: pa.DataType) -> pa.DataType:
         # mirror _key_i64 exactly: integer and int-physical temporal keys
         # shuffle as int64; everything else (string/binary/interval) keeps
@@ -304,9 +314,10 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
         # 150k-row table); above the limit the distributed groupby below is
         # unchanged. See _fold_dup_partials for the guard rationale.
         win_arrow = _fold_dup_partials(parts, kcols, agg_schema)
-        dups = rd.from_arrow(win_arrow)  # join path consumes a Dataset
+        dups = None  # only the join path needs a Dataset; built lazily there
         n_dups = win_arrow.num_rows
     else:
+        win_arrow = None
         dups = (parts.groupby(kcols).aggregate(Min("min_id"), Sum("cnt"))
                 .map_batches(only_dups, batch_format="pyarrow").materialize())
         n_dups = dups.count()
@@ -314,11 +325,8 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     limit = (config.BROADCAST_DUP_LIMIT if broadcast_limit is None
              else broadcast_limit)
     if n_dups <= limit:
-        win_t = pa.concat_tables(
-            [t for t in ray.get(dups.to_arrow_refs())
-             if t.num_rows and "sum(cnt)" in t.column_names] or
-            [pa.Table.from_pylist([], schema=agg_schema)],
-            promote_options="default")
+        win_t = (win_arrow if win_arrow is not None else
+                 collect_partials(dups, "sum(cnt)", agg_schema))
         win_pd = (win_t.select(kcols + ["min(min_id)"])
                   .rename_columns(kcols + ["cluster_rep"]).to_pandas())
         ref = ray.put(win_pd)
@@ -339,6 +347,8 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
                               batch_size=config.TEXT_BATCH_SIZE)
 
     # distributed assignment: combine key cols into one int64 join key
+    if dups is None:  # fold branch reached the join path (tiny limit/tests)
+        dups = rd.from_arrow(win_arrow)
     num_partitions = _join_partitions(num_partitions)
 
     def _col_i64(v) -> np.ndarray:

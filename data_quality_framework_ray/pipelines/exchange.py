@@ -15,6 +15,23 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def collect_partials(parts, required: str,
+                     empty_schema: pa.Schema) -> pa.Table:
+    """One driver-local Arrow table from a MATERIALIZED partials Dataset:
+    zero-copy block refs, schema-less empty blocks dropped (``required``
+    column must be present — see ``empty_safe``), typed empty fallback.
+    The shared front half of every bounded driver fold
+    (``stats._fold_partials``, ``dedup._fold_dup_partials``,
+    ``stats.grouped_quantiles_counts``)."""
+    import ray
+
+    tabs = [t for t in ray.get(parts.to_arrow_refs())
+            if t.num_rows and required in t.column_names]
+    if not tabs:
+        return pa.Table.from_pylist([], schema=empty_schema)
+    return pa.concat_tables(tabs, promote_options="default")
+
+
 def empty_safe(t: pa.Table, required: str, schema: pa.Schema) -> pa.Table:
     """Ray's hash aggregate emits SCHEMA-LESS empty blocks for hash
     partitions that received no rows (distinct keys < partitions); any

@@ -187,14 +187,13 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
         # skipping the hash shuffle whose exchange constants dominate at
         # these cardinalities. Above the limit (high-cardinality value
         # columns at scale) the partitioned path below is unchanged.
-        import ray
         import ray.data as rd
 
-        tabs = [t for t in ray.get(parts.to_arrow_refs())
-                if t.num_rows and "c" in t.column_names]
-        t = (pa.concat_tables(tabs, promote_options="default") if tabs
-             else pa.Table.from_pylist([], schema=pa.schema(
-                 [(key, key_type), (col, col_type), ("c", pa.int64())])))
+        from data_quality_framework_ray.pipelines.exchange import \
+            collect_partials
+
+        t = collect_partials(parts, "c", pa.schema(
+            [(key, key_type), (col, col_type), ("c", pa.int64())]))
         return rd.from_arrow(finish(t))
     return part_shuffle(parts, key, finish, out_schema, join_partitions())
 
@@ -212,14 +211,8 @@ def _fold_partials(parts, key_cols: list[str], sum_cols: list[str],
     import polars as pl
     import ray
 
-    from data_quality_framework_ray.pipelines.exchange import empty_safe
-
-    def _concat(ds_):
-        tabs = [t for t in ray.get(ds_.to_arrow_refs())
-                if t.num_rows and sum_cols[0] in t.column_names]
-        if not tabs:
-            return None
-        return pa.concat_tables(tabs, promote_options="default")
+    from data_quality_framework_ray.pipelines.exchange import (
+        collect_partials, empty_safe)
 
     lim = config.PARTIAL_FOLD_LIMIT if limit is None else limit
     parts = parts.materialize()
@@ -232,8 +225,8 @@ def _fold_partials(parts, key_cols: list[str], sum_cols: list[str],
     empty = pa.Table.from_pylist([], schema=pa.schema(
         [(c, types[c]) for c in key_cols + sum_cols]))
     if parts.count() <= lim:
-        t = _concat(parts)
-        if t is None:
+        t = collect_partials(parts, sum_cols[0], empty.schema)
+        if not t.num_rows:
             return pl.from_arrow(empty)
         return (pl.from_arrow(t).group_by(key_cols)
                 .agg(pl.col(c).sum() for c in sum_cols))
