@@ -82,16 +82,22 @@ def decode_rows(bytes_col, codec_col) -> list[np.ndarray | None]:
 
 
 def decode_one(b: bytes, codec: str) -> np.ndarray:
+    # ONE temporary per clip: G.711 decodes as a single float32 LUT gather,
+    # pcm16 as frombuffer view → f32 cast scaled in place. Bit-identical to
+    # the previous int32→f64-divide→f32 chain (int16 values are exact in
+    # f32; ÷2¹⁵ is a power-of-two scale, exact in both precisions) but
+    # skips two full-length intermediates — fresh page touches are ~25 ms/MB
+    # in this cgroup, and VAD/trim/fingerprint queries decode every clip.
     if codec == "pcm16":
         n = len(b) - (len(b) % 2)
-        pcm = np.frombuffer(b, dtype="<i2", count=n // 2).astype(np.int32)
-    elif codec == "ulaw":
-        pcm = ULAW_TABLE[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
-    elif codec == "alaw":
-        pcm = ALAW_TABLE[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
-    else:  # pragma: no cover - guarded by caller
-        raise ValueError(codec)
-    return (pcm / 32768.0).astype(np.float32)
+        pcm = np.frombuffer(b, dtype="<i2", count=n // 2).astype(np.float32)
+        pcm *= np.float32(1.0 / 32768.0)
+        return pcm
+    if codec == "ulaw":
+        return _F32_ULAW[np.frombuffer(b, dtype=np.uint8)]
+    if codec == "alaw":
+        return _F32_ALAW[np.frombuffer(b, dtype=np.uint8)]
+    raise ValueError(codec)  # pragma: no cover - guarded by caller
 
 
 # float32 decoded values per byte: G.711 decode = one 256-entry LUT gather
@@ -212,11 +218,15 @@ def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 def frame_energies(pcm: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndarray:
     """Per-frame RMS energies (frame/hop in samples), vectorized via a
     cumulative-sum-of-squares difference — no strided copies."""
-    x = np.asarray(pcm, dtype=np.float64)
+    x = np.asarray(pcm)
+    # square straight into float64 (one ufunc, one temporary) instead of
+    # casting the whole clip to f64 first and squaring that copy —
+    # bit-identical (each f32 value converts exactly to f64 either way)
+    xsq = np.multiply(x, x, dtype=np.float64)
     if len(x) < frame:
-        return (np.sqrt(np.mean(x * x))[None] if len(x) else
+        return (np.sqrt(np.mean(xsq))[None] if len(x) else
                 np.empty(0, dtype=np.float64))
-    csq = np.concatenate([[0.0], np.cumsum(x * x)])
+    csq = np.concatenate([[0.0], np.cumsum(xsq)])
     starts = np.arange(0, len(x) - frame + 1, hop)
     sums = csq[starts + frame] - csq[starts]
     return np.sqrt(sums / frame)
