@@ -624,19 +624,15 @@ def _q_speech_ratio(sf_dir: str):
         outs = []
         for p in b["path"].to_pylist():
             t = pq.read_table(p, columns=["clip_id", "bytes", "codec", "sr_hz"])
-            ids, ratios = [], []
-            codecs = t["codec"].to_pylist()
             srs = t["sr_hz"].to_pylist()
-            cids = t["clip_id"].to_pylist()
-            raw = t["bytes"].to_pylist()
-            for cid, bts, codec, sr in zip(cids, raw, codecs, srs):
-                if bts is None or codec not in A.CODEC_BPS or not sr:
-                    r = float("nan")
-                else:
-                    r = A.speech_ratio(A.decode_one(bts, codec), int(sr))
-                ids.append(cid)
+            ratios = []
+            # zero-copy span decode — to_pylist on bytes copies every payload
+            for i, pcm in A.iter_decoded(t):
+                sr = srs[i]
+                r = (A.speech_ratio(pcm, int(sr))
+                     if pcm is not None and sr else float("nan"))
                 ratios.append(round(r, 4) if r == r else None)
-            outs.append(pa.table({"clip_id": pa.array(ids, type=pa.string()),
+            outs.append(pa.table({"clip_id": t["clip_id"].cast(pa.string()),
                                   "speech_ratio": pa.array(ratios,
                                                            type=pa.float64())}))
         return pa.concat_tables(outs)
@@ -666,15 +662,15 @@ def _q_speech_segments(sf_dir: str):
         ids, idxs, starts, ends = [], [], [], []
         for p in b["path"].to_pylist():
             t = pq.read_table(p, columns=["clip_id", "bytes", "codec", "sr_hz"])
-            for cid, bts, codec, sr in zip(t["clip_id"].to_pylist(),
-                                           t["bytes"].to_pylist(),
-                                           t["codec"].to_pylist(),
-                                           t["sr_hz"].to_pylist()):
-                if bts is None or codec not in A.CODEC_BPS or not sr:
+            cids = t["clip_id"].to_pylist()
+            srs = t["sr_hz"].to_pylist()
+            # zero-copy span decode — to_pylist on bytes copies every payload
+            for i, pcm in A.iter_decoded(t):
+                sr = srs[i]
+                if pcm is None or not sr:
                     continue
-                for k, (s, e) in enumerate(
-                        A.vad_segments(A.decode_one(bts, codec), int(sr))):
-                    ids.append(cid)
+                for k, (s, e) in enumerate(A.vad_segments(pcm, int(sr))):
+                    ids.append(cids[i])
                     idxs.append(k)
                     starts.append(s)
                     ends.append(e)

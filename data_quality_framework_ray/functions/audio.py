@@ -81,6 +81,28 @@ def decode_rows(bytes_col, codec_col) -> list[np.ndarray | None]:
     return out
 
 
+def iter_decoded(batch: pa.Table):
+    """Yield ``(row_index, float32 PCM | None)`` per row of a clip table,
+    decoding straight from zero-copy Arrow buffer views. ``to_pylist`` on
+    the binary column materializes EVERY payload as Python bytes first —
+    a full copy of the audio at ~25 ms/MB of fresh pages in this cgroup,
+    often costlier than the decode itself. None for null bytes / unknown
+    codec. Same per-row decode kernel (``_decode_span``) as the batch
+    transforms, so results are bit-identical to ``decode_one``."""
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        for i in range(len(offsets) - 1):
+            r = row_base + i
+            codec = codec_np[r]
+            if not valid[i] or codec not in CODEC_BPS:
+                yield r, None
+            else:
+                yield r, _decode_span(data, int(offsets[i]),
+                                      int(offsets[i + 1]), codec)
+        row_base += len(offsets) - 1
+
+
 def decode_one(b: bytes, codec: str) -> np.ndarray:
     # ONE temporary per clip: G.711 decodes as a single float32 LUT gather,
     # pcm16 as frombuffer view → f32 cast scaled in place. Bit-identical to
@@ -360,10 +382,18 @@ def _replace_payload(batch: pa.Table, out_bytes: list,
                      touched: np.ndarray) -> pa.Table:
     """Swap in transformed pcm16 bytes where ``touched``; preserve the
     original bytes and codec everywhere else."""
-    orig_b = batch["bytes"].to_pylist()
-    orig_c = batch["codec"].to_pylist()
-    merged_b = [ob if t else o for ob, o, t in zip(out_bytes, orig_b, touched)]
-    merged_c = ["pcm16" if t else o for o, t in zip(orig_c, touched)]
+    if touched.all():
+        # common case (every row decodable): skip materializing the original
+        # payloads — to_pylist would copy the whole audio column for rows
+        # whose bytes are all being replaced anyway
+        merged_b = out_bytes
+        merged_c = ["pcm16"] * len(out_bytes)
+    else:
+        orig_b = batch["bytes"].to_pylist()
+        orig_c = batch["codec"].to_pylist()
+        merged_b = [ob if t else o
+                    for ob, o, t in zip(out_bytes, orig_b, touched)]
+        merged_c = ["pcm16" if t else o for o, t in zip(orig_c, touched)]
     return (batch.drop_columns(["bytes", "codec"])
             .append_column("bytes", pa.array(merged_b, type=pa.binary()))
             .append_column("codec", pa.array(merged_c, type=pa.string())))
