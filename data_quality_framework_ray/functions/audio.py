@@ -48,13 +48,27 @@ ALAW_TABLE = _build_alaw_table()
 
 
 def binary_column_buffers(col: pa.ChunkedArray | pa.Array) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Zero-copy views of a binary column: per chunk (data_u8, offsets, valid_mask)."""
+    """Zero-copy views of a binary column: per chunk (data_u8, offsets, valid_mask).
+
+    Handles both ``binary`` (int32 offsets) and ``large_binary`` (int64
+    offsets — what Arrow promotes to when a chunk's payload bytes exceed
+    2 GiB, the normal case for audio columns at production block sizes);
+    reading large offsets as int32 would silently yield garbage spans.
+    Sliced chunks (non-zero ``ch.offset``) are honored: the offsets view
+    starts at the slice and its values index the UNsliced data buffer.
+    """
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     out = []
     for ch in chunks:
-        ch = ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch
-        offsets = np.frombuffer(ch.buffers()[1], dtype=np.int32,
-                                count=len(ch) + 1, offset=ch.offset * 4)
+        if pa.types.is_large_binary(ch.type) or pa.types.is_large_string(ch.type):
+            odtype, owidth = np.int64, 8
+        elif pa.types.is_binary(ch.type) or pa.types.is_string(ch.type):
+            odtype, owidth = np.int32, 4
+        else:
+            raise TypeError(
+                f"binary_column_buffers: unsupported column type {ch.type}")
+        offsets = np.frombuffer(ch.buffers()[1], dtype=odtype,
+                                count=len(ch) + 1, offset=ch.offset * owidth)
         data_buf = ch.buffers()[2]
         data = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
                 else np.empty(0, dtype=np.uint8))

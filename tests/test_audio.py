@@ -311,3 +311,72 @@ def test_audio_fingerprint_codec_invariance():
     # byte-identical undecodables co-key with fp_frames = -1
     assert got["undec"] == got["undec2"] and got["undec"][1] == -1
     assert got["nul"] == (None, None)
+
+
+def _mixed_clip_table(n: int = 24) -> pa.Table:
+    """Mixed-codec batch with nulls, empties, odd lengths and unknown codecs
+    — odd-length ulaw rows force later pcm16 spans to start at ODD byte
+    offsets in the shared data buffer (the unaligned int16 view path)."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n):
+        codec = ["pcm16", "ulaw", "alaw"][i % 3]
+        k = int(rng.integers(0, 301))  # includes length-0 payloads
+        if i % 3 == 1:
+            k |= 1  # odd ulaw byte length → misaligns the next span
+        x = 0.4 * np.sin(np.arange(k) * 0.07 + i)
+        rows.append({"clip_id": str(i), "bytes": A.encode(x, codec),
+                     "codec": codec})
+    rows.append({"clip_id": "null", "bytes": None, "codec": "pcm16"})
+    rows.append({"clip_id": "unk", "bytes": b"xyz", "codec": "opus"})
+    return pa.Table.from_pylist(rows)
+
+
+def _assert_iter_matches_decode_rows(t: pa.Table):
+    want = A.decode_rows(t["bytes"], t["codec"])
+    got = dict(A.iter_decoded(t))
+    assert len(got) == t.num_rows == len(want)
+    for i, w in enumerate(want):
+        if w is None:
+            assert got[i] is None
+        else:
+            assert got[i].dtype == np.float32
+            assert np.array_equal(got[i], w)
+
+
+def test_iter_decoded_matches_decode_rows_mixed():
+    _assert_iter_matches_decode_rows(_mixed_clip_table())
+
+
+def test_iter_decoded_sliced_table():
+    """Non-zero chunk offset: a sliced batch must honor ch.offset in both the
+    offsets view and the validity mask (Parquet row-group slices and Ray
+    block splits hand transforms sliced Arrow arrays routinely)."""
+    t = _mixed_clip_table()
+    _assert_iter_matches_decode_rows(t.slice(7, 13))
+
+
+def test_iter_decoded_multichunk_row_base():
+    t = _mixed_clip_table()
+    chunked = pa.Table.from_batches(
+        t.slice(0, 9).to_batches() + t.slice(9).to_batches())
+    assert chunked.column("bytes").num_chunks >= 2
+    _assert_iter_matches_decode_rows(chunked)
+
+
+def test_iter_decoded_large_binary_offsets():
+    """large_binary carries int64 offsets — what Arrow promotes binary
+    columns to past 2 GiB per chunk. Reading them as int32 yields garbage
+    spans; this pins the width switch in binary_column_buffers."""
+    t = _mixed_clip_table()
+    big = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                       t["bytes"].cast(pa.large_binary()))
+    _assert_iter_matches_decode_rows(big)
+    # and the sliced large-offset path (8-byte stride into the offsets buf)
+    _assert_iter_matches_decode_rows(big.slice(5, 11))
+
+
+def test_binary_column_buffers_rejects_non_binary():
+    arr = pa.array([b"abcd", b"efgh"], type=pa.binary(4))  # fixed-size
+    with pytest.raises(TypeError):
+        A.binary_column_buffers(arr)
