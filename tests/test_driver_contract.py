@@ -52,3 +52,25 @@ def test_queries_ordered_oracled_first():
     first_gated = flags.index(False) if False in flags else len(flags)
     assert all(not f for f in flags[first_gated:]), \
         "oracled query found after a gated one"
+
+
+def test_steal_monitor_reports_shape():
+    """bench.py's steal monitor must never break the bench: fields present,
+    numeric-or-None, and the monitor survives a start/finish cycle with no
+    samples (sub-interval run)."""
+    import importlib.util, os, sys
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "bench.py"))
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+    m = bench_mod._StealMonitor(interval=0.2)
+    import time
+    time.sleep(0.5)
+    out = m.finish()
+    assert set(out) == {"host_steal_pct", "host_steal_peak_pct"}
+    for v in out.values():
+        assert v is None or (isinstance(v, float) and 0.0 <= v <= 100.0)
+    # immediate finish (no sample window) must not raise
+    out2 = bench_mod._StealMonitor(interval=5.0).finish()
+    assert out2["host_steal_pct"] is None or out2["host_steal_pct"] >= 0.0
