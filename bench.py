@@ -159,9 +159,12 @@ def run_bench() -> dict:
     # record got "parsed": null. The full per-query map goes to
     # BENCH_QUERIES.json beside this script; stdout carries the headline plus
     # query count/total so the one line stays well under any capture window.
+    steal_fields = steal.finish()
     if qtimes:
         with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:
-            json.dump({"sf": SF_DIR, "num_cpus": NUM_CPUS, "queries": qtimes},
+            json.dump({"sf": SF_DIR, "num_cpus": NUM_CPUS,
+                       **steal_fields,  # window quality of THIS record
+                       "queries": qtimes},
                       fh, indent=1, sort_keys=True)
     result = {
         "metric": "end-to-end clip quality-filter (keep/drop+scrub) wall time",
@@ -177,7 +180,7 @@ def run_bench() -> dict:
         "clips_per_sec": round(n_clips / headline, 1),
         "phase_a_s": run_summary["phase_a_s"],
         "phase_b_s": run_summary["phase_b_s"],
-        **steal.finish(),
+        **steal_fields,
     }
     ray.shutdown()
     return result
