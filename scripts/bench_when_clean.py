@@ -58,6 +58,9 @@ def main() -> int:
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if scaling:
         cmd.append("--scaling")
+    best: tuple[float, str] | None = None  # (steal, stdout line)
+    qfile = os.path.join(REPO, "BENCH_QUERIES.json")
+    best_qfile = "/tmp/bwc_best_queries.json"
     for attempt in range(1, max_attempts + 1):
         if not probe():
             time.sleep(WAIT_S)
@@ -68,16 +71,31 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             print(p.stderr[-2000:], file=sys.stderr, flush=True)
             return p.returncode  # a crash is a bug, not a window problem
-        rec = json.loads(p.stdout.strip().splitlines()[-1])
+        line = p.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
         steal = run_steal(rec, scaling)
         if steal < MAX_STEAL:
-            print(p.stdout.strip().splitlines()[-1], flush=True)
+            print(line, flush=True)
             return 0
+        if best is None or steal < best[0]:
+            best = (steal, line)
+            if not scaling and os.path.exists(qfile):
+                import shutil
+                shutil.copy(qfile, best_qfile)
         print(f"attempt {attempt}: run steal {steal}% >= {MAX_STEAL}% — "
               f"discarding", file=sys.stderr, flush=True)
         if not scaling:
             restore_queries_file()
         time.sleep(WAIT_S)
+    # no window met the bar: emit the least-contaminated run, clearly marked
+    # (its record self-documents via host_steal_pct); rc=2 so callers can
+    # tell an accepted-degraded record from a clean one
+    if best is not None:
+        print(f"BEST-EFFORT (steal {best[0]}%): {best[1]}", flush=True)
+        if not scaling and os.path.exists(best_qfile):
+            import shutil
+            shutil.copy(best_qfile, qfile)
+        return 2
     print("no clean window found", file=sys.stderr)
     return 3
 
