@@ -53,7 +53,8 @@ class _StealMonitor:
         self._interval = interval
         self._samples: list[float] = []
         self._start = _cpu_times()
-        self._end = self._start
+        self._end: list[int] | None = None
+        self._failed = False
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         if self._start is not None:
@@ -64,6 +65,9 @@ class _StealMonitor:
         while not self._stop.wait(self._interval):
             cur = _cpu_times()
             if cur is None:
+                # a lost mid-run sample means the window is UNMEASURED, not
+                # clean — finish() must report None, never a silent 0.0
+                self._failed = True
                 return
             d = [y - x for x, y in zip(prev, cur)]
             tot = sum(d) or 1
@@ -77,12 +81,18 @@ class _StealMonitor:
         if self._start is None:
             return {"host_steal_pct": None, "host_steal_peak_pct": None}
         self._thread.join(timeout=self._interval + 1)
-        end = self._end or _cpu_times()
+        peak = round(max(self._samples), 2) if self._samples else None
+        # _end is set only by a clean loop exit; fall back to a fresh read
+        # (start-to-now still brackets the run) unless a sample was lost
+        end = None if self._failed else (self._end or _cpu_times())
+        if end is None:
+            return {"host_steal_pct": None, "host_steal_peak_pct": peak}
         d = [y - x for x, y in zip(self._start, end)]
-        tot = sum(d) or 1
+        tot = sum(d)
+        if tot <= 0:  # zero elapsed jiffies: nothing was measured
+            return {"host_steal_pct": None, "host_steal_peak_pct": peak}
         return {"host_steal_pct": round(100.0 * d[7] / tot, 2),
-                "host_steal_peak_pct": round(max(self._samples), 2)
-                if self._samples else None}
+                "host_steal_peak_pct": peak}
 
 # pin nested thread pools before ray.init so all workers inherit it
 os.environ.setdefault("POLARS_MAX_THREADS", "1")

@@ -587,7 +587,10 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
     # steal no measurable CPU from the streaming summary loop.
     from concurrent.futures import ThreadPoolExecutor
 
-    _prefold_enabled = store.num_rows() < 5_000_000
+    # mirror BOTH driver-fold branch conditions knowable now (row budget +
+    # file-count cap via fragment count) so runs that can only take the
+    # distributed branch never pay the prefetch I/O at all
+    _prefold_enabled = (store.num_rows() < 5_000_000 and len(todo) <= 4096)
     _prefold_pool = (ThreadPoolExecutor(max_workers=8)
                      if (todo and _prefold_enabled) else None)
     _prefold_futs: list = []
@@ -652,16 +655,21 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
                                                 "part-*.parquet")))
     dup_files = sorted(_glob.glob(os.path.join(stage_dir, "frag-*",
                                                "dup-part-*.parquet")))
-    # collect the dup partials prefetched during phase A (fragments done
-    # before the run — resume — were never submitted and fall through to
-    # the threaded read below)
+    # dup partials prefetched during phase A (fragments done before the run
+    # — resume — were never submitted and fall through to the threaded read
+    # below). Collected LAZILY: only the driver-fold branch calls this, so
+    # legacy-layout resumes (pass1 = raw decision parts) drop the futures
+    # unread and the tables never pin driver memory.
     _prefold: dict[str, pa.Table] = {}
-    for fu in _prefold_futs:
-        try:
-            ps, ts = fu.result()
-        except Exception:
-            continue
-        _prefold.update(zip(ps, ts))
+
+    def _collect_prefold() -> None:
+        for fu in _prefold_futs:
+            try:
+                ps, ts = fu.result()
+            except Exception:
+                continue
+            _prefold.update(zip(ps, ts))
+
     if _prefold_pool is not None:
         _prefold_pool.shutdown(wait=False)
 
@@ -725,6 +733,7 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
             # one polars group_by folds partials AND picks winners (min of
             # per-part mins ≡ global min, sum of per-part counts ≡ global
             # count — the old partial-fold + winner-fold two-step collapsed)
+            _collect_prefold()
             cached = [_prefold[p] for p in pass1_files if p in _prefold]
             miss = [p for p in pass1_files if p not in _prefold]
             ts = cached + (_read_many(miss) if miss else [])

@@ -44,11 +44,17 @@ def restore_queries_file() -> None:
 
 
 def run_steal(rec: dict, scaling: bool) -> float:
+    """Max steal across the run's levels; inf when any level is UNMEASURED
+    (a null means the monitor lost the window — unknown noise must never be
+    accepted as clean nor preferred over a measured run)."""
     if scaling:
         vals = [v for k, v in rec.items()
-                if k.startswith("host_steal_pct_") and v is not None]
-        return max(vals) if vals else 0.0
-    return rec.get("host_steal_pct") or 0.0
+                if k.startswith("host_steal_pct_")]
+        if not vals or any(v is None for v in vals):
+            return float("inf")
+        return max(vals)
+    v = rec.get("host_steal_pct")
+    return float("inf") if v is None else v
 
 
 def main() -> int:

@@ -43,10 +43,8 @@ def main() -> int:
         t0 = time.time()
         try:
             res = fn(SF_DIR)
-            if hasattr(res, "count") and not hasattr(res, "num_rows"):
-                res.count()  # force lazy Datasets
             n = getattr(res, "num_rows", None)
-            if n is None:
+            if n is None:  # .count() forces lazy Datasets exactly once
                 n = res.count() if hasattr(res, "count") else len(res)
             print(f"ok   {name}: rows={n} [{time.time() - t0:.1f}s]",
                   flush=True)
