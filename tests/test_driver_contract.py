@@ -74,3 +74,41 @@ def test_steal_monitor_reports_shape():
     # immediate finish (no sample window) must not raise
     out2 = bench_mod._StealMonitor(interval=5.0).finish()
     assert out2["host_steal_pct"] is None or out2["host_steal_pct"] >= 0.0
+
+
+def test_steal_monitor_unmeasured_is_null_not_clean():
+    """Measurement-integrity invariant (round-5 review): a window the monitor
+    could NOT measure must surface as None — never as a silent 0.0 that
+    bench_when_clean would accept as verified-clean."""
+    import importlib.util, os, threading
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(root, "bench.py"))
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+
+    # lost mid-run sample → failed flag → null steal (peak from what was seen)
+    m = bench_mod._StealMonitor(interval=0.05)
+    m._failed = True
+    assert m.finish()["host_steal_pct"] is None
+
+    # /proc/stat unreadable at start → both fields null, no thread started
+    m2 = bench_mod._StealMonitor.__new__(bench_mod._StealMonitor)
+    m2._start = None
+    m2._stop = threading.Event()
+    assert m2.finish() == {"host_steal_pct": None,
+                           "host_steal_peak_pct": None}
+
+    spec2 = importlib.util.spec_from_file_location(
+        "bwc_mod", os.path.join(root, "scripts", "bench_when_clean.py"))
+    bwc = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(bwc)
+    inf = float("inf")
+    # null → inf: never accepted as clean, never preferred over a measured run
+    assert bwc.run_steal({"host_steal_pct": None}, scaling=False) == inf
+    assert bwc.run_steal({}, scaling=True) == inf
+    assert bwc.run_steal({"host_steal_pct_2": 1.0,
+                          "host_steal_pct_8": None}, scaling=True) == inf
+    assert bwc.run_steal({"host_steal_pct": 3.2}, scaling=False) == 3.2
+    assert bwc.run_steal({"host_steal_pct_2": 1.0,
+                          "host_steal_pct_8": 2.5}, scaling=True) == 2.5
