@@ -19,6 +19,14 @@ import pyarrow as pa
 
 CODEC_BPS = {"pcm16": 2, "ulaw": 1, "alaw": 1}
 
+# Clipping = samples at ≥99.9% of the CODEC's own decoded full scale. A
+# single global cutoff (the old 0.985) can never fire for G.711 — µ-law
+# decodes to at most 32124/32768 ≈ 0.9803 and A-law to 32256/32768 =
+# 0.984375 — so fully clipped telephony audio reported clip_frac 0.0.
+CLIP_LEVEL = {"pcm16": 0.999 * (32767.0 / 32768.0),
+              "ulaw": 0.999 * (32124.0 / 32768.0),
+              "alaw": 0.999 * (32256.0 / 32768.0)}
+
 
 def _build_ulaw_table() -> np.ndarray:
     """µ-law byte → 16-bit linear PCM (G.711 decode formula)."""
@@ -201,7 +209,7 @@ def decode_stats(batch: pa.Table, *, spectral: bool = True) -> dict[str, np.ndar
             # for no fidelity gain at 16-bit source depth
             a = np.abs(pcm)
             sumsq[r] = float(a @ a)
-            clip_frac[r] = float(np.count_nonzero(a >= 0.985)) / k
+            clip_frac[r] = float(np.count_nonzero(a >= CLIP_LEVEL[codec])) / k
             silence_frac[r] = float(np.count_nonzero(a < 1e-3)) / k
             if not spectral:
                 continue

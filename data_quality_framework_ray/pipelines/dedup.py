@@ -176,20 +176,28 @@ def exact_dedup(ds, key_cols: list[str], id_col: str):
     dups = _exact_dup_groups_ds(ds, key_cols, id_col)
     if dups.count() > config.BROADCAST_DUP_LIMIT:
         return _exact_dedup_join(ds, key_cols, id_col, dups=dups)
-    winners = {(r["h1"], r["h2"]): r["min(min_id)"] for r in dups.take_all()}
-    ref = ray.put(winners)
+    # build the (h1, h2, winner) frame ONCE and broadcast it — the old code
+    # shipped a dict and re-built this frame inside EVERY batch call (a
+    # winners-sized Python comprehension per 4096-row batch)
+    import pandas as pd
+
+    win_tabs = [t.select(["h1", "h2", "min(min_id)"])
+                for t in ray.get(dups.to_arrow_refs())
+                if t.num_rows and "min(min_id)" in t.column_names]
+    win_pd = (pa.concat_tables(win_tabs, promote_options="default")
+              .rename_columns(["h1", "h2", "winner"]).to_pandas()
+              if win_tabs else pd.DataFrame(columns=["h1", "h2", "winner"]))
+    ref = ray.put(win_pd)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        w = ray.get(ref) if not isinstance(ref, dict) else ref
-        if not w:
+        right = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
+        if not len(right):
             return batch
         h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
         left = pd.DataFrame({"h1": h1, "h2": h2,
                              "id": batch[id_col].to_pandas()})
-        right = pd.DataFrame([(a, b, win) for (a, b), win in w.items()],
-                             columns=["h1", "h2", "winner"])
         m = left.merge(right, on=["h1", "h2"], how="left")
         keep = (m["winner"].isna() | (m["winner"] == m["id"])).to_numpy()
         return batch.filter(pa.array(keep))
@@ -811,6 +819,35 @@ def _bucket_membership(bands_ds, hot, num_partitions: int):
                      num_partitions=num_partitions).drop_columns(["__bb"])
 
 
+def _broadcast_member_rows(bands_ds, agg):
+    """Rows of ``bands_ds`` whose (band, bh) bucket appears in the (small,
+    driver-local) polars frame ``agg`` — the broadcast-path membership filter
+    shared by minhash and simhash. Vectorized: ONE combined 64-bit key per
+    row + ``pc.is_in`` against the broadcast key array (the same shape as
+    :func:`_bucket_membership`'s broadcast branch), replacing a per-row
+    Python set probe that boxed every (band, bh) tuple. A combine collision
+    can only ADD a membership row; downstream pair emission re-groups by the
+    real (band, bh) and every candidate pair is verified, so results are
+    unaffected."""
+    import pyarrow.compute as pc
+    import ray
+
+    mk = H.pair_key_u64(agg["band"].to_numpy(),
+                        agg["bh"].to_numpy()).view(np.int64)
+    mk_ref = ray.put(pa.array(mk))
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        ks = ray.get(mk_ref) if not isinstance(mk_ref, pa.Array) else mk_ref
+        key = H.pair_key_u64(
+            batch["band"].to_numpy(zero_copy_only=False),
+            batch["bh"].to_numpy(zero_copy_only=False)).view(np.int64)
+        keep = pc.fill_null(pc.is_in(pa.array(key), value_set=ks), False)
+        return batch.filter(keep)
+
+    return bands_ds.map_batches(member_rows, batch_format="pyarrow",
+                                batch_size=config.TEXT_BATCH_SIZE)
+
+
 def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
                               num_partitions: int,
                               extra_cols: tuple[str, ...] = (),
@@ -844,6 +881,23 @@ def _partitioned_bucket_pairs(membership, pair_schema: pa.Schema,
                                            num_partitions=num_partitions),
                                    batch_format="pyarrow")
             .groupby("__part").map_groups(emit_part, batch_format="pyarrow"))
+
+
+def _dedupe_pair_blocks(b: pa.Table, pair_schema: pa.Schema) -> pa.Table:
+    """Per-block (a, b) pair dedupe used after every map_groups pair
+    emitter. Hash partitions that received no rows emit SCHEMA-LESS empty
+    blocks (the hazard `_empty_safe` documents); normalizing first keeps the
+    trailing ``cast(pair_schema)`` from rejecting them — a flaky,
+    scheduling-dependent crash when hot buckets are fewer than partitions
+    (the common near-dedup case). polars promotes string→large_string, so
+    the cast also restores the join-key type."""
+    import polars as pl
+
+    b = _empty_safe(b, "a", pair_schema)
+    if b.num_rows == 0:
+        return pa.Table.from_pylist([], schema=pair_schema)
+    return (pl.from_arrow(b.select(["a", "b"])).unique().to_arrow()
+            .cast(pair_schema))
 
 
 # ---------------- MinHash + LSH ----------------
@@ -915,11 +969,27 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                 .agg(pl.len().alias("cnt"))
                 .to_arrow())
 
-    parts = bands_ds.map_batches(bucket_partials, batch_format="pyarrow",
-                                 batch_size=config.TEXT_BATCH_SIZE).take_all()
-    if not parts:
+    # scale gate BEFORE anything reaches the driver: the partial-row count
+    # is Dataset metadata. A mostly-unique corpus emits ~rows × bands
+    # partial rows (each batch's buckets distinct) — the old take_all()
+    # collected them all just to decide the route, an unbounded driver
+    # materialization ahead of the guards it fed. Above the fold limit the
+    # distributed path takes over directly (equivalence is test-forced via
+    # zeroed broadcast limits); below it the fold is the measured-fast
+    # driver combine.
+    parts_ds = bands_ds.map_batches(bucket_partials, batch_format="pyarrow",
+                                    batch_size=config.TEXT_BATCH_SIZE) \
+        .materialize()
+    if parts_ds.count() > config.PARTIAL_FOLD_LIMIT:
+        return _minhash_distributed(ds, bands_ds, text_col, id_col,
+                                    num_perm=num_perm, shingle_k=shingle_k,
+                                    threshold=threshold, verify=verify,
+                                    as_dataset=as_dataset)
+    pt = collect_partials(parts_ds, "cnt", pa.schema(
+        [("band", pa.int64()), ("bh", pa.int64()), ("cnt", pa.uint32())]))
+    if pt.num_rows == 0:
         return _done({})
-    agg = (pl.DataFrame(parts).group_by(["band", "bh"])
+    agg = (pl.from_arrow(pt).group_by(["band", "bh"])
            .agg(pl.col("cnt").sum())
            .filter(pl.col("cnt") > 1))
     if agg.height == 0:
@@ -936,19 +1006,7 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
                                     threshold=threshold, verify=verify,
                                     as_dataset=as_dataset)
 
-    multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
-    mk_ref = ray.put(multi_keys)
-
-    def member_rows(batch: pa.Table) -> pa.Table:
-        mk = ray.get(mk_ref) if not isinstance(mk_ref, set) else mk_ref
-        band = batch["band"].to_numpy(zero_copy_only=False)
-        bh = batch["bh"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(((int(b), int(h)) in mk for b, h in zip(band, bh)),
-                           dtype=bool, count=len(band))
-        return batch.filter(pa.array(mask))
-
-    members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
-                                   batch_size=config.TEXT_BATCH_SIZE).take_all()
+    members = _broadcast_member_rows(bands_ds, agg).take_all()
     mdf = pl.DataFrame(members)
     a_ids, b_ids, _ = _emit_pairs_arrays(mdf["band"].to_numpy(),
                                          mdf["bh"].to_numpy(),
@@ -1049,9 +1107,9 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
     membership = _bucket_membership(bands_ds, hot, num_partitions)
     pair_schema = _pair_schema(id_type)
     pairs = (_partitioned_bucket_pairs(membership, pair_schema, num_partitions)
-             # polars promotes string→large_string; cast back so join keys match
-             .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
-                          .cast(pair_schema), batch_format="pyarrow"))
+             .map_batches(partial(_dedupe_pair_blocks,
+                                  pair_schema=pair_schema),
+                          batch_format="pyarrow"))
 
     exact = verify == "exact"
 
@@ -1188,13 +1246,23 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
     bands_ds = ds.map_batches(sim_stage, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE).materialize()
 
-    parts = bands_ds.map_batches(
+    # same pre-collection scale gate as minhash_lsh_dup_groups: partial-row
+    # count from metadata; above the fold limit go distributed without ever
+    # materializing the bucket partials on the driver
+    parts_ds = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
-        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE).take_all()
-    if not parts:
+        batch_format="pyarrow", batch_size=config.TEXT_BATCH_SIZE) \
+        .materialize()
+    if parts_ds.count() > config.PARTIAL_FOLD_LIMIT:
+        return _simhash_distributed(bands_ds, hamming_max=hamming_max,
+                                    id_type=id_type, as_dataset=as_dataset,
+                                    max_pairs_per_bucket=max_pairs_per_bucket)
+    pt = collect_partials(parts_ds, "cnt", pa.schema(
+        [("band", pa.int64()), ("bh", pa.int64()), ("cnt", pa.uint32())]))
+    if pt.num_rows == 0:
         return _done({})
-    agg = (pl.DataFrame(parts).group_by(["band", "bh"])
+    agg = (pl.from_arrow(pt).group_by(["band", "bh"])
            .agg(pl.col("cnt").sum()).filter(pl.col("cnt") > 1))
     if agg.height == 0:
         return _done({})
@@ -1207,19 +1275,7 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                                     id_type=id_type, as_dataset=as_dataset,
                                     max_pairs_per_bucket=max_pairs_per_bucket)
 
-    multi_keys = set(zip(agg["band"].to_list(), agg["bh"].to_list()))
-    mk_ref = ray.put(multi_keys)
-
-    def member_rows(batch: pa.Table) -> pa.Table:
-        mk = ray.get(mk_ref) if not isinstance(mk_ref, set) else mk_ref
-        band = batch["band"].to_numpy(zero_copy_only=False)
-        bh = batch["bh"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(((int(b), int(h)) in mk for b, h in zip(band, bh)),
-                           dtype=bool, count=len(band))
-        return batch.filter(pa.array(mask))
-
-    members = bands_ds.map_batches(member_rows, batch_format="pyarrow",
-                                   batch_size=config.TEXT_BATCH_SIZE).take_all()
+    members = _broadcast_member_rows(bands_ds, agg).take_all()
     mdf = pl.DataFrame(members)
     a, b, extras = _emit_pairs_arrays(mdf["band"].to_numpy(),
                                       mdf["bh"].to_numpy(),
@@ -1270,8 +1326,9 @@ def _simhash_distributed(bands_ds, *, hamming_max: int,
                                              num_partitions, extra_cols=("sim",),
                                              max_pairs=max_pairs_per_bucket)
                    .map_batches(verify_pairs, batch_format="pyarrow")
-                   .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
-                                .cast(pair_schema), batch_format="pyarrow"))
+                   .map_batches(partial(_dedupe_pair_blocks,
+                                        pair_schema=pair_schema),
+                                batch_format="pyarrow"))
     return _resolve_components_stream(verified_ds, as_dataset=as_dataset)
 
 
@@ -1416,10 +1473,9 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
 
     pairs_ds = (bucketed.groupby(["band", "bucket"])
                 .map_groups(verify, batch_format="pyarrow")
-                # trim cross-band repeat pairs per batch; polars promotes
-                # string→large_string so cast back
-                .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
-                             .cast(pair_schema), batch_format="pyarrow"))
+                .map_batches(partial(_dedupe_pair_blocks,
+                                     pair_schema=pair_schema),
+                             batch_format="pyarrow"))
     return _resolve_components_stream(pairs_ds, as_dataset=as_dataset)
 
 
@@ -1558,8 +1614,9 @@ def _fuzzy_distributed(vals_ds, col: str,
     membership = _bucket_membership(bands_ds, hot, num_partitions)
     cand = (_partitioned_bucket_pairs(membership, pair_schema,
                                       num_partitions)
-            .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
-                         .cast(pair_schema), batch_format="pyarrow"))
+            .map_batches(partial(_dedupe_pair_blocks,
+                                 pair_schema=pair_schema),
+                         batch_format="pyarrow"))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1572,8 +1629,9 @@ def _fuzzy_distributed(vals_ds, col: str,
 
     verified = verify  # exact check; same-value pairs (dup rows) rejected
     pairs = (cand.map_batches(verified, batch_format="pyarrow")
-             .map_batches(lambda b: pl.from_arrow(b).unique().to_arrow()
-                          .cast(pair_schema), batch_format="pyarrow"))
+             .map_batches(partial(_dedupe_pair_blocks,
+                                  pair_schema=pair_schema),
+                          batch_format="pyarrow"))
     import ray as _ray
 
     tabs = [t.select(["a", "b"]) for t in _ray.get(pairs.to_arrow_refs())

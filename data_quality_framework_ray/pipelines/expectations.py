@@ -150,7 +150,13 @@ def check_freshness(ds, column: str, table: str = "",
                            {"max": mx, "expected_date": str(target),
                             "error": "unparseable date string"})
     elif isinstance(mx, (int, float)):
-        mx_date = None
+        # epoch-encoded numeric columns are ambiguous (s vs ms vs µs) —
+        # refuse loudly instead of failing forever indistinguishably from
+        # genuinely stale data; callers should cast to timestamp first
+        return _result("freshness", table, False, "timeliness",
+                       {"max": str(mx), "expected_date": str(target),
+                        "error": "numeric column: cast epoch values to a "
+                                 "timestamp type before check_freshness"})
     else:
         mx_date = mx.date() if hasattr(mx, "date") else mx
     return _result("freshness", table, mx_date == target, "timeliness",
@@ -217,10 +223,18 @@ def check_duplicates(ds, table: str = "") -> dict:
 
     partials = ds.map_batches(_dup_partials, batch_format="pyarrow")
     groups = partials.groupby(["h1", "h2"]).aggregate(Sum("cnt", alias_name="cnt"))
-    agg = groups.map_batches(
-        lambda t: pa.table({"dups": [int(np.maximum(np.asarray(t["cnt"]) - 1, 0).sum())],
-                            "distinct": [t.num_rows]}),
-        batch_format="pyarrow").sum(["dups", "distinct"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        # hash partitions with no keys emit SCHEMA-LESS empty blocks (the
+        # `exchange.empty_safe` hazard) — normalize before touching "cnt"
+        if "cnt" not in t.column_names:
+            return pa.table({"dups": [0], "distinct": [0]})
+        return pa.table(
+            {"dups": [int(np.maximum(np.asarray(t["cnt"]) - 1, 0).sum())],
+             "distinct": [t.num_rows]})
+
+    agg = groups.map_batches(fold, batch_format="pyarrow") \
+        .sum(["dups", "distinct"])
     dups = int(agg["sum(dups)"])
     return _result("duplicates", table, dups == 0, "uniqueness",
                    {"duplicate_rows": dups, "distinct_rows": int(agg["sum(distinct)"])})

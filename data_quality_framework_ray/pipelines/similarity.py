@@ -27,6 +27,10 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 def _topk_partial(batch: pa.Table, q_ref, emb_col: str, id_col: str, k: int) -> pa.Table:
     import ray
 
+    if batch.num_rows == 0:  # empty block (e.g. ivf_topk's cell filter)
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "id": pa.array([], type=batch.schema.field(id_col).type),
+                         "score": pa.array([], type=pa.float64())})
     q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref  # (nq, d) normalized
     emb = _norm_rows(np.stack(batch[emb_col].to_pandas().to_numpy()).astype(np.float64))
     ids = np.asarray(batch[id_col].to_pandas())
@@ -88,10 +92,13 @@ def brute_force_topk(ds, queries: np.ndarray, emb_col: str = "embedding",
 
     tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tabs:
+        s_ = ds.schema()
+        id_type = (dict(zip(s_.names, s_.types)).get(id_col, pa.string())
+                   if s_ is not None else pa.string())
         return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "id": pa.array([], type=pa.string()),
+                         "id": pa.array([], type=id_type),
                          "score": pa.array([], type=pa.float64())})
-    flat = pa.concat_tables(tabs)
+    flat = pa.concat_tables(tabs, promote_options="default")
     return _rank_topk(flat["query_id"].to_numpy(),
                       np.asarray(flat["id"].to_pandas()),
                       flat["score"].to_numpy(), k)
@@ -124,6 +131,9 @@ def assign_cells(ds, codebook: np.ndarray, emb_col: str = "embedding"):
     cb_ref = ray.put(codebook)
 
     def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block (upstream filter)
+            return batch.append_column("ivf_cell",
+                                       pa.array([], type=pa.int32()))
         cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
         emb = _norm_rows(np.stack(batch[emb_col].to_pandas().to_numpy()).astype(np.float64))
         cell = np.argmax(emb @ cb.T, axis=1).astype(np.int32)
@@ -147,8 +157,10 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *,
     subset = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=pa.array(wanted, type=pa.int32()))),
         batch_format="pyarrow")
-    # brute-force within the probed subset; per-query cell masks are applied
-    # at the merge (a query only accepts ids from its probed cells)
+    # brute-force within the UNION of all queries' probed cells: a query may
+    # score candidates from another query's cell, which only ADDS exact-cosine
+    # candidates (recall can't drop); the cost bound is the union's size, not
+    # nprobe per query — acceptable while nq is small relative to n_cells
     full = brute_force_topk(subset, qn, emb_col=emb_col, id_col=id_col, k=k)
     return full
 
@@ -282,10 +294,13 @@ def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
 
     tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tabs:
+        s_ = ds.schema()
+        id_type = (dict(zip(s_.names, s_.types)).get(id_col, pa.string())
+                   if s_ is not None else pa.string())
         return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "id": pa.array([], type=pa.string()),
+                         "id": pa.array([], type=id_type),
                          "score": pa.array([], type=pa.float64())})
-    flat = pa.concat_tables(tabs)
+    flat = pa.concat_tables(tabs, promote_options="default")
     cand = _rank_topk(flat["query_id"].to_numpy(),
                       np.asarray(flat["id"].to_pandas()),
                       flat["score"].to_numpy(), kr)

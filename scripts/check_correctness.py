@@ -585,10 +585,16 @@ def main() -> None:
                 x = _np.frombuffer(pcm_b, dtype="<i2").astype(_np.float64) / 32768.0
                 a = _np.abs(x)
                 k = len(x)
+                # clip level is per-codec (99.9% of that codec's decoded
+                # full scale) — same DEFINITION as functions/audio.CLIP_LEVEL,
+                # restated literally so the oracle stays independent
+                _clip_lvl = {"pcm16": 0.999 * (32767.0 / 32768.0),
+                             "ulaw": 0.999 * (32124.0 / 32768.0),
+                             "alaw": 0.999 * (32256.0 / 32768.0)}[codec]
                 want = {
                     "n_samples": k,
                     "rms": float(_np.sqrt(_np.mean(x * x))) if k else float("nan"),
-                    "clip_frac": float((a >= 0.985).sum()) / k if k else float("nan"),
+                    "clip_frac": float((a >= _clip_lvl).sum()) / k if k else float("nan"),
                     "silence_frac": float((a < 1e-3).sum()) / k if k else float("nan"),
                 }
                 r = by_id.get(cid)
