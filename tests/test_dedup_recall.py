@@ -791,3 +791,75 @@ def test_exact_dedup_distributed_fold_branch(ray_session, monkeypatch):
     kept = sorted(r["id"] for r in
                   exact_dedup(ds, ["text"], "id").take_all())
     assert kept == [1, 3]
+
+
+def test_minhash_partial_gate_skips_driver_fold(planted_docs, monkeypatch):
+    """PARTIAL_FOLD_LIMIT=0 must route minhash through the pre-driver scale
+    gate (dedup.py bucket-partial count check) straight to the distributed
+    path — and produce the same clusters as the broadcast route. Pins the
+    round-5 fix that replaced the unconditional take_all() of bucket-count
+    partials with a metadata-only count gate."""
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds, rows = planted_docs
+    comp_b = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.7)
+    monkeypatch.setattr(config, "PARTIAL_FOLD_LIMIT", 0)
+    comp_g = dedup.minhash_lsh_dup_groups(ds, "text", "doc_id", threshold=0.7)
+    assert comp_g == comp_b
+
+
+def test_simhash_partial_gate_skips_driver_fold(planted_docs, monkeypatch):
+    from data_quality_framework_ray.pipelines import dedup
+
+    ds, rows = planted_docs
+    comp_b = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    monkeypatch.setattr(config, "PARTIAL_FOLD_LIMIT", 0)
+    comp_g = dedup.simhash_dup_groups(ds, "text", "doc_id", hamming_max=3)
+    assert comp_g == comp_b
+
+
+def test_dedupe_pair_blocks_schemaless_empty_and_string_promotion():
+    """Empty hash partitions emit zero-column blocks; polars promotes
+    string→large_string. _dedupe_pair_blocks must normalize both so the
+    trailing cast(pair_schema) never rejects a block."""
+    from data_quality_framework_ray.pipelines.dedup import _dedupe_pair_blocks
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    out = _dedupe_pair_blocks(pa.Table.from_pylist([]), pair_schema)
+    assert out.schema == pair_schema and out.num_rows == 0
+
+    b = pa.table({"a": pa.array(["x", "x", "y"]),
+                  "b": pa.array(["y", "y", "z"])})
+    out = _dedupe_pair_blocks(b, pair_schema)
+    assert out.schema == pair_schema
+    assert sorted(zip(out["a"].to_pylist(), out["b"].to_pylist())) == [
+        ("x", "y"), ("y", "z")]
+
+
+def test_broadcast_member_rows_matches_set_probe(ray_session):
+    """The vectorized combined-key is_in membership filter must keep exactly
+    the rows a per-row (band, bh) set probe keeps."""
+    import polars as pl
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import \
+        _broadcast_member_rows
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    band = rng.integers(0, 8, size=n)
+    bh = rng.integers(-(2**62), 2**62, size=n)
+    t = pa.table({"band": pa.array(band, type=pa.int64()),
+                  "bh": pa.array(bh, type=pa.int64()),
+                  "id": pa.array([f"r{i}" for i in range(n)])})
+    # pick ~40 real buckets as the "dup" set
+    pick = rng.choice(n, size=40, replace=False)
+    agg = pl.DataFrame({"band": band[pick].astype(np.int64),
+                        "bh": bh[pick].astype(np.int64)})
+    want = {(int(a), int(b)) for a, b in zip(band[pick], bh[pick])}
+    expect = sorted(t["id"].to_pylist()[i] for i in range(n)
+                    if (int(band[i]), int(bh[i])) in want)
+    got_tbl = _broadcast_member_rows(
+        rd.from_arrow(t).repartition(4), agg).take_all()
+    got = sorted(r["id"] for r in got_tbl)
+    assert got == expect
