@@ -140,19 +140,25 @@ def _collect(ds) -> "pa.Table":
     """Materialize a SMALL result Dataset into one Arrow table by zero-copy
     block concat — not take_all()+from_pylist, which round-trips every row
     through a Python dict (and re-infers types: list<uint64> degraded to
-    list<int64> in the fingerprints query before it switched)."""
+    list<int64> in the fingerprints query before it switched). Collection
+    goes through ``exchange.collect_blocks``, not ``to_arrow_refs()`` — the
+    latter re-probes schema with a limit=1 re-run of the whole lineage per
+    call at this Ray version (wasted work on every lazy collect, plus a
+    fatal TaskManager cancel race observed at sf0.1; see collect_blocks)."""
     import pyarrow as pa
-    import ray
 
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    from data_quality_framework_ray.pipelines.exchange import collect_blocks
+
+    tabs, schema = collect_blocks(ds)
     if not tabs:
-        # typed empty table from the Dataset schema (not a zero-column one —
+        # typed empty table from the stream schema (not a zero-column one —
         # callers immediately .sort_by()/select and would crash; ADVICE r4)
-        try:
-            schema = ds.schema()
-            schema = (schema.base_schema
-                      if hasattr(schema, "base_schema") else schema)
+        if schema is not None:
             return pa.Table.from_pylist([], schema=schema)
+        try:
+            s = ds.schema()
+            s = s.base_schema if hasattr(s, "base_schema") else s
+            return pa.Table.from_pylist([], schema=s)
         except Exception:
             return pa.Table.from_pylist([])
     return pa.concat_tables(tabs, promote_options="default")
@@ -512,7 +518,7 @@ def _q_fingerprints(sf_dir: str):
     # keep the Arrow blocks: take_all + from_pylist would re-infer the
     # list<uint64> fingerprints as list<int64> and OverflowError on
     # hashes >= 2^63 (pyarrow does not promote nested ints)
-    t = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("doc_id")
+    t = _collect(out).sort_by("doc_id")
     # stable string form of the bottom-k set (harness groups on it)
     fp_str = pa.array(["-".join(f"{x:016x}" for x in fp)
                        for fp in t["fingerprint"].to_pylist()], type=pa.string())
@@ -563,7 +569,8 @@ def _q_simhash_dedup(sf_dir: str):
     # MAX_PAIRS_PER_BUCKET star+chain degradation, so on a skewed corpus a
     # capped engine would drop candidate pairs the oracle joins (ADVICE r4)
     comp = simhash_dup_groups(ds, "text", "doc_id", hamming_max=3,
-                              hasher="md5", max_pairs_per_bucket=1 << 62)
+                              hasher="md5", max_pairs_per_bucket=1 << 62,
+                              id_type=pa.int64())
     rows = [{"doc_id": int(k), "cluster_rep": int(v)}
             for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
@@ -599,7 +606,8 @@ def _q_embedding_dedup(sf_dir: str):
             "embedding": pa.array(emb, type=t.schema.field("embedding").type)})
 
     ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
-    comp = embedding_dup_groups(ds, "embedding", "vec_id", threshold=0.98)
+    comp = embedding_dup_groups(ds, "embedding", "vec_id", threshold=0.98,
+                                id_type=pa.int64())
     rows = [{"vec_id": int(k), "cluster_rep": int(v)} for k, v in sorted(comp.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"vec_id": pa.array([], type=pa.int64()),
@@ -1212,8 +1220,7 @@ def _q_q3_shipping(sf_dir: str):
             .map_batches(lambda b: b.filter(
                 pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
                 batch_format="pyarrow"))
-    cust_ids = ray.put(pa.concat_tables(
-        ray.get(cust.to_arrow_refs()))["c_custkey"].combine_chunks())
+    cust_ids = ray.put(_collect(cust)["c_custkey"].combine_chunks())
 
     def filter_orders(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.less(b["o_orderdate"], cutoff),

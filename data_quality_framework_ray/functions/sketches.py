@@ -228,10 +228,12 @@ def heavy_hitters(ds, col: str, k: int, capacity: int = 4096):
         return pa.table({"value": pa.array(u, type=batch[col].type),
                          "n": c.astype(np.int64)})
 
-    parts2 = [t for t in ray.get(
+    from data_quality_framework_ray.pipelines.exchange import collect_blocks
+
+    parts2, _ = collect_blocks(
         ds.map_batches(exact_pass, batch_format="pyarrow",
-                       batch_size=config.TEXT_BATCH_SIZE).to_arrow_refs())
-        if t.num_rows and "value" in t.column_names]
+                       batch_size=config.TEXT_BATCH_SIZE),
+        required="value")
     if not parts2:
         return pa.table({"value": pa.array([], type=pa.string()),
                          "n": pa.array([], type=pa.int64())})

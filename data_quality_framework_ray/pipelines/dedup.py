@@ -1197,7 +1197,8 @@ def near_dedup_filter(ds, id_col: str, cluster_map):
 def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                        hamming_max: int = 3, as_dataset: bool = False,
                        hasher: str = "polars",
-                       max_pairs_per_bucket: int | None = None):
+                       max_pairs_per_bucket: int | None = None,
+                       id_type: "pa.DataType | None" = None):
     """64-bit SimHash near-dup. 4×16-bit bands guarantee CO-BUCKETING for
     hamming distance ≤ 3 (pigeonhole over 4 bands); candidate pairs are ALL
     within-bucket pairs (capped at MAX_PAIRS_PER_BUCKET), so the recall
@@ -1224,7 +1225,9 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
 
     token_hash_fn = (H.token_hashes_md5 if hasher == "md5"
                      else H.token_hashes)
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    if id_type is None:  # explicit id_type skips the schema fetch — on a
+        # lazy lineage that is a limit=1 probe re-run (see collect_blocks)
+        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
 
     def _done(comp: dict):
         return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
@@ -1410,7 +1413,8 @@ def _verify_emb_members(emb: np.ndarray, norm: np.ndarray, ids: np.ndarray,
 def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                          threshold: float = 0.95, n_planes: int = 12,
                          n_bands: int = 4, seed: int = 3,
-                         as_dataset: bool = False):
+                         as_dataset: bool = False,
+                         id_type: "pa.DataType | None" = None):
     """Multi-band random-hyperplane LSH → exact cosine verification per
     bucket (vectorized matmul inside map_groups, hot buckets capped and
     recursed — see :func:`_verify_emb_members`) → union-find.
@@ -1444,7 +1448,9 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
 
     bucketed = ds.map_batches(bucket_stage, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE)
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    if id_type is None:  # explicit id_type skips the schema fetch — on a
+        # lazy lineage that is a limit=1 probe re-run (see collect_blocks)
+        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
     pair_schema = _pair_schema(id_type)
 
     def verify(group: pa.Table) -> pa.Table:
@@ -1632,10 +1638,10 @@ def _fuzzy_distributed(vals_ds, col: str,
              .map_batches(partial(_dedupe_pair_blocks,
                                   pair_schema=pair_schema),
                           batch_format="pyarrow"))
-    import ray as _ray
+    from data_quality_framework_ray.pipelines.exchange import collect_blocks
 
-    tabs = [t.select(["a", "b"]) for t in _ray.get(pairs.to_arrow_refs())
-            if t.num_rows and "a" in t.column_names]
+    blocks, _ = collect_blocks(pairs, required="a")
+    tabs = [t.select(["a", "b"]) for t in blocks]
     if not tabs:
         return pa.Table.from_pylist([], schema=pair_schema)
     out = pl.from_arrow(pa.concat_tables(tabs)).unique().to_arrow() \

@@ -15,18 +15,52 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def collect_blocks(ds, required: str | None = None):
+    """All of a Dataset's blocks as Arrow tables plus the stream's schema,
+    WITHOUT ``Dataset.to_arrow_refs()``. At this Ray version (2.49)
+    ``to_arrow_refs()`` calls ``schema(fetch_if_missing=True)`` AFTER the
+    consuming execution; on a lazy lineage the plan's schema cache is gone
+    by then, so every collect launches a fresh ``limit=1`` re-run of the
+    WHOLE upstream pipeline (measured 0.2–0.9 s of pure waste per query at
+    sf0.1) — and the probe's early-termination task cancellation can trip
+    Ray's FATAL TaskManager check (``task_manager.cc:930 'Tried to complete
+    task that was not pending'``), which killed a full sf0.1 query sweep
+    mid-run by aborting the driver process. Iterating the internal ref
+    bundles executes exactly once and carries the schema in-band.
+
+    Empty blocks are dropped; with ``required`` set, Ray's SCHEMA-LESS empty
+    aggregate blocks (see ``empty_safe``) are dropped too. Returns
+    ``(tables, pa.Schema | None)`` — the schema is the widest one observed
+    on the stream (empty hash partitions report a zero-column schema)."""
+    import ray
+    from ray.data.block import BlockAccessor
+
+    refs: list = []
+    schema = None
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+        bs = getattr(bundle.schema, "base_schema", bundle.schema)
+        if isinstance(bs, pa.Schema) and (schema is None
+                                          or len(bs.names) > len(schema.names)):
+            schema = bs
+    tabs = []
+    for b in ray.get(refs):
+        if not isinstance(b, pa.Table):
+            b = BlockAccessor.for_block(b).to_arrow()
+        if b.num_rows and (required is None or required in b.column_names):
+            tabs.append(b)
+    return tabs, schema
+
+
 def collect_partials(parts, required: str,
                      empty_schema: pa.Schema) -> pa.Table:
-    """One driver-local Arrow table from a MATERIALIZED partials Dataset:
-    zero-copy block refs, schema-less empty blocks dropped (``required``
-    column must be present — see ``empty_safe``), typed empty fallback.
-    The shared front half of every bounded driver fold
-    (``stats._fold_partials``, ``dedup._fold_dup_partials``,
+    """One driver-local Arrow table from a partials Dataset: zero-copy block
+    refs via ``collect_blocks`` (no ``to_arrow_refs`` schema re-probe),
+    schema-less empty blocks dropped (``required`` column must be present —
+    see ``empty_safe``), typed empty fallback. The shared front half of every
+    bounded driver fold (``stats._fold_partials``, ``dedup._fold_dup_partials``,
     ``stats.grouped_quantiles_counts``)."""
-    import ray
-
-    tabs = [t for t in ray.get(parts.to_arrow_refs())
-            if t.num_rows and required in t.column_names]
+    tabs, _ = collect_blocks(parts, required=required)
     if not tabs:
         return pa.Table.from_pylist([], schema=empty_schema)
     return pa.concat_tables(tabs, promote_options="default")

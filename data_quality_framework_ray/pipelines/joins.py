@@ -378,11 +378,21 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
       large; the exchange is the operator's lower bound)."""
     import pyarrow.compute as pc
 
-    os_schema = old.schema()
-    key_type = dict(zip(os_schema.names, os_schema.types))[key]
-    out_schema = pa.schema([(key, key_type), ("change", pa.string())])
-
+    # Key type from the NEW side's MATERIALIZED schema (metadata-only): a
+    # .schema() on the lazy old lineage would launch a limit=1 probe re-run
+    # of its whole upstream plan at this Ray version (and the probe's task
+    # cancellation can trip Ray's fatal TaskManager race — see
+    # exchange.collect_blocks). Both snapshots key the same entity, so the
+    # types agree; the lazy probe remains only as the empty-new fallback.
     new_mat = new.select_columns([key] + compare_cols).materialize()
+    nm_schema = new_mat.schema()
+    nm_schema = getattr(nm_schema, "base_schema", nm_schema)
+    if nm_schema is not None and key in nm_schema.names:
+        key_type = dict(zip(nm_schema.names, nm_schema.types))[key]
+    else:
+        os_schema = old.schema()
+        key_type = dict(zip(os_schema.names, os_schema.types))[key]
+    out_schema = pa.schema([(key, key_type), ("change", pa.string())])
     if new_mat.count() <= config.BROADCAST_DUP_LIMIT:
         import polars as pl
         import ray

@@ -291,10 +291,14 @@ def combine_dup_partials(pairs, approx_rows: int | None = None) -> pa.Table:
     if approx_rows is not None and approx_rows < 5_000_000:
         import polars as pl
 
-        parts = pairs.to_arrow_refs()
-        import ray as _ray
+        from data_quality_framework_ray.pipelines.exchange import (
+            collect_blocks)
 
-        tables = [t for t in _ray.get(parts) if t.num_rows]
+        # collect_blocks, not to_arrow_refs: the latter re-probes schema via
+        # a limit=1 re-run of the whole lazy partials chain (phase-A output!)
+        # at this Ray version — wasted headline time plus the fatal
+        # TaskManager cancel race documented on collect_blocks
+        tables, _ = collect_blocks(pairs)
         if not tables:
             return pa.Table.from_pylist([], schema=_WINNER_SCHEMA)
         df = pl.from_arrow(pa.concat_tables(tables))

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from data_quality_framework_ray import config
+from data_quality_framework_ray.pipelines.exchange import collect_blocks
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -90,7 +91,7 @@ def brute_force_topk(ds, queries: np.ndarray, emb_col: str = "embedding",
         # what remains is exactly nq × k rows — the final driver pass below
         # only re-sorts them into the documented output order
 
-    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    tabs, _ = collect_blocks(partials)
     if not tabs:
         s_ = ds.schema()
         id_type = (dict(zip(s_.names, s_.types)).get(id_col, pa.string())
@@ -292,7 +293,7 @@ def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
         partials = partials.groupby("query_id").map_groups(
             merge_group, batch_format="pyarrow").materialize()
 
-    tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+    tabs, _ = collect_blocks(partials)
     if not tabs:
         s_ = ds.schema()
         id_type = (dict(zip(s_.names, s_.types)).get(id_col, pa.string())
