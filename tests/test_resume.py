@@ -177,3 +177,23 @@ def test_changed_dup_keys_semantics():
     assert key(4, 40) in changed      # group added
     assert key(1, 10) not in changed  # unchanged
     assert len(changed) == 3
+
+
+def test_missing_input_fragment_does_not_crash_stamp_scan(ray_session, tmp_path):
+    """ADVICE r4: a manifest-listed fragment missing on disk must read as a
+    sentinel ident in the input-stamp scan, not raise FileNotFoundError —
+    here the manifest is unchanged and every fragment is DONE, so the resume
+    must complete as a no-op despite the hole in the input directory."""
+    from data_quality_framework_ray.datagen.clips import (fragment_paths,
+                                                          generate_clips)
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    clips = str(tmp_path / "clips_missing")
+    out = str(tmp_path / "out_missing")
+    generate_clips(clips, n_clips=100, n_fragments=4, seed=11)
+    s1 = qf.run(clips, out, models_dir=MODELS_DIR)
+    assert s1["frags_processed"] == 4
+
+    os.remove(fragment_paths(clips)[2])
+    s2 = qf.run(clips, out, models_dir=MODELS_DIR)
+    assert s2["frags_processed"] == 0
