@@ -830,7 +830,8 @@ def run(in_dir: str, out_dir: str, models_dir: str | None = None, *,
         # amortizes the constants while 4 waves still rebalance stragglers
         # (hard-linked files are ~free next to re-marked ones on resume)
         n_fin = max(1, min(len(part_files),
-                           int(ray.cluster_resources().get("CPU", 8)) * 4))
+                           int(ray.cluster_resources().get("CPU", 8))
+                           * config.FINALIZE_WAVES))
         partials = rd.from_items([{"path": p} for p in part_files],
                                  override_num_blocks=n_fin) \
             .map_batches(_finalize, batch_format="pyarrow", batch_size=None)
