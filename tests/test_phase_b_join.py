@@ -88,3 +88,22 @@ def test_apply_dup_mask_touched_rows_only():
 
     none_out = _apply_dup_mask(batch, np.zeros(5, dtype=bool))
     assert none_out is batch
+
+
+def test_finalize_waves_one_matches_default(ray_session, clips_dir, tmp_path,
+                                            monkeypatch):
+    """config.FINALIZE_WAVES only re-shapes the finalize task batching;
+    forcing a single wave (one task block per CPU) must produce final
+    decisions identical to the default wave count."""
+    from data_quality_framework_ray.pipelines import quality_filter as qf
+
+    out_d = str(tmp_path / "out_default")
+    qf.run(clips_dir, out_d, models_dir=MODELS_DIR)
+    default = _final_df(out_d)
+
+    monkeypatch.setattr(config, "FINALIZE_WAVES", 1)
+    out_1 = str(tmp_path / "out_one_wave")
+    qf.run(clips_dir, out_1, models_dir=MODELS_DIR)
+    one_wave = _final_df(out_1)
+
+    pd.testing.assert_frame_equal(default, one_wave, check_like=True)
