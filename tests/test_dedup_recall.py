@@ -863,3 +863,44 @@ def test_broadcast_member_rows_matches_set_probe(ray_session):
         rd.from_arrow(t).repartition(4), agg).take_all()
     got = sorted(r["id"] for r in got_tbl)
     assert got == expect
+
+
+def test_keyed_dup_groups_randomized_vs_bruteforce(ray_session):
+    """Seeded randomized sweep of keyed_dup_groups against a brute-force
+    oracle: uint64 keys spanning the full 64-bit range (the r4 crash class),
+    null keys, both assignment paths (broadcast_limit 0 forces the join
+    path), and varied partitioning."""
+    import random
+
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    rng = random.Random(20260819)
+    for trial in range(8):
+        n = rng.choice([2, 50, 500])
+        keyspace = [rng.getrandbits(64)
+                    for _ in range(max(1, n // rng.choice([2, 5, 20])))]
+        ids = [f"id{i:05d}" for i in range(n)]
+        rng.shuffle(ids)
+        k1 = [rng.choice(keyspace) if rng.random() > 0.05 else None
+              for _ in range(n)]
+        k2 = [rng.choice(["a", "b", "c"]) if rng.random() > 0.05 else None
+              for _ in range(n)]
+        t = pa.table({"k_fp": pa.array(k1, type=pa.uint64()),
+                      "k_s": pa.array(k2, type=pa.string()),
+                      "the_id": pa.array(ids, type=pa.string())})
+        ds = rd.from_arrow(t).repartition(rng.choice([1, 3]))
+        limit = rng.choice([0, 10 ** 9])
+        got = keyed_dup_groups(ds, ["k_fp", "k_s"], "the_id",
+                               broadcast_limit=limit)
+        rows = got.take_all() if hasattr(got, "take_all") else got.to_pylist()
+        gd = {r["the_id"]: r["cluster_rep"] for r in rows}
+
+        groups: dict = {}
+        for a, b, i in zip(k1, k2, ids):
+            if a is not None and b is not None:
+                groups.setdefault((a, b), []).append(i)
+        want = {m: min(mem) for mem in groups.values() if len(mem) > 1
+                for m in mem}
+        assert gd == want, (trial, n, limit)
