@@ -152,3 +152,138 @@ def test_histogram_fixed_randomized_vs_counter(ray_session):
         want = dict(collections.Counter(
             math.floor((v - origin) / width) for v in vals))
         assert got == want, (trial, width, origin)
+
+
+def test_pack_chunks_randomized_vs_serial_oracle(ray_session):
+    from data_quality_framework_ray.pipelines.packing import pack_chunks
+
+    rng = random.Random(17)
+    for trial in range(6):
+        n = rng.choice([1, 2, 100, 1500])
+        budget = rng.choice([5, 64, 1000])
+        step = rng.choice([1, 7])
+        ids = [i * step for i in range(n)]
+        rng.shuffle(ids)
+        w = [rng.randrange(1, min(budget, 50) + 1) for _ in range(n)]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "tok": pa.array(w, pa.int64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = pack_chunks(ds, weight_col="tok", id_col="doc_id",
+                          budget=budget,
+                          bucket_size=rng.choice([8, 100000]))
+        gd = {r["doc_id"]: r["pack_id"] for r in got.take_all()}
+        prefix = 0
+        want = {}
+        for i in np.argsort(ids, kind="stable"):
+            want[ids[i]] = prefix // budget
+            prefix += w[i]
+        assert gd == want, (trial, n, budget)
+
+
+def test_minhash_randomized_planted_clusters(ray_session):
+    """Random corpora with planted near-identical clusters: every planted
+    pair must co-cluster (exact verify), and no cluster may join docs whose
+    true 3-gram Jaccard is below 0.5 (false-merge guard)."""
+    import itertools
+
+    from data_quality_framework_ray.pipelines.dedup import \
+        minhash_lsh_dup_groups
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def jac(a, b, k=3):
+        sa = {a[i:i + k] for i in range(max(1, len(a) - k + 1))}
+        sb = {b[i:i + k] for i in range(max(1, len(b) - k + 1))}
+        return len(sa & sb) / max(1, len(sa | sb))
+
+    for trial in range(3):
+        docs, planted = {}, []
+        for i in range(rng.choice([20, 120])):
+            docs[f"b{i:04d}"] = " ".join(rng.choice(vocab) for _ in range(40))
+        for c in range(rng.choice([2, 6])):
+            base = " ".join(rng.choice(vocab) for _ in range(60))
+            members = [f"p{c:02d}_0"]
+            docs[members[0]] = base
+            for j in range(1, rng.choice([2, 4])):
+                m = f"p{c:02d}_{j}"
+                docs[m] = base + " zz"
+                members.append(m)
+            planted.append(members)
+        ids = sorted(docs)
+        t = pa.table({"doc_id": pa.array(ids),
+                      "text": pa.array([docs[i] for i in ids])})
+        comp = minhash_lsh_dup_groups(
+            _rd().from_arrow(t).repartition(rng.choice([1, 4])),
+            "text", "doc_id", threshold=0.8, verify="exact")
+        for members in planted:
+            reps = {comp.get(m) for m in members}
+            assert len(reps) == 1 and None not in reps, (trial, members)
+        by_rep: dict = {}
+        for d, r in comp.items():
+            by_rep.setdefault(r, []).append(d)
+        for mem in by_rep.values():
+            for a, b in itertools.combinations(mem, 2):
+                assert jac(docs[a], docs[b]) >= 0.5, (trial, a, b)
+
+
+def test_simhash_randomized_contract_aware(ray_session):
+    """SimHash clusters exactly the pairs within hamming_max of each other —
+    planted one-token edits are asserted co-clustered ONLY when their true
+    fingerprint hamming distance is within the contract (a 60-token doc's
+    one-token edit legitimately flips >3 bits ~25% of the time)."""
+    from data_quality_framework_ray.functions import hashing as H
+    from data_quality_framework_ray.pipelines.dedup import simhash_dup_groups
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(500)]
+    for trial in range(3):
+        docs, planted = {}, []
+        for i in range(rng.choice([20, 100])):
+            docs[f"b{i:04d}"] = " ".join(rng.choice(vocab) for _ in range(40))
+        for c in range(6):
+            base = " ".join(rng.choice(vocab) for _ in range(60))
+            docs[f"p{c:02d}_0"] = base
+            docs[f"p{c:02d}_1"] = base + " zz"
+            planted.append((f"p{c:02d}_0", f"p{c:02d}_1"))
+        ids = sorted(docs)
+        t = pa.table({"doc_id": pa.array(ids),
+                      "text": pa.array([docs[i] for i in ids])})
+        comp = simhash_dup_groups(
+            _rd().from_arrow(t).repartition(rng.choice([1, 4])),
+            "text", "doc_id", hamming_max=3)
+        th, off = H.token_hashes(pa.array([docs[i] for i in ids]))
+        s = H.simhash64(th, off)
+        fp = dict(zip(ids, s))
+        n_checked = 0
+        for a, b in planted:
+            d = bin(int(fp[a]) ^ int(fp[b])).count("1")
+            if d <= 3:
+                n_checked += 1
+                assert comp.get(a) == comp.get(b) is not None, (trial, a, b, d)
+        assert n_checked > 0  # the sweep exercises the contract each trial
+
+
+def test_embedding_dedup_randomized_planted(ray_session):
+    from data_quality_framework_ray.pipelines.dedup import embedding_dup_groups
+
+    rng = random.Random(13)
+    for trial in range(3):
+        nrng = np.random.default_rng(trial)
+        base = nrng.normal(size=(rng.choice([30, 120]), 32))
+        ids = [f"v{i:04d}" for i in range(len(base))]
+        embs = list(base)
+        planted = []
+        for c in range(rng.choice([2, 6])):
+            i = rng.randrange(len(base))
+            ids.append(f"dup{c:02d}")
+            embs.append(base[i] * 1.001)  # cosine exactly 1.0
+            planted.append((ids[i], f"dup{c:02d}"))
+        t = pa.table({"vec_id": pa.array(ids),
+                      "emb": pa.array([list(map(float, e)) for e in embs],
+                                      type=pa.list_(pa.float32()))})
+        comp = embedding_dup_groups(
+            _rd().from_arrow(t).repartition(rng.choice([1, 4])),
+            "emb", "vec_id", threshold=0.98)
+        for a, b in planted:
+            assert comp.get(a) == comp.get(b) is not None, (trial, a, b)
