@@ -391,6 +391,14 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
         key_type = dict(zip(nm_schema.names, nm_schema.types))[key]
     else:
         os_schema = old.schema()
+        if os_schema is None:
+            # both snapshots empty AND schemaless: the diff is empty; no key
+            # type is recoverable, so emit a typed-null empty result rather
+            # than crash on .names
+            import ray.data as rd
+            return rd.from_arrow(pa.table(
+                {key: pa.array([], type=pa.null()),
+                 "change": pa.array([], type=pa.string())}))
         key_type = dict(zip(os_schema.names, os_schema.types))[key]
     out_schema = pa.schema([(key, key_type), ("change", pa.string())])
     if new_mat.count() <= config.BROADCAST_DUP_LIMIT:
@@ -476,8 +484,27 @@ def snapshot_diff(old, new, key: str, compare_cols: list[str],
                 np.ones(t.num_rows, dtype=np.int8)))
         return f
 
+    # Materialized like new_mat (symmetric CDC sides; projection only, blocks
+    # spillable; the join's shuffle reads the pinned blocks, no re-execution)
+    # so emptiness is a metadata-only count — an EMPTY old side (initial CDC
+    # run) yields no typed left blocks and Ray's hash join dies resolving the
+    # key field ("No match or multiple matches for key field reference …").
+    # A typed-empty-block union instead of this materialize is NOT safe: the
+    # hash-shuffle aggregator races on which union branch's schema it sees
+    # first and fails nondeterministically.
     l = old.select_columns([key] + compare_cols).map_batches(
-        mark(lcols, "__l"), batch_format="pyarrow")
+        mark(lcols, "__l"), batch_format="pyarrow").materialize()
+    if l.count() == 0:
+        import ray.data as rd
+
+        def all_added(t: pa.Table) -> pa.Table:
+            if key not in t.column_names:
+                return pa.Table.from_pylist([], schema=out_schema)
+            return pa.table({key: t[key],
+                             "change": pa.array(["added"] * t.num_rows,
+                                                type=pa.string())}) \
+                .cast(out_schema)
+        return new_mat.map_batches(all_added, batch_format="pyarrow")
     # reuse the already-materialized selection — rebuilding from `new` would
     # re-execute its upstream pipeline and waste the pinned blocks
     r = new_mat.map_batches(mark(rcols, "__r"), batch_format="pyarrow")

@@ -227,3 +227,34 @@ def test_snapshot_diff_join_path_matches_broadcast(ray_session, monkeypatch):
     assert ("added", ) != ()  # sanity: classes present
     labels = {c for _, c in got}
     assert labels == {"added", "removed", "changed"}
+
+
+def test_snapshot_diff_join_path_empty_sides(ray_session, monkeypatch):
+    """Initial-CDC-run shapes on the JOIN path (forced via
+    BROADCAST_DUP_LIMIT=0): an empty old side must classify every new row
+    'added' instead of crashing Ray's hash join on key-field resolution
+    (no typed left blocks); empty new and both-empty stay total."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.joins import snapshot_diff
+
+    monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+
+    def tbl(n, v):
+        return rd.from_arrow(pa.table(
+            {"k": pa.array(list(range(n)), pa.int64()),
+             "v": pa.array([v] * n, pa.string())}))
+
+    got = sorted((r["k"], r["change"]) for r in
+                 snapshot_diff(tbl(0, "a"), tbl(3, "b"), "k", ["v"])
+                 .take_all())
+    assert got == [(0, "added"), (1, "added"), (2, "added")]
+
+    got = sorted((r["k"], r["change"]) for r in
+                 snapshot_diff(tbl(3, "a"), tbl(0, "b"), "k", ["v"])
+                 .take_all())
+    assert got == [(0, "removed"), (1, "removed"), (2, "removed")]
+
+    assert snapshot_diff(tbl(0, "a"), tbl(0, "b"), "k", ["v"]).take_all() == []
