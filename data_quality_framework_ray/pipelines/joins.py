@@ -192,6 +192,20 @@ def semi_join(left, right, on: str, right_on: str | None = None, *,
     return joined.map_batches(f, batch_format="pyarrow")
 
 
+def _key_type_or_fallback(left, left_col: str, right, right_col: str):
+    """Key arrow type for empty-block construction: prefer the left side's
+    schema, fall back to the right (an EMPTY side — e.g. after repartition —
+    reports schema None and must not crash; both sides share the value
+    domain). Both empty+schemaless → pa.null() (the result is empty)."""
+    ls = left.schema()
+    if ls is not None and left_col in ls.names:
+        return dict(zip(ls.names, ls.types))[left_col]
+    rs = right.schema()
+    if rs is not None and right_col in rs.names:
+        return dict(zip(rs.names, rs.types))[right_col]
+    return pa.null()
+
+
 def distinct_intersect(left, left_col: str, right, right_col: str, *,
                        except_: bool = False, num_partitions: int | None = None):
     """DISTINCT left values ∩ right values (or ∖ when ``except_``): both
@@ -204,8 +218,7 @@ def distinct_intersect(left, left_col: str, right, right_col: str, *,
         num_partitions=num_partitions)
     from ray.data.aggregate import Count
 
-    ls = left.schema()
-    key_type = dict(zip(ls.names, ls.types))[left_col]
+    key_type = _key_type_or_fallback(left, left_col, right, right_col)
 
     def sel(t: pa.Table) -> pa.Table:
         if left_col not in t.column_names:  # Ray schema-less empty block
@@ -250,8 +263,7 @@ def distinct_set_ops(left, left_col: str, right, right_col: str, *,
     r = right.select_columns([right_col]).map_batches(
         tagger(right_col, 1), batch_format="pyarrow")
 
-    ls = left.schema()
-    key_type = dict(zip(ls.names, ls.types))[left_col]
+    key_type = _key_type_or_fallback(left, left_col, right, right_col)
 
     if combine == "driver":
         import polars as pl

@@ -258,3 +258,29 @@ def test_snapshot_diff_join_path_empty_sides(ray_session, monkeypatch):
     assert got == [(0, "removed"), (1, "removed"), (2, "removed")]
 
     assert snapshot_diff(tbl(0, "a"), tbl(0, "b"), "k", ["v"]).take_all() == []
+
+
+def test_set_ops_empty_sides(ray_session):
+    """An empty side (schema None after repartition) must not crash the
+    key-type derivation; results fall back to the other side's schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import (
+        distinct_intersect, distinct_set_ops)
+
+    empty = rd.from_arrow(pa.table({"s": pa.array([], pa.string())})) \
+        .repartition(2)
+    full = rd.from_arrow(pa.table({"s": pa.array(["a", "b", "a"])})) \
+        .repartition(2)
+
+    rows = distinct_set_ops(empty, "s", full, "s").take_all()
+    got = sorted((r["value"], r["in_left"], r["in_right"]) for r in rows)
+    assert got == [("a", False, True), ("b", False, True)]
+
+    t = distinct_set_ops(empty, "s", full, "s", combine="driver")
+    assert sorted(zip(t["value"].to_pylist(), t["in_left"].to_pylist(),
+                      t["in_right"].to_pylist())) == got
+
+    assert distinct_intersect(empty, "s", full, "s").take_all() == []
+    assert distinct_set_ops(empty, "s", empty, "s").take_all() == []
