@@ -87,7 +87,8 @@ def _exact_dup_groups_ds(ds, key_cols: list[str], id_col: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    id_type = schema_map(ds).get(id_col, pa.null())
     schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
                         ("min(min_id)", id_type), ("sum(cnt)", pa.int64())])
 
@@ -265,7 +266,12 @@ def keyed_dup_groups(ds, key_cols: list[str], id_col: str,
     from ray.data.aggregate import Min, Sum
 
     kcols = [f"k{i}" for i in range(len(key_cols))]
-    types = dict(zip(ds.schema().names, ds.schema().types))
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    types = schema_map(ds)
+    if not types:  # empty, schemaless input: no rows → no dup groups
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], type=pa.null()),
+             "cluster_rep": pa.array([], type=pa.null())}))
     id_type = types[id_col]
     for c in key_cols:
         if pa.types.is_interval(types[c]):
@@ -928,7 +934,8 @@ def minhash_lsh_dup_groups(ds, text_col: str, id_col: str, *,
     import polars as pl
 
     r = num_perm // bands
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    id_type = schema_map(ds).get(id_col, pa.null())
 
     def _done(comp: dict):
         return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
@@ -1098,7 +1105,8 @@ def _minhash_distributed(ds, bands_ds, text_col: str, id_col: str, *,
     import polars as pl
 
     num_partitions = _join_partitions(num_partitions)
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    id_type = schema_map(ds).get(id_col, pa.null())
     counts = bands_ds.map_batches(
         lambda b: pl.from_arrow(b).group_by(["band", "bh"])
         .agg(pl.len().alias("cnt")).to_arrow(),
@@ -1227,7 +1235,8 @@ def simhash_dup_groups(ds, text_col: str, id_col: str, *,
                      else H.token_hashes)
     if id_type is None:  # explicit id_type skips the schema fetch — on a
         # lazy lineage that is a limit=1 probe re-run (see collect_blocks)
-        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        id_type = schema_map(ds).get(id_col, pa.null())
 
     def _done(comp: dict):
         return _labels_dict_to_ds(comp, id_type) if as_dataset else comp
@@ -1450,7 +1459,8 @@ def embedding_dup_groups(ds, emb_col: str, id_col: str, *,
                               batch_size=config.TEXT_BATCH_SIZE)
     if id_type is None:  # explicit id_type skips the schema fetch — on a
         # lazy lineage that is a limit=1 probe re-run (see collect_blocks)
-        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        id_type = schema_map(ds).get(id_col, pa.null())
     pair_schema = _pair_schema(id_type)
 
     def verify(group: pa.Table) -> pa.Table:

@@ -15,6 +15,19 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def schema_map(ds) -> "dict[str, pa.DataType]":
+    """{name: type} for a Dataset's schema — {} when the dataset is EMPTY
+    and reports schema None (e.g. a repartition of zero rows). Callers use
+    ``.get(col, pa.null())`` so empty inputs yield empty TYPED results
+    instead of AttributeError on ``.names`` (empty-side hazard found by the
+    randomized oracle sweeps)."""
+    s = ds.schema()
+    s = getattr(s, "base_schema", s)
+    if s is None:
+        return {}
+    return dict(zip(s.names, s.types))
+
+
 def collect_blocks(ds, required: str | None = None):
     """All of a Dataset's blocks as Arrow tables plus the stream's schema,
     WITHOUT ``Dataset.to_arrow_refs()``. At this Ray version (2.49)

@@ -92,10 +92,14 @@ def check_nulls(ds, columns: list[str] | None = None, table: str = "",
     :465-467). One streaming pass for ALL columns."""
     from functools import partial
 
-    columns = columns or ds.schema().names
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    columns = columns or list(schema_map(ds))
     partials = ds.map_batches(partial(_null_partials, columns=columns),
                               batch_format="pyarrow")
     totals = partials.sum(["rows"] + [f"{c}__{k}" for c in columns for k in ("nulls", "empty")])
+    if totals is None:  # zero input rows: Dataset.sum returns None, not 0s
+        totals = {f"sum({c}__{k})": 0 for c in columns
+                  for k in ("nulls", "empty")} | {"sum(rows)": 0}
     rows = max(totals["sum(rows)"], 1)
     out = []
     for c in columns:

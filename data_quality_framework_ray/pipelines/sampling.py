@@ -56,11 +56,13 @@ def token_budget_cap(ds, key_col: str, id_col: str, tokens_col: str,
     by ``id_col`` ascending and keep rows while the running (inclusive)
     token sum stays ≤ budget. SQL parity: ``QUALIFY sum(tokens) OVER
     (PARTITION BY key ORDER BY id) <= budget``."""
-    from data_quality_framework_ray.pipelines.exchange import part_shuffle
+    from data_quality_framework_ray.pipelines.exchange import (part_shuffle,
+                                                               schema_map)
 
-    names = ds.schema().names
-    types = ds.schema().types
-    out_schema = pa.schema(list(zip(names, types)))
+    smap = schema_map(ds)
+    if not smap:  # empty, schemaless input: the cap of nothing is nothing
+        return ds
+    out_schema = pa.schema(list(smap.items()))
 
     def kernel(part: pa.Table) -> pa.Table:
         import polars as pl

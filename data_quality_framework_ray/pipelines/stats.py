@@ -39,7 +39,7 @@ def exact_quantiles(ds, col: str, ps: list[float]) -> list[tuple[float, float]]:
     counts = (ds.map_batches(partial, batch_format="pyarrow",
                              batch_size=config.TEXT_BATCH_SIZE)
               .sort(col).materialize())
-    n = int(counts.sum("c"))
+    n = int(counts.sum("c") or 0)  # sum of zero rows is None, not 0
     if n == 0:
         return [(p, float("nan")) for p in ps]
     targets = sorted((max(1, math.ceil(p * n)), p) for p in ps)
@@ -143,7 +143,8 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
     from data_quality_framework_ray.pipelines.exchange import (join_partitions,
                                                                part_shuffle)
 
-    key_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    key_type = schema_map(ds).get(key, pa.null())
     out_schema = pa.schema([(key, key_type), ("p", pa.float64()),
                             ("value", pa.float64())])
 
@@ -177,7 +178,8 @@ def grouped_quantiles_counts(ds, key: str, col: str, ps: list[float]):
                          "p": np.concatenate(chunks_p),
                          "value": np.concatenate(chunks_v)}).cast(out_schema)
 
-    col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    from data_quality_framework_ray.pipelines.exchange import schema_map
+    col_type = schema_map(ds).get(col, pa.null())
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=config.TEXT_BATCH_SIZE).materialize()
     if parts.count() <= config.PARTIAL_FOLD_LIMIT:
@@ -269,8 +271,8 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
                        batch_size=config.TEXT_BATCH_SIZE),
         [key], ["n", "s", "ss"])
     if agg.height == 0:  # empty/all-null input (ADVICE.md round 3)
-        s_ = ds.schema()
-        return pa.table({key: pa.array([], type=dict(zip(s_.names, s_.types))[key]),
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
                          "n_outliers": pa.array([], type=pa.int64())})
     n = agg["n"].to_numpy().astype(np.float64)
     mean = agg["s"].to_numpy() / np.maximum(n, 1)

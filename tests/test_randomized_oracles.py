@@ -287,3 +287,40 @@ def test_embedding_dedup_randomized_planted(ray_session):
             "emb", "vec_id", threshold=0.98)
         for a, b in planted:
             assert comp.get(a) == comp.get(b) is not None, (trial, a, b)
+
+
+def test_empty_input_totality(ray_session):
+    """Schema-less EMPTY inputs (e.g. a repartition of zero rows reports
+    schema None at this Ray version) must yield empty results, never
+    AttributeError/TypeError — the empty-side hazard class found by these
+    sweeps (snapshot_diff join path, distinct_set_ops key type,
+    Dataset.sum() returning None)."""
+    from data_quality_framework_ray.pipelines import stats as ST
+    from data_quality_framework_ray.pipelines.dedup import (
+        exact_dedup, keyed_dup_groups, minhash_lsh_dup_groups)
+    from data_quality_framework_ray.pipelines.expectations import check_nulls
+    from data_quality_framework_ray.pipelines.sampling import token_budget_cap
+
+    def empty(schema_cols):
+        t = pa.table({c: pa.array([], type=ty) for c, ty in schema_cols})
+        return _rd().from_arrow(t).repartition(2)
+
+    assert keyed_dup_groups(
+        empty([("k", pa.uint64()), ("id", pa.string())]),
+        ["k"], "id").take_all() == []
+    assert exact_dedup(
+        empty([("text", pa.string()), ("id", pa.string())]),
+        ["text"], "id").take_all() == []
+    assert minhash_lsh_dup_groups(
+        empty([("text", pa.string()), ("id", pa.string())]),
+        "text", "id") == {}
+    assert token_budget_cap(
+        empty([("k", pa.string()), ("id", pa.int64()),
+               ("tok", pa.int64())]), "k", "id", "tok",
+        budget=10).take_all() == []
+    assert ST.exact_quantiles(
+        empty([("v", pa.float64())]), "v", [0.5])[0][1] != 0  # nan
+    assert ST.grouped_outlier_counts(
+        empty([("k", pa.string()), ("v", pa.float64())]),
+        "k", "v").num_rows == 0
+    assert check_nulls(empty([("a", pa.string())])) == []
