@@ -132,6 +132,8 @@ def assign_cells(ds, codebook: np.ndarray, emb_col: str = "embedding"):
     cb_ref = ray.put(codebook)
 
     def f(batch: pa.Table) -> pa.Table:
+        if "ivf_cell" in batch.column_names:  # idempotent re-assignment
+            batch = batch.drop_columns(["ivf_cell"])
         if batch.num_rows == 0:  # empty block (upstream filter)
             return batch.append_column("ivf_cell",
                                        pa.array([], type=pa.int32()))
@@ -213,6 +215,8 @@ def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding"):
     def f(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
         m, ncent, sub = cb.shape
+        if "pq_code" in batch.column_names:  # idempotent re-encode
+            batch = batch.drop_columns(["pq_code"])
         if batch.num_rows == 0:  # empty block (upstream filter)
             off0 = pa.array(np.zeros(1, dtype=np.int32))
             return batch.append_column("pq_code", pa.ListArray.from_arrays(

