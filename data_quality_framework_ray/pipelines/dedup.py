@@ -596,8 +596,65 @@ def components_distributed(pairs_ds, max_iter: int = 30):
                        .cast(pl.Int64).alias("chg")))
         return out.to_arrow().cast(chg_schema)
 
-    changed = 1
-    for _ in range(max_iter):
+    # ---- edge-contraction kernels (round-5 fix): min propagation + pointer
+    # jumping ALONE converges in O(diameter/2^j)-ish rounds on chains whose
+    # ids are not monotone along the chain — a shuffled-id 200-node chain
+    # exceeded max_iter and returned a SPLIT component (found by the
+    # randomized CC sweep). Rewriting every edge to (lbl(u), lbl(v)) and
+    # dropping self-loops each round contracts the graph geometrically:
+    # every local-min supernode absorbs its neighbors, so the surviving
+    # edge count shrinks ~2× per round → O(log n) rounds on ANY shape, and
+    # "contracted edge set is EMPTY" is an exact fixpoint test (a surviving
+    # edge joins two different labels and must decrease one of them).
+    edge_schema = pa.schema([("u", id_type), ("v", id_type)])
+
+    def edge_req_u(b: pa.Table) -> pa.Table:  # key by u, carry v
+        b = _empty_safe(b, "v", edge_schema)
+        return pa.table({"k": b["u"], "uu": b["v"],
+                         "v": pa.nulls(b.num_rows, id_type)}).cast(fetch_schema)
+
+    def edge_req_v(b: pa.Table) -> pa.Table:  # key by v, carry u
+        b = _empty_safe(b, "v", edge_schema)
+        return pa.table({"k": b["v"], "uu": b["u"],
+                         "v": pa.nulls(b.num_rows, id_type)}).cast(fetch_schema)
+
+    def map_u_kernel(part: pa.Table) -> pa.Table:  # (u,v) → (lbl(u), v)
+        df = pl.from_arrow(part)
+        prov = (df.filter(pl.col("v").is_not_null())
+                .group_by("k").agg(pl.col("v").min()))
+        req = df.filter(pl.col("uu").is_not_null()).drop("v")
+        out = (req.join(prov, on="k", how="inner")
+               .select(pl.col("v").alias("u"), pl.col("uu").alias("v")))
+        return out.to_arrow().cast(edge_schema)
+
+    def map_v_kernel(part: pa.Table) -> pa.Table:  # (u,v) → (u, lbl(v))
+        df = pl.from_arrow(part)
+        prov = (df.filter(pl.col("v").is_not_null())
+                .group_by("k").agg(pl.col("v").min()))
+        req = df.filter(pl.col("uu").is_not_null()).drop("v")
+        out = (req.join(prov, on="k", how="inner")
+               .select(pl.col("uu").alias("u"), pl.col("v").alias("v")))
+        return out.to_arrow().cast(edge_schema)
+
+    def contract_dedupe(b: pa.Table) -> pa.Table:  # drop loops, batch-dedupe
+        b = _empty_safe(b, "v", edge_schema)
+        df = pl.from_arrow(b).filter(pl.col("u") != pl.col("v")).unique()
+        return df.to_arrow().cast(edge_schema)
+
+    import ray.data as rd
+
+    def sever(mds):
+        # cut plan+stats lineage: a long loop otherwise exceeds Python's
+        # recursion limit inside Ray's recursive per-dataset stats walk
+        # (RecursionError at ~25 accumulated shuffle stages, reproduced).
+        # Refs only — no driver materialization; the dataset is already
+        # materialized, so to_arrow_refs reads the cached schema (no probe).
+        return rd.from_arrow_refs(mds.to_arrow_refs())
+
+    n_edges = edges.count()
+    rounds = 0
+    while n_edges > 0 and rounds < max_iter:
+        rounds += 1
         fetched = _part_shuffle(
             edges.map_batches(fetch_rows, batch_format="pyarrow")
             .union(labels.map_batches(prov_rows, batch_format="pyarrow")),
@@ -606,23 +663,67 @@ def components_distributed(pairs_ds, max_iter: int = 30):
                 .map_batches(partial(src_tag, src=0), batch_format="pyarrow")
                 .union(labels.map_batches(partial(src_tag, src=1),
                                           batch_format="pyarrow")))
-        new_chg = _part_shuffle(both, "u", minchg_kernel, chg_schema,
-                                nparts).repartition(nparts).materialize()
-        changed = int(new_chg.sum("chg") or 0)
+        new_chg = _part_shuffle(both, "u", minchg_kernel, chg_schema, nparts)
         new_labels = new_chg.map_batches(
             lambda t: _empty_safe(t, "chg", chg_schema).drop_columns(["chg"]),
             batch_format="pyarrow")
-        labels = (_pointer_jump(new_labels, lbl_schema)
-                  .repartition(nparts).materialize())
-        if not changed:
-            break
-    if changed:
+        labels = sever(_pointer_jump(new_labels, lbl_schema)
+                       .repartition(nparts).materialize())
+        half = _part_shuffle(
+            edges.map_batches(edge_req_u, batch_format="pyarrow")
+            .union(labels.map_batches(prov_rows, batch_format="pyarrow")),
+            "k", map_u_kernel, edge_schema, nparts)
+        full = _part_shuffle(
+            half.map_batches(edge_req_v, batch_format="pyarrow")
+            .union(labels.map_batches(prov_rows, batch_format="pyarrow")),
+            "k", map_v_kernel, edge_schema, nparts)
+        edges = (full.map_batches(contract_dedupe, batch_format="pyarrow")
+                 .repartition(nparts).materialize())
+        n_edges = edges.count()
+        edges = sever(edges)
+    if n_edges:
         import warnings
 
         warnings.warn(
-            f"components_distributed: labels still changing after {max_iter} "
-            "iterations — component reps may be non-minimal; raise max_iter",
-            RuntimeWarning, stacklevel=2)
+            f"components_distributed: contracted edges remain after "
+            f"{max_iter} iterations — component reps may be non-minimal; "
+            "raise max_iter", RuntimeWarning, stacklevel=2)
+
+    # ---- resolve: members point INTO their supernode's label tree; jump
+    # until idempotent (depth ≤ rounds, so O(log rounds) passes) ----
+    def jump_chg_kernel(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part)
+        prov = (df.filter(pl.col("v").is_not_null())
+                .group_by("k").agg(pl.col("v").min()))
+        req = df.filter(pl.col("uu").is_not_null()).drop("v")
+        out = (req.join(prov, on="k", how="left")
+               .select(pl.col("uu").alias("u"),
+                       pl.min_horizontal("own", "v").alias("lbl"),
+                       (pl.col("v") < pl.col("own")).fill_null(False)
+                       .cast(pl.Int64).alias("chg")))
+        return out.to_arrow().cast(chg_schema)
+
+    def jump_req_rows(b: pa.Table) -> pa.Table:
+        b = _empty_safe(b, "lbl", lbl_schema)
+        u = b["u"].combine_chunks()
+        lbl = b["lbl"].combine_chunks()
+        nulls = pa.nulls(b.num_rows, id_type)
+        return pa.table({"k": pa.concat_arrays([lbl, u]),
+                         "uu": pa.concat_arrays([u, nulls]),
+                         "own": pa.concat_arrays([lbl, nulls]),
+                         "v": pa.concat_arrays([nulls, lbl])})
+
+    for _ in range(max_iter):
+        jumped = _part_shuffle(
+            labels.map_batches(jump_req_rows, batch_format="pyarrow"),
+            "k", jump_chg_kernel, chg_schema, nparts) \
+            .repartition(nparts).materialize()
+        still = int(jumped.sum("chg") or 0)
+        labels = sever(jumped.map_batches(
+            lambda t: _empty_safe(t, "chg", chg_schema).drop_columns(["chg"]),
+            batch_format="pyarrow").repartition(nparts).materialize())
+        if not still:
+            break
     return labels.map_batches(lambda t: t.rename_columns(["id", "rep"]),
                               batch_format="pyarrow")
 

@@ -390,3 +390,29 @@ def test_ann_randomized_vs_exact(ray_session):
         by_q.setdefault(r["query_id"], set()).add(int(r["id"][1:]))
     rec = np.mean([len(by_q[i] & want[i]) / 5 for i in range(3)])
     assert rec >= 0.9
+
+
+def test_components_distributed_shuffled_chain(ray_session):
+    """A chain whose ids are NOT monotone along the chain is the adversarial
+    shape for min-label propagation: without per-round edge contraction a
+    200-node shuffled chain exceeded max_iter and returned a SPLIT component
+    (round-5 randomized sweep). Contraction converges in O(log n) rounds —
+    no RuntimeWarning, exact union-find agreement, single rep."""
+    import warnings
+
+    from data_quality_framework_ray.pipelines.dedup import \
+        components_distributed
+
+    rng = random.Random(5)
+    ids = [f"n{i:05d}" for i in range(400)]
+    rng.shuffle(ids)
+    edges = list(zip(ids, ids[1:]))
+    t = pa.table({"a": pa.array([e[0] for e in edges]),
+                  "b": pa.array([e[1] for e in edges])})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r["id"]: r["rep"] for r in components_distributed(
+            _rd().from_arrow(t).repartition(4)).take_all()}
+    assert not [x for x in w if "components_distributed" in str(x.message)]
+    assert len(got) == 400
+    assert set(got.values()) == {min(ids)}
