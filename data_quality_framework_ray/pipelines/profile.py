@@ -47,7 +47,12 @@ def _partials(batch: pa.Table, numeric_cols: list[str],
     for c in numeric_cols + string_cols:
         arr = batch[c]
         if c in string_cols:
-            arr = pc.utf8_length(arr)
+            # an all-null block can carry a null-typed column (e.g. inferred
+            # from all-None values); utf8_length has no null kernel
+            arr = (pa.nulls(len(arr), pa.int32())
+                   if pa.types.is_null(arr.type) else pc.utf8_length(arr))
+        elif pa.types.is_null(arr.type):
+            arr = pa.nulls(len(arr), pa.float64())
         n_null = arr.null_count
         n = len(arr) - n_null
         if n:

@@ -416,3 +416,17 @@ def test_components_distributed_shuffled_chain(ray_session):
     assert not [x for x in w if "components_distributed" in str(x.message)]
     assert len(got) == 400
     assert set(got.values()) == {min(ids)}
+
+
+def test_profile_null_typed_column_block(ray_session):
+    """An all-None column infers a null-typed Arrow array; utf8_length has
+    no null kernel — profile must treat it as all-null, not crash."""
+    from data_quality_framework_ray.pipelines.profile import profile_columns
+
+    t = pa.table({"x": pa.array([None], pa.float64()),
+                  "s": pa.array([None])})  # s infers pa.null()
+    out = profile_columns(_rd().from_arrow(t), ["x"], ["s"])
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+    prof = {r["column_name"]: r for r in rows}
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_values"] == 0
+    assert prof["x"]["n_nulls"] == 1
