@@ -141,3 +141,69 @@ def data_partitions(ds, requested: int | None = None) -> int:
         nbytes = 0
     by_data = max(2, nbytes // (64 << 20)) if nbytes else cpus
     return int(max(2, min(cpus, by_data)))
+
+
+def patch_join_empty_side_schema_broadcast():
+    """Fix Ray 2.49.2's ``Dataset.join`` crash when one side is GLOBALLY
+    empty (``ArrowInvalid: No match ... for key field reference ... on
+    right side of the join`` from ``HashShuffleAggregator.finalize``).
+
+    Root cause (ray/data/_internal/execution/operators/hash_shuffle.py:223):
+    ``_shuffle_block`` early-returns on a zero-row block BEFORE the
+    ``send_empty_blocks`` schema-broadcast fan-out, while the operator still
+    marks the input sequence's schema as broadcast — so when a side's only
+    block(s) are empty, every aggregator builds that side as a zero-COLUMN
+    table and pyarrow's join cannot resolve the key field. (Sparse
+    partitions are fine: any non-empty block fans out typed empty shards to
+    the partitions it misses.) Same latent bug when the FIRST block of a
+    side is empty and key cardinality < num_partitions.
+
+    The patch wraps ``_shuffle_block``: a zero-row block with
+    ``send_empty_blocks=True`` broadcasts typed empty shards to ALL
+    partitions (exactly what the flag is documented to do); every other
+    call delegates to the original. Applied once at import of this module —
+    all Dataset.join paths (hash_join, semi_join fallback, snapshot_diff
+    large-large, dedup winner join) inherit it. Pinned by
+    tests/test_exchange.py::test_join_empty_side_all_join_types."""
+    import ray
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    if getattr(_hs._shuffle_block, "__dqfr_empty_side_patch__", False):
+        return
+    _orig = _hs._shuffle_block._function
+
+    def _shuffle_block_schemaful(block, input_index, key_columns, pool,
+                                 block_transformer=None,
+                                 send_empty_blocks=False,
+                                 override_partition_id=None):
+        if send_empty_blocks:
+            b = block
+            if block_transformer is not None:
+                b = block_transformer(b)
+            b = _hs.TableBlockAccessor.try_convert_block_type(
+                b, block_type=_hs.BlockType.ARROW)
+            if b.num_rows == 0:
+                stats = _hs.BlockExecStats.builder()
+                shard = _hs._create_empty_table(b.schema)
+                waits = []
+                for pid in range(pool.num_partitions):
+                    agg = pool.get_aggregator_for_partition(pid)
+                    ref = ray.put(shard)
+                    waits.append(agg.submit.remote(input_index, pid, ref))
+                # same barrier as the original: the task completes only
+                # once every aggregator accepted its shard
+                ray.wait(waits, num_returns=len(waits))
+                meta = _hs.BlockAccessor.for_block(b).get_metadata(
+                    exec_stats=stats.build())
+                return meta, {}
+        return _orig(block, input_index, key_columns, pool,
+                     block_transformer=block_transformer,
+                     send_empty_blocks=send_empty_blocks,
+                     override_partition_id=override_partition_id)
+
+    remote_fn = ray.remote(_shuffle_block_schemaful)
+    remote_fn.__dqfr_empty_side_patch__ = True
+    _hs._shuffle_block = remote_fn
+
+
+patch_join_empty_side_schema_broadcast()

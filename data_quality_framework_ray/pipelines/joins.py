@@ -26,6 +26,9 @@ import pyarrow as pa
 
 from data_quality_framework_ray import config
 from data_quality_framework_ray.functions import hashing as H
+# importing exchange applies patch_join_empty_side_schema_broadcast (Ray
+# 2.49.2 Dataset.join crash on a globally-empty side) to every join below
+from data_quality_framework_ray.pipelines import exchange as _exchange  # noqa: F401
 
 
 def broadcast_hash_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,

@@ -84,3 +84,39 @@ def test_collect_blocks_empty_dataset(ray_session):
     # both are handled by callers' typed-empty fallbacks
     if schema is not None:
         assert schema.field("k").type == pa.int64()
+
+
+def test_join_empty_side_all_join_types(ray_session):
+    """Pin patch_join_empty_side_schema_broadcast: Ray 2.49.2's
+    Dataset.join crashes (ArrowInvalid, zero-column side) when one side is
+    globally empty, because _shuffle_block early-returns on empty blocks
+    BEFORE the send_empty_blocks schema fan-out. The patch must restore SQL
+    semantics for every join type on empty sides."""
+    import ray.data as rd
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([10, 20], pa.int64())})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+
+    def run(l_tbl, r_tbl, jt):
+        l = rd.from_arrow(l_tbl)
+        r = rd.from_arrow(r_tbl)
+        return l.join(r, jt, 4, on=("k",)).take_all()
+
+    assert run(left, empty, "inner") == []
+    lo = sorted(run(left, empty, "left_outer"), key=lambda x: x["k"])
+    assert [(x["k"], x["v"], x["w"]) for x in lo] == [(1, 10, None),
+                                                      (2, 20, None)]
+    assert run(left, empty, "right_outer") == []
+    fo = sorted(run(left, empty, "full_outer"), key=lambda x: x["k"])
+    assert [(x["k"], x["v"], x["w"]) for x in fo] == [(1, 10, None),
+                                                      (2, 20, None)]
+    # symmetric: empty LEFT side
+    ro = sorted(run(empty.rename_columns(["k", "v"]),
+                    left.rename_columns(["k", "w"]), "right_outer"),
+                key=lambda x: x["k"])
+    assert [(x["k"], x["v"], x["w"]) for x in ro] == [(1, None, 10),
+                                                      (2, None, 20)]
+    # both sides empty
+    assert run(empty, empty.rename_columns(["k", "z"]), "inner") == []
