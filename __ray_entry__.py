@@ -405,6 +405,55 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(ds, ["text"], "doc_id").select_columns(["doc_id"])
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-corpus INCREMENTAL dedup: the corpus's content fingerprints are
+    persisted ONCE as a sharded parquet index (pipelines/incremental.py),
+    then a derived 'new' ingest batch is deduped against (index ∪ itself)
+    without re-reading corpus text — the daily-batch shape a 100 TB pipeline
+    runs. The derived batch plants all three outcomes: index hits (raw
+    corpus texts for doc_id%5==0), within-new duplicate groups (the ' v2'
+    text appears under two ids when doc_id%11==0 ∧ %5!=0), and fresh
+    survivors."""
+    import shutil
+
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = os.path.join("/tmp", "dqfr_incr_index_" + os.path.basename(
+        os.path.normpath(sf_dir)))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_content_index(base, ["text"], index_dir)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def derive_new(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        a = (df.filter(pl.col("doc_id") % 5 != 0)
+             .select((pl.col("doc_id") + 1_000_000).alias("doc_id"),
+                     (pl.col("text") + pl.lit(" v2")).alias("text")))
+        b = (df.filter(pl.col("doc_id") % 5 == 0)
+             .select((pl.col("doc_id") + 1_000_000).alias("doc_id"),
+                     pl.col("text")))
+        c = (df.filter(pl.col("doc_id") % 11 == 0)
+             .select((pl.col("doc_id") + 2_000_000).alias("doc_id"),
+                     (pl.col("text") + pl.lit(" v2")).alias("text")))
+        return pl.concat([a, b, c]).to_arrow().cast(out_schema)
+
+    # materialize: dedup_against_index(within=True) consumes its input twice
+    # (winner pass + filter pass) — re-running the derive map is cheap here
+    # but re-READING the parquet is not; the derived batch is id+text only
+    new = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(derive_new, batch_format="pyarrow").materialize()
+    out = dedup_against_index(new, ["text"], "doc_id", index_dir)
+    return _collect(out.select_columns(["doc_id"])).sort_by("doc_id")
+
+
 def _q_dup_groups_keyed(sf_dir: str):
     """Exact-composite-key dup grouping (the distributed winner pattern the
     audio content dedup runs on, here over a SQL-expressible key so the
@@ -1677,6 +1726,34 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_lag_delta(sf_dir: str):
+    """LAG window: per-user event-over-event value delta ordered by (ts,
+    event_id) — the CDC/telemetry differencing op. Same shape as
+    rolling_mean: one hash exchange on user_id, then a vectorized polars
+    diff per partition (first row per user is NULL, SQL LAG parity)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("delta", pa.float64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+              .with_columns(pl.col("value").diff().over("user_id")
+                            .alias("delta")))
+        return df.select(["user_id", "event_id", "delta"]).to_arrow() \
+            .cast(out_schema)
+
+    out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
+    return _collect(out).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
 def _q_unpivot(sf_dir: str):
     """UNPIVOT/melt: part (p_size, p_retailprice) → long (p_partkey,
     attribute, value) — pure per-batch reshape, no shuffle."""
@@ -1908,6 +1985,7 @@ ROTATED_FIRST = [
     "heavy_hitters", "repeated_passages", "rolling_mean", "unpivot",
     "string_agg", "count_distinct_grouped", "snapshot_diff", "regex_extract",
     "dup_groups_keyed",  # new in round 5 (keyed_dup_groups primitive)
+    "dedup_incremental", "lag_delta",  # new in round 5 (incremental index, LAG)
 ]
 
 
@@ -1950,6 +2028,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "integer_valued": _q_integer_valued,
         "windowed_agg": _q_windowed_agg,
         "dedup_exact": _q_dedup_exact,
+        "dedup_incremental": _q_dedup_incremental,
+        "lag_delta": _q_lag_delta,
         "dup_groups_keyed": _q_dup_groups_keyed,
         "token_counts": _q_token_counts,
         "quality_stats": _q_quality_stats,
@@ -2088,6 +2168,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM (SELECT doc_id, "
             "min(doc_id) OVER (PARTITION BY text) AS m FROM documents) "
             "WHERE doc_id = m"),
+        "dedup_incremental": (
+            "WITH nw AS ("
+            "SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text "
+            "FROM documents WHERE doc_id % 5 <> 0 "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+            "FROM documents WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+            "text || ' v2' AS text FROM documents WHERE doc_id % 11 = 0) "
+            "SELECT doc_id FROM (SELECT doc_id, text, "
+            "min(doc_id) OVER (PARTITION BY text) AS m FROM nw) n "
+            "WHERE doc_id = m AND NOT EXISTS "
+            "(SELECT 1 FROM documents c WHERE c.text = n.text)"),
+        "lag_delta": (
+            "SELECT user_id, event_id, value - LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS delta "
+            "FROM events"),
         "dup_groups_keyed": (
             "SELECT o.o_orderkey AS o_orderkey, g.cluster_rep AS cluster_rep "
             "FROM orders o JOIN (SELECT o_custkey, o_orderdate, "

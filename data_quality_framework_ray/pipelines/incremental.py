@@ -1,0 +1,178 @@
+"""Incremental / cross-corpus dedup against a PERSISTED fingerprint index.
+
+The reference dedups only within one run; a training-data pipeline ingesting
+100 TB in daily batches needs the other shape too: "drop everything we have
+EVER ingested" without re-reading (or re-shipping) the historical corpus.
+The index holds only the corpus's 128-bit content fingerprints — 16 B/row,
+~0.2 % of a 10 kB/doc corpus — laid out as hive-partitioned parquet sharded
+by fingerprint bits so (a) appends are new files, never rewrites, (b) a
+failed build resumes per shard, and (c) a future selective probe can prune
+shards by key range.
+
+Scale shape of the anti-filter (mirrors ``dedup.exact_dedup``'s two paths):
+below ``config.BROADCAST_DUP_LIMIT`` index entries, the (h1, h2) table is
+put in the object store ONCE and every batch anti-merges against it — no
+shuffle, the new data streams. Above it, the hash-only tables join
+distributed on ONE combined 64-bit key (``pair_key_u64``) with post-join
+verification of the full 128 bits (a combine collision only ships an extra
+candidate row — the verify filter drops it, never a wrong match), producing
+the small DROP-id set; the payload itself is then anti-semi-joined by id
+(``joins.semi_join``, which has its own broadcast/distributed switch). The
+new data's payload columns are never shuffled on either path.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+from data_quality_framework_ray import config
+from data_quality_framework_ray.functions import hashing as H
+
+INDEX_SHARDS = 64  # hive partition count; power of two (masked from h1)
+
+
+def _hash_batch(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+    shard = (h1.view(np.uint64) & np.uint64(INDEX_SHARDS - 1)).astype(np.int32)
+    return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                     "shard": pa.array(shard)})
+
+
+def _distinct_hashes(t: pa.Table) -> pa.Table:
+    # per-PARTITION dedupe (runs after the shard exchange, so repeats of a
+    # fingerprint across input blocks collapse); repeats across separate
+    # build_content_index calls remain — harmless for membership (they cost
+    # index bytes, not correctness)
+    return t.group_by(["h1", "h2", "shard"]).aggregate([])
+
+
+def build_content_index(ds, key_cols: list[str], index_dir: str) -> str:
+    """Write (or extend) a content-fingerprint index for ``ds`` under
+    ``index_dir``: hive-partitioned parquet of (h1, h2) int64 pairs sharded
+    by the low bits of h1. Appending a second corpus is the SAME call —
+    parquet writes add files, never rewrite (resumable ingest).
+
+    The 16 B/row hash stream is exchanged on ``shard`` BEFORE the write:
+    without it every input block fans one file into every hive partition it
+    touches (files = blocks × shards — measured 128 tiny files for a
+    16-block sf0.1 build; a 100 TB corpus would emit millions), with it each
+    shard's rows are written by one task, so files-per-build is bounded by
+    the shard count. Returns ``index_dir``."""
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    hashes = ds.map_batches(partial(_hash_batch, key_cols=key_cols),
+                            batch_format="pyarrow",
+                            batch_size=config.TEXT_BATCH_SIZE)
+    schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                        ("shard", pa.int32())])
+    nparts = min(INDEX_SHARDS, data_partitions(hashes))
+    sharded = part_shuffle(hashes, "shard", _distinct_hashes, schema, nparts)
+    sharded.write_parquet(index_dir, partition_cols=["shard"])
+    return index_dir
+
+
+def index_size(index_dir: str) -> int:
+    """Row count from parquet METADATA only (no column scan)."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(index_dir, format="parquet",
+                        partitioning="hive").count_rows()
+
+
+def dedup_against_index(ds, key_cols: list[str], id_col: str,
+                        index_dir: str, *, within: bool = True):
+    """Rows of ``ds`` whose content (the row-wise ``key_cols`` tuple) does
+    NOT appear in the index; with ``within=True`` (default) the min-``id_col``
+    winner of each within-``ds`` duplicate group is kept first, so the output
+    is exactly-deduped against (index ∪ ds). Matching is on the 128-bit
+    content hash — the same fingerprint the index was built with, so corpus
+    text never needs to be re-read."""
+    from data_quality_framework_ray.pipelines.dedup import exact_dedup
+
+    if within:
+        ds = exact_dedup(ds, key_cols, id_col)
+    n_idx = index_size(index_dir)
+    if n_idx == 0:  # empty index (first-ever ingest): nothing to drop, and
+        return ds   # read_parquet on a file-less dir would raise
+    if n_idx <= config.BROADCAST_DUP_LIMIT:
+        return _anti_index_broadcast(ds, key_cols, index_dir)
+    return _anti_index_join(ds, key_cols, id_col, index_dir)
+
+
+def _read_index(index_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(index_dir, columns=["h1", "h2"])
+
+
+def _anti_index_broadcast(ds, key_cols: list[str], index_dir: str):
+    """Index fits the broadcast limit: one object-store put of the (h1, h2)
+    frame, vectorized per-batch anti-merge. No shuffle."""
+    import pandas as pd
+    import ray
+
+    from data_quality_framework_ray.pipelines.exchange import collect_blocks
+
+    tabs, _ = collect_blocks(_read_index(index_dir))
+    idx_pd = (pa.concat_tables(tabs, promote_options="default").to_pandas()
+              if tabs else pd.DataFrame(columns=["h1", "h2"]))
+    idx_pd["__hit"] = np.int8(1)
+    ref = ray.put(idx_pd)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        right = ray.get(ref)
+        if not len(right):
+            return batch
+        h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+        left = pd.DataFrame({"h1": h1, "h2": h2})
+        m = left.merge(right, on=["h1", "h2"], how="left")
+        return batch.filter(pa.array(m["__hit"].isna().to_numpy()))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+
+
+def _anti_index_join(ds, key_cols: list[str], id_col: str, index_dir: str):
+    """Index too large to broadcast: distributed hash-only join. Ships only
+    (id, ck) vs (ck, h1, h2) through the exchange — never the payload — then
+    anti-semi-joins the payload by the (small) dropped-id set."""
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.joins import semi_join
+    from data_quality_framework_ray.pipelines.exchange import data_partitions
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        h1, h2 = H.content_hash_128(*[batch[c] for c in key_cols])
+        return pa.table({id_col: batch[id_col].combine_chunks(),
+                         "ck": pa.array(H.pair_key_u64(h1, h2).view(np.int64)),
+                         "nh1": pa.array(h1), "nh2": pa.array(h2)})
+
+    def tag_idx(batch: pa.Table) -> pa.Table:
+        h1 = batch["h1"].to_numpy(zero_copy_only=False)
+        h2 = batch["h2"].to_numpy(zero_copy_only=False)
+        return pa.table({"ck": pa.array(H.pair_key_u64(h1, h2).view(np.int64)),
+                         "h1": batch["h1"].combine_chunks(),
+                         "h2": batch["h2"].combine_chunks()})
+
+    new_keys = ds.map_batches(tag_new, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE)
+    idx_keys = _read_index(index_dir).map_batches(tag_idx,
+                                                  batch_format="pyarrow")
+    nparts = data_partitions(new_keys)
+    joined = new_keys.join(idx_keys, "inner", nparts, on=("ck",))
+
+    def verified(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(batch["nh1"], batch["h1"]),
+                     pc.equal(batch["nh2"], batch["h2"]))
+        return batch.filter(pc.fill_null(ok, False)).select([id_col])
+
+    dropped = joined.map_batches(verified, batch_format="pyarrow")
+    return semi_join(ds, dropped, id_col, anti=True,
+                     num_partitions=nparts)

@@ -1,0 +1,106 @@
+"""Incremental cross-corpus dedup (pipelines/incremental.py): persisted
+fingerprint index, anti-filter on both execution paths (broadcast merge and
+distributed hash-only join + semi_join), and append-mode ingest."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+
+def _corpus_and_new():
+    corpus = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                       "text": pa.array([f"doc {i}" for i in range(100)])})
+    new_rows = ([(1000 + i, f"doc {i}") for i in range(30)]      # index hits
+                + [(2000 + i, f"new {i}") for i in range(50)]    # fresh
+                + [(3000, "new 7"), (3001, "new 7"),             # within-new
+                   (3002, "dupme"), (3003, "dupme")])            # dup pairs
+    new = pa.table({"doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+                    "text": pa.array([r[1] for r in new_rows])})
+    want = sorted([2000 + i for i in range(50)] + [3002])
+    return corpus, new, want
+
+
+@pytest.mark.parametrize("force_join", [False, True])
+def test_dedup_against_index_both_paths(ray_session, tmp_path, monkeypatch,
+                                        force_join):
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_content_index,
+        dedup_against_index,
+        index_size,
+    )
+
+    corpus, new, want = _corpus_and_new()
+    idx = str(tmp_path / "idx")
+    build_content_index(rd.from_arrow(corpus).repartition(4), ["text"], idx)
+    assert index_size(idx) == 100
+
+    if force_join:
+        monkeypatch.setattr(config, "BROADCAST_DUP_LIMIT", 0)
+    out = dedup_against_index(rd.from_arrow(new).repartition(3),
+                              ["text"], "doc_id", idx)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    # 3000/3001 ("new 7") lose to 2007; "dupme" keeps min id 3002; all
+    # "doc *" raw texts are index hits
+    assert got == want
+
+
+def test_index_append_and_second_ingest(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_content_index,
+        dedup_against_index,
+        index_size,
+    )
+
+    corpus, new, _ = _corpus_and_new()
+    idx = str(tmp_path / "idx")
+    build_content_index(rd.from_arrow(corpus), ["text"], idx)
+    survivors = dedup_against_index(rd.from_arrow(new), ["text"],
+                                    "doc_id", idx)
+    # ingest: append the survivors' fingerprints — same call, new files only
+    build_content_index(survivors, ["text"], idx)
+    assert index_size(idx) == 100 + 51  # 50 fresh + the "dupme" winner
+    batch2 = pa.table({"doc_id": pa.array([5000, 5001, 5002], pa.int64()),
+                       "text": pa.array(["new 3", "doc 99", "totally fresh"])})
+    out2 = dedup_against_index(rd.from_arrow(batch2), ["text"],
+                               "doc_id", idx)
+    assert sorted(r["doc_id"] for r in out2.take_all()) == [5002]
+
+
+def test_empty_new_and_empty_corpus(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    corpus, new, _ = _corpus_and_new()
+    idx = str(tmp_path / "idx")
+    build_content_index(rd.from_arrow(corpus), ["text"], idx)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert dedup_against_index(rd.from_arrow(empty), ["text"], "doc_id",
+                               idx).take_all() == []
+    # empty corpus: index of an empty dataset → everything survives dedup
+    idx2 = str(tmp_path / "idx2")
+    build_content_index(rd.from_arrow(empty), ["text"], idx2)
+    shutil.rmtree(idx2, ignore_errors=True)  # write of 0 rows may emit none
+    out = dedup_against_index(
+        rd.from_arrow(corpus), ["text"], "doc_id",
+        _ensure_dir(idx2))
+    assert len(out.take_all()) == 100
+
+
+def _ensure_dir(p: str) -> str:
+    import os
+
+    os.makedirs(p, exist_ok=True)
+    return p
