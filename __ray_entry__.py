@@ -1203,6 +1203,74 @@ def _q_window_rank(sf_dir: str):
         [("o_orderstatus", "ascending"), ("rnk", "ascending")])
 
 
+def _q_filter_by_quantile(sf_dir: str):
+    """Percentile-threshold quality filter: keep documents at or above the
+    corpus-wide exact p10 of length — the 'drop the bottom decile by score'
+    op every quality pipeline runs before training. The threshold is ONE
+    scalar from the distributed exact-quantile pass; the filter itself is a
+    vectorized streaming map (the corpus is never materialized)."""
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.stats import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    (_, thr), = exact_quantiles(ds, "n_chars", [0.1])
+    out = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], thr)),
+        batch_format="pyarrow")
+    return _collect(out).sort_by("doc_id")
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """TF-IDF keyword relevance: top-10 documents for a fixed query-term
+    set. One tokenize pass emits (doc_id, term, tf) rows ONLY for the
+    broadcast query terms (the corpus streams; the tf table is bounded by
+    docs × |terms|); document frequencies come from a tiny groupby over
+    those rows; scoring is a vectorized idf-weight join per batch, then a
+    distributed groupby-sum + sort/limit. The idf weight is integer-scaled
+    (N*1000 // df) so the result hash matches the SQL oracle exactly —
+    swap in ln(N/df) for production ranking."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from data_quality_framework_ray import config
+
+    terms = ["join", "vector", "window"]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("tok", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(pl.col("text").str.to_lowercase()
+                            .str.split(" ").alias("tok"))
+              .select("doc_id", "tok").explode("tok")
+              .filter(pl.col("tok").is_in(terms))
+              .group_by(["doc_id", "tok"])
+              .agg(pl.len().cast(pl.Int64).alias("tf")))
+        return df.to_arrow().cast(tf_schema)
+
+    # materialize rationale: consumed twice (df counts + scoring) and it is
+    # the small side — docs × |terms| rows of 24 B, never the text payload
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow",
+                        batch_size=config.TEXT_BATCH_SIZE).materialize()
+    idf = {r["tok"]: (n_docs * 1000) // r["count()"]
+           for r in tf.groupby("tok").count().take_all()}
+
+    def score(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns((pl.col("tok").replace_strict(
+                  idf, return_dtype=pl.Int64) * pl.col("tf")).alias("score")))
+        return df.select(["doc_id", "score"]).to_arrow()
+
+    scored = (tf.map_batches(score, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("score", alias_name="score"))
+              .sort(["score", "doc_id"], descending=[True, False]).limit(10))
+    return _collect(scored)
+
+
 def _q_quantiles_price(sf_dir: str):
     """Exact discrete quantiles of l_extendedprice (streaming sorted-scan
     with early exit; DuckDB quantile_disc convention)."""
@@ -1986,6 +2054,7 @@ ROTATED_FIRST = [
     "string_agg", "count_distinct_grouped", "snapshot_diff", "regex_extract",
     "dup_groups_keyed",  # new in round 5 (keyed_dup_groups primitive)
     "dedup_incremental", "lag_delta",  # new in round 5 (incremental index, LAG)
+    "filter_by_quantile", "tfidf_topk",  # new in round 5 (threshold filter, TF-IDF)
 ]
 
 
@@ -2045,6 +2114,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "window_rank": _q_window_rank,
         "quantiles_price": _q_quantiles_price,
+        "filter_by_quantile": _q_filter_by_quantile,
+        "tfidf_topk": _q_tfidf_topk,
         "range_join": _q_range_join,
         "approx_distinct": _q_approx_distinct,
         "join_anti": _q_join_anti,
@@ -2184,6 +2255,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, value - LAG(value) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS delta "
             "FROM events"),
+        "filter_by_quantile": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.1) FROM documents)"),
+        "tfidf_topk": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok "
+            "WHERE tok IN ('join', 'vector', 'window') GROUP BY 1, 2), "
+            "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT tf.doc_id AS doc_id, "
+            "CAST(SUM(tf.tf * ((n.n * 1000) // df.df)) AS BIGINT) AS score "
+            "FROM tf JOIN df USING (tok) CROSS JOIN n "
+            "GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"),
         "dup_groups_keyed": (
             "SELECT o.o_orderkey AS o_orderkey, g.cluster_rep AS cluster_rep "
             "FROM orders o JOIN (SELECT o_custkey, o_orderdate, "
