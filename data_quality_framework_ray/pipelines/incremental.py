@@ -72,14 +72,18 @@ def build_content_index(ds, key_cols: list[str], index_dir: str) -> str:
                         ("shard", pa.int32())])
     nparts = min(INDEX_SHARDS, data_partitions(hashes))
     sharded = part_shuffle(hashes, "shard", _distinct_hashes, schema, nparts)
+    os.makedirs(index_dir, exist_ok=True)  # an EMPTY corpus writes no files
     sharded.write_parquet(index_dir, partition_cols=["shard"])
     return index_dir
 
 
 def index_size(index_dir: str) -> int:
-    """Row count from parquet METADATA only (no column scan)."""
+    """Row count from parquet METADATA only (no column scan). A missing or
+    file-less index dir reads as 0 (an index built from an empty corpus)."""
     import pyarrow.dataset as pads
 
+    if not os.path.isdir(index_dir):
+        return 0
     return pads.dataset(index_dir, format="parquet",
                         partitioning="hive").count_rows()
 
@@ -121,6 +125,11 @@ def _anti_index_broadcast(ds, key_cols: list[str], index_dir: str):
     tabs, _ = collect_blocks(_read_index(index_dir))
     idx_pd = (pa.concat_tables(tabs, promote_options="default").to_pandas()
               if tabs else pd.DataFrame(columns=["h1", "h2"]))
+    # fingerprints repeat across append builds (build_content_index dedupes
+    # only within one call); a duplicated merge key would fan the left side
+    # out and break the row-aligned filter mask — found by the randomized
+    # multi-append sweep
+    idx_pd = idx_pd.drop_duplicates(ignore_index=True)
     idx_pd["__hit"] = np.int8(1)
     ref = ray.put(idx_pd)
 

@@ -4,8 +4,6 @@ distributed hash-only join + semi_join), and append-mode ingest."""
 
 from __future__ import annotations
 
-import shutil
-
 import pyarrow as pa
 import pytest
 
@@ -90,17 +88,10 @@ def test_empty_new_and_empty_corpus(ray_session, tmp_path):
     assert dedup_against_index(rd.from_arrow(empty), ["text"], "doc_id",
                                idx).take_all() == []
     # empty corpus: index of an empty dataset → everything survives dedup
+    # (build creates the dir even when no files are written; index_size=0
+    # short-circuits before any read)
     idx2 = str(tmp_path / "idx2")
     build_content_index(rd.from_arrow(empty), ["text"], idx2)
-    shutil.rmtree(idx2, ignore_errors=True)  # write of 0 rows may emit none
-    out = dedup_against_index(
-        rd.from_arrow(corpus), ["text"], "doc_id",
-        _ensure_dir(idx2))
+    out = dedup_against_index(rd.from_arrow(corpus), ["text"], "doc_id",
+                              idx2)
     assert len(out.take_all()) == 100
-
-
-def _ensure_dir(p: str) -> str:
-    import os
-
-    os.makedirs(p, exist_ok=True)
-    return p
