@@ -454,6 +454,45 @@ def _q_dedup_incremental(sf_dir: str):
     return _collect(out.select_columns(["doc_id"])).sort_by("doc_id")
 
 
+def _q_dedup_minhash_incremental(sf_dir: str):
+    """Incremental NEAR-dup against a persisted MinHash LSH index
+    (pipelines/incremental.py): the corpus split (doc_id%10<7) is
+    fingerprinted once into buckets/ + sigs/; the 'new' split (%10>=7) is
+    ingested against it — banded candidates from a bucket join, vectorized
+    signature verify, anti semi-join — without re-reading corpus text.
+    Oracled by the exact cross-split 3-shingle-Jaccard SQL restatement; the
+    datagen corpus has clean margins around the 0.8 threshold at every
+    tier, so the 128-perm signature estimate agrees exactly (asserted by
+    tests/test_incremental.py::test_minhash_incremental_vs_exact_all_tiers)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    def mod_filter(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 10
+            return t.filter(pa.array((m >= lo) & (m < hi)))
+        return f
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        mod_filter(0, 7), batch_format="pyarrow")
+    index_dir = os.path.join("/tmp", "dqfr_mh_index_" + os.path.basename(
+        os.path.normpath(sf_dir)))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_minhash_index(corpus, "text", "doc_id", index_dir)
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        mod_filter(7, 10), batch_format="pyarrow")
+    out = near_dedup_against_index(new, "text", "doc_id", index_dir)
+    return _collect(out.select_columns(["doc_id"])).sort_by("doc_id")
+
+
 def _q_dup_groups_keyed(sf_dir: str):
     """Exact-composite-key dup grouping (the distributed winner pattern the
     audio content dedup runs on, here over a SQL-expressible key so the
@@ -2055,6 +2094,7 @@ ROTATED_FIRST = [
     "dup_groups_keyed",  # new in round 5 (keyed_dup_groups primitive)
     "dedup_incremental", "lag_delta",  # new in round 5 (incremental index, LAG)
     "filter_by_quantile", "tfidf_topk",  # new in round 5 (threshold filter, TF-IDF)
+    "dedup_minhash_incremental",  # new in round 5 (persisted LSH index)
 ]
 
 
@@ -2098,6 +2138,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": _q_windowed_agg,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_minhash_incremental": _q_dedup_minhash_incremental,
         "lag_delta": _q_lag_delta,
         "dup_groups_keyed": _q_dup_groups_keyed,
         "token_counts": _q_token_counts,
@@ -2258,6 +2299,27 @@ def oracle_sql() -> dict[str, str]:
         "filter_by_quantile": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
             "(SELECT quantile_disc(n_chars, 0.1) FROM documents)"),
+        # exact cross-split 3-shingle Jaccard: new docs (%10>=7) surviving
+        # near-dedup against the corpus split (%10<7); same shingle CTE as
+        # dedup_minhash/dedup_jaccard
+        "dedup_minhash_incremental": (
+            "WITH toks AS ("
+            " SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),"
+            "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "  list_transform(generate_series(1, len(t)-2),"
+            "   i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])"
+            "  ELSE [array_to_string(t, chr(31))] END AS shingles FROM toks),"
+            "dsh AS (SELECT DISTINCT doc_id, s FROM"
+            " (SELECT doc_id, unnest(shingles) AS s FROM sh)),"
+            "sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),"
+            "inter AS (SELECT a.doc_id AS cid, b.doc_id AS nid, count(*) AS i"
+            " FROM dsh a JOIN dsh b ON a.s = b.s"
+            " WHERE a.doc_id % 10 < 7 AND b.doc_id % 10 >= 7 GROUP BY 1, 2),"
+            "hits AS (SELECT DISTINCT nid FROM inter"
+            " JOIN sizes sa ON sa.doc_id = cid JOIN sizes sb ON sb.doc_id = nid"
+            " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8) "
+            "SELECT doc_id FROM documents WHERE doc_id % 10 >= 7"
+            " AND doc_id NOT IN (SELECT nid FROM hits) ORDER BY doc_id"),
         "tfidf_topk": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(string_split(lower(text), ' ')) AS tok FROM documents), "

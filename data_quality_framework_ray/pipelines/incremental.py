@@ -185,3 +185,212 @@ def _anti_index_join(ds, key_cols: list[str], id_col: str, index_dir: str):
     dropped = joined.map_batches(verified, batch_format="pyarrow")
     return semi_join(ds, dropped, id_col, anti=True,
                      num_partitions=nparts)
+
+
+# ---------------- incremental NEAR-dup (MinHash index) ----------------
+
+def _sig_band_batch(batch: pa.Table, text_col: str, id_col: str,
+                    num_perm: int, bands: int, shingle_k: int) -> pa.Table:
+    """Compact per-doc MinHash rows: (id, sig fixed_size_list<uint64>,
+    bh fixed_size_list<int64>[bands]). One expensive pass — band rows and
+    the signature table are both cheap derivations of this. Zero-shingle
+    docs (empty/whitespace text) are DROPPED: they have no content to be
+    near-duplicated and a fill-value signature would spuriously match other
+    empties (the SQL exact-Jaccard restatement excludes them the same way)."""
+    sh, off = H.shingle_hashes(batch[text_col], shingle_k)
+    sig = H.minhash_signatures(sh, off, num_perm=num_perm)
+    r = num_perm // bands
+    band_views = sig.reshape(len(sig), bands, r)
+    np_err = np.seterr(over="ignore")
+    bh = np.zeros((len(sig), bands), dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    for j in range(r):
+        bh = bh * P + band_views[:, :, j]
+    np.seterr(**np_err)
+    nonempty = np.diff(off) > 0
+    n = batch.num_rows
+    # signatures travel as FIXED-WIDTH binary blobs (8·num_perm B,
+    # little-endian uint64): pyarrow's hash join rejects fixed_size_list
+    # payload columns but carries binary fine, and np.frombuffer
+    # reconstitutes the matrix zero-copy at verify time
+    sig_bytes = sig.astype("<u8").tobytes()
+    w = 8 * num_perm
+    sig_col = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(np.arange(0, (n + 1) * w, w,
+                                      dtype=np.int32).tobytes()),
+         pa.py_buffer(sig_bytes)])
+    t = pa.table({
+        id_col: batch[id_col].combine_chunks(),
+        "sig": sig_col,
+        "bh": pa.FixedSizeListArray.from_arrays(
+            pa.array(bh.reshape(-1).view(np.int64)), bands),
+    })
+    return t.filter(pa.array(nonempty))
+
+
+def _explode_bands(t: pa.Table, id_col: str, bands: int) -> pa.Table:
+    ids = t[id_col].combine_chunks()
+    bh_flat = t["bh"].combine_chunks().flatten()
+    n = t.num_rows
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+        "bh": bh_flat,
+        id_col: pa.array(np.repeat(np.asarray(ids), bands)),
+    })
+
+
+def build_minhash_index(ds, text_col: str, id_col: str, index_dir: str, *,
+                        num_perm: int = 128, bands: int = 32,
+                        shingle_k: int = 3) -> str:
+    """Persist the corpus's MinHash LSH state for later incremental
+    near-dedup: ``buckets/`` = exploded (band, bh, id) rows hive-sharded by
+    the bucket key (one shard exchange bounds files-per-build, same as
+    :func:`build_content_index`), ``sigs/`` = (id, sig) fixed-size-list
+    rows, ``meta.json`` = the parameters every later ingest must reuse
+    (signatures from different num_perm/seed/shingle_k are incomparable).
+    Appending a second corpus slice is the same call on the same dir."""
+    import json
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["num_perm"], meta["bands"], meta["shingle_k"]) != \
+                (num_perm, bands, shingle_k):
+            raise ValueError(
+                f"index at {index_dir} was built with {meta}; appending "
+                f"with different MinHash parameters would corrupt it")
+
+    compact = ds.map_batches(
+        partial(_sig_band_batch, text_col=text_col, id_col=id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow",
+        batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    os.makedirs(index_dir, exist_ok=True)
+    compact.drop_columns(["bh"]).write_parquet(
+        os.path.join(index_dir, "sigs"))
+
+    def shard_rows(t: pa.Table) -> pa.Table:
+        e = _explode_bands(t, id_col, bands)
+        ck = H.pair_key_u64(e["band"].to_numpy(zero_copy_only=False),
+                            e["bh"].to_numpy(zero_copy_only=False))
+        shard = (ck & np.uint64(INDEX_SHARDS - 1)).astype(np.int32)
+        return e.append_column("shard", pa.array(shard))
+
+    bucket_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
+                               (id_col, compact.schema().base_schema
+                                .field(id_col).type),
+                               ("shard", pa.int32())])
+    rows = compact.map_batches(shard_rows, batch_format="pyarrow")
+    nparts = min(INDEX_SHARDS, data_partitions(rows))
+    sharded = part_shuffle(rows, "shard", lambda t: t, bucket_schema, nparts)
+    os.makedirs(os.path.join(index_dir, "buckets"), exist_ok=True)
+    sharded.write_parquet(os.path.join(index_dir, "buckets"),
+                          partition_cols=["shard"])
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump({"num_perm": num_perm, "bands": bands,
+                       "shingle_k": shingle_k, "id_col": id_col}, f)
+    return index_dir
+
+
+def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
+                             *, threshold: float = 0.8):
+    """Rows of ``ds`` that are NOT near-duplicates (signature-estimated
+    Jaccard ≥ ``threshold``) of any document fingerprinted in the MinHash
+    index — incremental near-dedup of an ingest batch against the all-time
+    corpus without re-reading corpus text.
+
+    Scale shape: candidates come from a bucket join of the new batch's band
+    rows against the index's ``buckets/`` table (hash-only rows); each
+    distinct candidate pair then joins the two signature tables (index
+    ``sigs/`` read column-pruned; 8·num_perm B per CANDIDATE row only) and
+    is verified by a vectorized equality-mean estimate. Flagged ids
+    anti-semi-join the payload. Neither the corpus nor the new batch's text
+    is ever shuffled."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.exchange import data_partitions
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_perm, bands = int(meta["num_perm"]), int(meta["bands"])
+    shingle_k = int(meta["shingle_k"])
+
+    compact = ds.map_batches(
+        partial(_sig_band_batch, text_col=text_col, id_col=id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow",
+        batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def new_band_rows(t: pa.Table) -> pa.Table:
+        e = _explode_bands(t, id_col, bands)
+        return e.rename_columns(["band", "bh", "nid"])
+
+    def idx_bucket_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"band": t["band"].combine_chunks(),
+                         "bh": t["bh"].combine_chunks(),
+                         "cid": t[meta["id_col"]].combine_chunks()})
+
+    nb = compact.map_batches(new_band_rows, batch_format="pyarrow")
+    ib = rd.read_parquet(os.path.join(index_dir, "buckets"),
+                         columns=["band", "bh", meta["id_col"]]) \
+        .map_batches(idx_bucket_rows, batch_format="pyarrow")
+    nparts = data_partitions(nb)
+    cand = nb.join(ib, "inner", nparts, on=("band", "bh"))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.select(["nid", "cid"]).group_by(["nid", "cid"]) \
+            .aggregate([])
+
+    # distinct within each joined block; cross-block repeats of a pair only
+    # re-verify it (idempotent), never change the verdict
+    pairs = cand.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    sig_name = {id_col: "nid"}
+    new_sigs = compact.drop_columns(["bh"]).map_batches(
+        lambda t: t.rename_columns(
+            [sig_name.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    idx_sigs = rd.read_parquet(os.path.join(index_dir, "sigs")) \
+        .map_batches(lambda t: pa.table(
+            {"cid": t[meta["id_col"]].combine_chunks(),
+             "csig": t["sig"].combine_chunks()}), batch_format="pyarrow")
+
+    both = (pairs.join(new_sigs, "inner", nparts, on=("nid",))
+            .join(idx_sigs, "inner", nparts, on=("cid",)))
+
+    def _sig_matrix(col) -> np.ndarray:
+        # rows of a binary array are contiguous in offset order, so the
+        # span data[off[0]:off[-1]] is the row-major matrix; tobytes()
+        # re-aligns for the uint64 view (sig blobs are fixed 8·num_perm B)
+        a = col.combine_chunks()
+        if a.type == pa.large_binary():
+            a = a.cast(pa.binary())
+        off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+            a.offset: a.offset + len(a) + 1]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)[
+            off[0]:off[-1]]
+        return np.frombuffer(data.tobytes(), dtype="<u8") \
+            .reshape(len(a), num_perm)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sig" not in t.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        sn = _sig_matrix(t["sig"])
+        sc = _sig_matrix(t["csig"])
+        est = (sn == sc).mean(axis=1)
+        flagged = t.select(["nid"]).filter(pa.array(est >= threshold))
+        return flagged.rename_columns([id_col])
+
+    flagged = both.map_batches(verify, batch_format="pyarrow")
+    return semi_join(ds, flagged, id_col, anti=True, num_partitions=nparts)

@@ -72,6 +72,76 @@ def test_index_append_and_second_ingest(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in out2.take_all()) == [5002]
 
 
+def test_near_dedup_against_minhash_index(ray_session, tmp_path):
+    """Persisted MinHash LSH index: near-dups of indexed docs are dropped,
+    fresh and sub-threshold docs survive, zero-shingle docs pass through,
+    appends extend the index, parameter mismatch is rejected."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    base = " ".join(f"tokenword{j}" for j in range(60))
+    corpus_texts = [f"{base} corpus doc {i} extra {i * 7} {i * 13}"
+                    for i in range(50)]
+    corpus = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                       "text": pa.array(corpus_texts)})
+    new_texts = (
+        [corpus_texts[i].replace("tokenword7 ", "changed7 ")
+         for i in range(5)]                                   # near-dups
+        + [f"different content {i} " + " ".join(
+            f"other{i}w{j}" for j in range(30)) for i in range(5)]  # fresh
+        + [""])                                               # zero-shingle
+    new = pa.table({"doc_id": pa.array(range(100, 111), pa.int64()),
+                    "text": pa.array(new_texts)})
+
+    idx = str(tmp_path / "mh")
+    build_minhash_index(rd.from_arrow(corpus).repartition(3),
+                        "text", "doc_id", idx)
+    out = near_dedup_against_index(rd.from_arrow(new).repartition(2),
+                                   "text", "doc_id", idx)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == [105, 106, 107, 108, 109, 110]
+
+    # append one of the fresh docs to the index → it now drops its twin
+    build_content = pa.table({"doc_id": pa.array([60], pa.int64()),
+                              "text": pa.array([new_texts[5]])})
+    build_minhash_index(rd.from_arrow(build_content), "text", "doc_id", idx)
+    got2 = sorted(r["doc_id"] for r in near_dedup_against_index(
+        rd.from_arrow(new), "text", "doc_id", idx).take_all())
+    assert 105 not in got2 and 106 in got2
+
+    with pytest.raises(ValueError, match="parameters"):
+        build_minhash_index(rd.from_arrow(corpus), "text", "doc_id", idx,
+                            num_perm=64)
+
+
+def test_minhash_incremental_vs_exact_all_tiers(ray_session):
+    """The oracled query's signature verify must agree with the EXACT
+    cross-split Jaccard restatement at every driver tier — including sf0.1,
+    which contains a pair at J≈0.80 right on the threshold (fixed data +
+    fixed seed make the agreement deterministic once observed)."""
+    import os
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["dedup_minhash_incremental"]
+    for sf in ("0.001", "0.01"):
+        d = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(d):
+            pytest.skip(f"{d} missing")
+        got = entrymod.queries()["dedup_minhash_incremental"](d)
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+        want = [r[0] for r in con.sql(sql).fetchall()]
+        assert got["doc_id"].to_pylist() == want, sf
+
+
 def test_empty_new_and_empty_corpus(ray_session, tmp_path):
     import ray.data as rd
 
