@@ -342,32 +342,55 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
                          "cid": t[meta["id_col"]].combine_chunks()})
 
     nb = compact.map_batches(new_band_rows, batch_format="pyarrow")
-    ib = rd.read_parquet(os.path.join(index_dir, "buckets"),
-                         columns=["band", "bh", meta["id_col"]]) \
-        .map_batches(idx_bucket_rows, batch_format="pyarrow")
     nparts = data_partitions(nb)
-    cand = nb.join(ib, "inner", nparts, on=("band", "bh"))
+    bucket_dir = os.path.join(index_dir, "buckets")
+    import pyarrow.dataset as pads
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        return t.select(["nid", "cid"]).group_by(["nid", "cid"]) \
-            .aggregate([])
+    n_buckets = pads.dataset(bucket_dir, format="parquet",
+                             partitioning="hive").count_rows()
+    if n_buckets <= config.MEMBERSHIP_BROADCAST_LIMIT:
+        # broadcast the (band, bh, cid) table once; candidates come from a
+        # vectorized per-batch merge — no shuffle of the band rows
+        import pandas as pd
+        import ray
 
-    # distinct within each joined block; cross-block repeats of a pair only
-    # re-verify it (idempotent), never change the verdict
-    pairs = cand.map_batches(distinct_pairs, batch_format="pyarrow")
+        from data_quality_framework_ray.pipelines.exchange import collect_blocks
 
-    sig_name = {id_col: "nid"}
-    new_sigs = compact.drop_columns(["bh"]).map_batches(
-        lambda t: t.rename_columns(
-            [sig_name.get(c, c) for c in t.column_names]),
-        batch_format="pyarrow")
-    idx_sigs = rd.read_parquet(os.path.join(index_dir, "sigs")) \
-        .map_batches(lambda t: pa.table(
-            {"cid": t[meta["id_col"]].combine_chunks(),
-             "csig": t["sig"].combine_chunks()}), batch_format="pyarrow")
+        tabs, _ = collect_blocks(
+            rd.read_parquet(bucket_dir,
+                            columns=["band", "bh", meta["id_col"]])
+            .map_batches(idx_bucket_rows, batch_format="pyarrow"))
+        ib_pd = (pa.concat_tables(tabs, promote_options="default")
+                 .to_pandas().drop_duplicates(ignore_index=True)
+                 if tabs else pd.DataFrame(columns=["band", "bh", "cid"]))
+        ib_ref = ray.put(ib_pd)
 
-    both = (pairs.join(new_sigs, "inner", nparts, on=("nid",))
-            .join(idx_sigs, "inner", nparts, on=("cid",)))
+        def merge_pairs(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            right = ray.get(ib_ref)
+            if not len(right):
+                return pa.table({"nid": pa.array([], t["nid"].type),
+                                 "cid": pa.array([], t["nid"].type)})
+            left = t.select(["band", "bh", "nid"]).to_pandas()
+            mm = left.merge(right, on=["band", "bh"], how="inner")
+            mm = mm[["nid", "cid"]].drop_duplicates(ignore_index=True)
+            return pa.Table.from_pandas(mm, preserve_index=False)
+
+        pairs = nb.map_batches(merge_pairs, batch_format="pyarrow")
+    else:
+        ib = rd.read_parquet(bucket_dir,
+                             columns=["band", "bh", meta["id_col"]]) \
+            .map_batches(idx_bucket_rows, batch_format="pyarrow")
+        cand = nb.join(ib, "inner", nparts, on=("band", "bh"))
+
+        def distinct_pairs(t: pa.Table) -> pa.Table:
+            return t.select(["nid", "cid"]).group_by(["nid", "cid"]) \
+                .aggregate([])
+
+        # distinct within each joined block; cross-block repeats of a pair
+        # only re-verify it (idempotent), never change the verdict
+        pairs = cand.map_batches(distinct_pairs, batch_format="pyarrow")
 
     def _sig_matrix(col) -> np.ndarray:
         # rows of a binary array are contiguous in offset order, so the
@@ -382,6 +405,96 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
             off[0]:off[-1]]
         return np.frombuffer(data.tobytes(), dtype="<u8") \
             .reshape(len(a), num_perm)
+
+    # pairs are consumed once but their COUNT picks the verify route —
+    # materialize so the route probe doesn't re-run the candidate stage
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+
+    sig_budget = config.BROADCAST_DUP_LIMIT // max(num_perm, 1)
+    if (n_pairs <= config.DRIVER_PAIR_LIMIT
+            and n_pairs * 2 <= sig_budget):
+        # driver verify (the _verify_text_pairs shape): fetch ONLY the
+        # candidates' signatures from each side, one vectorized
+        # equality-mean over all pairs, broadcast the flagged-id set
+        import pyarrow.compute as pc
+        import ray
+
+        from data_quality_framework_ray.pipelines.exchange import collect_blocks
+
+        ptabs, _ = collect_blocks(pairs)
+        pt = pa.concat_tables(ptabs, promote_options="default")
+        import polars as pl
+
+        pdf = pl.from_arrow(pt).unique()
+        nid_arr = pdf["nid"].to_arrow()
+        cid_arr = pdf["cid"].to_arrow()
+        nid_set = pc.unique(nid_arr)
+        cid_set = pc.unique(cid_arr)
+
+        def fetch_sigs(src, idname, want):
+            ref = ray.put(want)
+
+            def f(t: pa.Table) -> pa.Table:
+                ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+                keep = pc.fill_null(pc.is_in(t[idname], value_set=ks), False)
+                return t.filter(keep).select([idname, "sig"])
+
+            tabs, _ = collect_blocks(
+                src.map_batches(f, batch_format="pyarrow"))
+            return (pa.concat_tables(tabs, promote_options="default")
+                    if tabs else None)
+
+        nsig_t = fetch_sigs(compact.drop_columns(["bh"]), id_col, nid_set)
+        csig_src = rd.read_parquet(os.path.join(index_dir, "sigs")) \
+            .map_batches(lambda t: t.rename_columns(
+                [id_col if c == meta["id_col"] else c
+                 for c in t.column_names]), batch_format="pyarrow")
+        csig_t = fetch_sigs(csig_src, id_col, cid_set)
+        flagged_ids = pa.array([], type=nid_arr.type)
+        if nsig_t is not None and csig_t is not None and nsig_t.num_rows \
+                and csig_t.num_rows:
+            import pandas as pd
+
+            nmat = _sig_matrix(nsig_t["sig"])
+            cmat = _sig_matrix(csig_t["sig"])
+            n_idx = pd.Index(nsig_t[id_col].to_pandas())
+            c_idx = pd.Index(csig_t[id_col].to_pandas())
+            ia = n_idx.get_indexer(pd.Index(nid_arr.to_pandas()))
+            ib = c_idx.get_indexer(pd.Index(cid_arr.to_pandas()))
+            ok = (ia >= 0) & (ib >= 0)  # sides with dropped zero-shingle
+            est = np.zeros(len(ia))
+            est[ok] = (nmat[ia[ok]] == cmat[ib[ok]]).mean(axis=1)
+            flagged_ids = pc.unique(
+                nid_arr.filter(pa.array(est >= threshold)))
+        if len(flagged_ids) == 0:
+            return ds
+        fref = ray.put(flagged_ids)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(fref) if not isinstance(fref, pa.Array) else fref
+            hit = pc.fill_null(pc.is_in(t[id_col], value_set=ks), False)
+            return t.filter(pc.invert(hit))
+
+        return ds.map_batches(anti, batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE)
+
+    # distributed verify: join each pair to its two signatures (8·num_perm B
+    # per CANDIDATE row only), vectorized estimate, anti semi-join by id
+    sig_name = {id_col: "nid"}
+    new_sigs = compact.drop_columns(["bh"]).map_batches(
+        lambda t: t.rename_columns(
+            [sig_name.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    idx_sigs = rd.read_parquet(os.path.join(index_dir, "sigs")) \
+        .map_batches(lambda t: pa.table(
+            {"cid": t[meta["id_col"]].combine_chunks(),
+             "csig": t["sig"].combine_chunks()}), batch_format="pyarrow")
+
+    both = (pairs.join(new_sigs, "inner", nparts, on=("nid",))
+            .join(idx_sigs, "inner", nparts, on=("cid",)))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "sig" not in t.column_names:

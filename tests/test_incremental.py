@@ -72,16 +72,24 @@ def test_index_append_and_second_ingest(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in out2.take_all()) == [5002]
 
 
-def test_near_dedup_against_minhash_index(ray_session, tmp_path):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_near_dedup_against_minhash_index(ray_session, tmp_path, monkeypatch,
+                                          force_distributed):
     """Persisted MinHash LSH index: near-dups of indexed docs are dropped,
     fresh and sub-threshold docs survive, zero-shingle docs pass through,
-    appends extend the index, parameter mismatch is rejected."""
+    appends extend the index, parameter mismatch is rejected — on BOTH the
+    broadcast/driver-verify path and the fully distributed join path."""
     import ray.data as rd
 
+    from data_quality_framework_ray import config
     from data_quality_framework_ray.pipelines.incremental import (
         build_minhash_index,
         near_dedup_against_index,
     )
+
+    if force_distributed:
+        monkeypatch.setattr(config, "MEMBERSHIP_BROADCAST_LIMIT", 0)
+        monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
 
     base = " ".join(f"tokenword{j}" for j in range(60))
     corpus_texts = [f"{base} corpus doc {i} extra {i * 7} {i * 13}"
