@@ -1106,6 +1106,40 @@ def _q_rollup(sf_dir: str):
                                         ("n", pa.int64())])))
 
 
+def _q_cube(sf_dir: str):
+    """CUBE over (l_returnflag, l_linestatus): all FOUR grouping sets —
+    (a,b), (a), (b), () — from ONE partial pass; the coarser sets derive
+    from the tiny combined table on the driver (same shape as rollup,
+    completing the grouping-sets family)."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by(["l_returnflag", "l_linestatus"])
+                .agg(pl.len().alias("n")).to_arrow())
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["l_returnflag", "l_linestatus"])
+         .aggregate(Sum("n", alias_name="n")))
+    base = pl.DataFrame(g.take_all())
+    by_rf = (base.group_by("l_returnflag").agg(pl.col("n").sum())
+             .with_columns(pl.lit("(all)").alias("l_linestatus")))
+    by_ls = (base.group_by("l_linestatus").agg(pl.col("n").sum())
+             .with_columns(pl.lit("(all)").alias("l_returnflag")))
+    total = pl.DataFrame({"l_returnflag": ["(all)"],
+                          "l_linestatus": ["(all)"],
+                          "n": [base["n"].sum()]})
+    out = pl.concat([base, by_rf.select(base.columns),
+                     by_ls.select(base.columns), total.select(base.columns)],
+                    how="vertical_relaxed")
+    return (out.sort(["l_returnflag", "l_linestatus"])
+            .to_arrow().cast(pa.schema([("l_returnflag", pa.string()),
+                                        ("l_linestatus", pa.string()),
+                                        ("n", pa.int64())])))
+
+
 def _q_hopping_window(sf_dir: str):
     """Hopping (sliding) windows: 30-min windows every 15 min — each event
     lands in exactly 2 windows (vectorized window-id fan-out per batch,
@@ -2094,7 +2128,7 @@ ROTATED_FIRST = [
     "dup_groups_keyed",  # new in round 5 (keyed_dup_groups primitive)
     "dedup_incremental", "lag_delta",  # new in round 5 (incremental index, LAG)
     "filter_by_quantile", "tfidf_topk",  # new in round 5 (threshold filter, TF-IDF)
-    "dedup_minhash_incremental",  # new in round 5 (persisted LSH index)
+    "dedup_minhash_incremental", "cube",  # new in round 5 (LSH index, CUBE)
 ]
 
 
@@ -2166,6 +2200,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "hopping_window": _q_hopping_window,
         "rollup": _q_rollup,
+        "cube": _q_cube,
         "correlation": _q_correlation,
         "clips_decisions": _q_clips_decisions,
         "speech_ratio": _q_speech_ratio,
@@ -2501,6 +2536,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,"
             " coalesce(l_linestatus, '(all)') AS l_linestatus, count(*) AS n"
             " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+            " ORDER BY l_returnflag, l_linestatus"),
+        "cube": (
+            "SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,"
+            " coalesce(l_linestatus, '(all)') AS l_linestatus, count(*) AS n"
+            " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
             " ORDER BY l_returnflag, l_linestatus"),
         "hopping_window": (
             "SELECT make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS BIGINT)"
