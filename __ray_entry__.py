@@ -493,6 +493,49 @@ def _q_dedup_minhash_incremental(sf_dir: str):
     return _collect(out.select_columns(["doc_id"])).sort_by("doc_id")
 
 
+def _q_dedup_embedding_incremental(sf_dir: str):
+    """Incremental EMBEDDING near-dedup against a persisted hyperplane-LSH
+    vector index (pipelines/incremental.py): the embeddings table is
+    indexed once (buckets/ + float32 vecs/); a derived 'new' batch —
+    scaled copies (cosine 1.0 → dropped) and negated copies (cosine ≤ the
+    corpus's natural max 0.60 → kept) — ingests against it. Verification
+    is EXACT cosine on the stored vectors, so the SQL NOT EXISTS oracle is
+    an exact restatement (margins 0.60 vs threshold 0.98 at every tier)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_embedding_index,
+        near_dedup_embedding_against_index,
+    )
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = os.path.join("/tmp", "dqfr_emb_index_" + os.path.basename(
+        os.path.normpath(sf_dir)))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_embedding_index(base, "embedding", "vec_id", index_dir)
+
+    def derive_new(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(t["embedding"].to_pandas().to_numpy())
+        etype = t.schema.field("embedding").type
+        a = ids % 3 == 0
+        b = ids % 3 == 1
+        out_ids = np.concatenate([ids[a] + 1_000_000, ids[b] + 2_000_000])
+        out_emb = ([list(v * 1.001) for v in emb[a]]
+                   + [list(-v) for v in emb[b]])
+        return pa.table({"vec_id": pa.array(out_ids, type=pa.int64()),
+                         "embedding": pa.array(out_emb, type=etype)})
+
+    new = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(derive_new, batch_format="pyarrow")
+    out = near_dedup_embedding_against_index(new, "embedding", "vec_id",
+                                             index_dir)
+    return _collect(out.select_columns(["vec_id"])).sort_by("vec_id")
+
+
 def _q_dup_groups_keyed(sf_dir: str):
     """Exact-composite-key dup grouping (the distributed winner pattern the
     audio content dedup runs on, here over a SQL-expressible key so the
@@ -2129,6 +2172,7 @@ ROTATED_FIRST = [
     "dedup_incremental", "lag_delta",  # new in round 5 (incremental index, LAG)
     "filter_by_quantile", "tfidf_topk",  # new in round 5 (threshold filter, TF-IDF)
     "dedup_minhash_incremental", "cube",  # new in round 5 (LSH index, CUBE)
+    "dedup_embedding_incremental",  # new in round 5 (vector index)
 ]
 
 
@@ -2173,6 +2217,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
+        "dedup_embedding_incremental": _q_dedup_embedding_incremental,
         "lag_delta": _q_lag_delta,
         "dup_groups_keyed": _q_dup_groups_keyed,
         "token_counts": _q_token_counts,
@@ -2444,6 +2489,20 @@ def oracle_sql() -> dict[str, str]:
             " UNION SELECT e.u, reach.r FROM edges e, reach WHERE e.v = reach.id) "
             "SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS "
             "cluster_rep FROM reach GROUP BY id ORDER BY vec_id"),
+        # exact cosine NOT EXISTS vs the corpus: scaled copies (cos 1.0)
+        # drop, negated copies (cos ≤ natural max 0.60) survive
+        "dedup_embedding_incremental": (
+            "WITH nw AS ("
+            " SELECT vec_id + 1000000 AS vec_id,"
+            " list_transform(embedding, x -> x * 1.001) AS embedding"
+            " FROM embeddings WHERE vec_id % 3 = 0"
+            " UNION ALL SELECT vec_id + 2000000,"
+            " list_transform(embedding, x -> -x)"
+            " FROM embeddings WHERE vec_id % 3 = 1) "
+            "SELECT n.vec_id AS vec_id FROM nw n"
+            " WHERE NOT EXISTS (SELECT 1 FROM embeddings c"
+            "  WHERE list_cosine_similarity(n.embedding, c.embedding)"
+            "   >= 0.98) ORDER BY vec_id"),
         # the six reference checks on the personnes fixture, re-derived in
         # SQL over the SAME parquet rows (threshold/trend/dup/freshness
         # logic restated independently; VERDICT.md round-1 item 6)

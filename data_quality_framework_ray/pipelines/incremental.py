@@ -306,20 +306,15 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
     index — incremental near-dedup of an ingest batch against the all-time
     corpus without re-reading corpus text.
 
-    Scale shape: candidates come from a bucket join of the new batch's band
-    rows against the index's ``buckets/`` table (hash-only rows); each
-    distinct candidate pair then joins the two signature tables (index
-    ``sigs/`` read column-pruned; 8·num_perm B per CANDIDATE row only) and
-    is verified by a vectorized equality-mean estimate. Flagged ids
-    anti-semi-join the payload. Neither the corpus nor the new batch's text
-    is ever shuffled."""
+    Scale shape (shared engine :func:`_near_dedup_generic`): candidates come
+    from a bucket join of the new batch's band rows against the index's
+    ``buckets/`` table (hash-only rows; broadcast merge below
+    MEMBERSHIP_BROADCAST_LIMIT); verification fetches 8·num_perm B per
+    CANDIDATE row only (driver-side under DRIVER_PAIR_LIMIT, else a
+    pair→signature join chain) and is a vectorized equality-mean estimate.
+    Flagged ids anti-filter the payload. Neither the corpus nor the new
+    batch's text is ever shuffled."""
     import json
-
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from data_quality_framework_ray.pipelines.exchange import data_partitions
-    from data_quality_framework_ray.pipelines.joins import semi_join
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
@@ -331,6 +326,192 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow",
         batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def decode(col) -> np.ndarray:
+        return _blob_matrix(col, "<u8", num_perm)
+
+    def decide(nmat: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+        return (nmat == cmat).mean(axis=1) >= threshold
+
+    return _near_dedup_generic(ds, id_col, index_dir, meta, compact,
+                               payload_dir="sigs", payload_col="sig",
+                               bands=bands, units_per_row=num_perm,
+                               decode=decode, decide=decide)
+
+
+def _emb_band_batch(batch: pa.Table, emb_col: str, id_col: str,
+                    n_planes: int, n_bands: int, seed: int) -> pa.Table:
+    """Compact per-row embedding LSH rows: (id, emb fixed-width binary blob
+    of float32, bh fixed_size_list<int64>[n_bands]) — the embedding analogue
+    of :func:`_sig_band_batch`. Hyperplanes are derived from (seed, band) +
+    dim exactly like ``dedup.embedding_dup_groups`` so index and ingest
+    bucket identically. Zero-norm vectors are DROPPED (cosine undefined; a
+    sign-of-zero bucket would spuriously co-bucket them)."""
+    emb = np.stack(batch[emb_col].to_pandas().to_numpy()).astype(np.float32) \
+        if batch.num_rows else np.zeros((0, 1), dtype=np.float32)
+    n, dim = emb.shape
+    norm = np.linalg.norm(emb.astype(np.float64), axis=1)
+    codes = np.empty((n, n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        rng = np.random.default_rng([seed, b])
+        planes = rng.standard_normal((dim, n_planes))
+        bits = (emb.astype(np.float64) @ planes > 0).astype(np.uint64)
+        codes[:, b] = (bits << np.arange(n_planes,
+                                         dtype=np.uint64)[None, :]).sum(axis=1)
+    w = 4 * dim
+    blob = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(np.arange(0, (n + 1) * w, w,
+                                      dtype=np.int32).tobytes()),
+         pa.py_buffer(emb.astype("<f4").tobytes())])
+    t = pa.table({
+        id_col: batch[id_col].combine_chunks(),
+        "emb": blob,
+        "bh": pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1).view(np.int64)), n_bands),
+    })
+    return t.filter(pa.array(norm > 0))
+
+
+def build_embedding_index(ds, emb_col: str, id_col: str, index_dir: str, *,
+                          n_planes: int = 12, n_bands: int = 4,
+                          seed: int = 3) -> str:
+    """Persist the corpus's hyperplane-LSH state for incremental embedding
+    near-dedup: ``buckets/`` = exploded (band, bh, id) rows hive-sharded by
+    bucket key, ``vecs/`` = (id, emb float32 blob), ``meta.json`` = the
+    plane parameters + dim every later ingest must reuse. Same layout and
+    append semantics as :func:`build_minhash_index`."""
+    import json
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle,
+                                                               schema_map)
+
+    dim = None
+    try:
+        vt = schema_map(ds).get(emb_col)
+        if vt is not None and pa.types.is_fixed_size_list(vt):
+            dim = vt.list_size
+    except Exception:
+        pass
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["n_planes"], meta["n_bands"], meta["seed"]) != \
+                (n_planes, n_bands, seed):
+            raise ValueError(
+                f"index at {index_dir} was built with {meta}; appending "
+                f"with different LSH parameters would corrupt it")
+
+    compact = ds.map_batches(
+        partial(_emb_band_batch, emb_col=emb_col, id_col=id_col,
+                n_planes=n_planes, n_bands=n_bands, seed=seed),
+        batch_format="pyarrow",
+        batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    os.makedirs(index_dir, exist_ok=True)
+    compact.drop_columns(["bh"]).write_parquet(
+        os.path.join(index_dir, "vecs"))
+    if dim is None:  # variable list<float> schema hides the width — peek
+        first = compact.take(1)
+        if first:
+            dim = len(first[0]["emb"]) // 4
+
+    def shard_rows(t: pa.Table) -> pa.Table:
+        e = _explode_bands(t, id_col, n_bands)
+        ck = H.pair_key_u64(e["band"].to_numpy(zero_copy_only=False),
+                            e["bh"].to_numpy(zero_copy_only=False))
+        shard = (ck & np.uint64(INDEX_SHARDS - 1)).astype(np.int32)
+        return e.append_column("shard", pa.array(shard))
+
+    id_type = schema_map(compact)[id_col]
+    bucket_schema = pa.schema([("band", pa.int64()), ("bh", pa.int64()),
+                               (id_col, id_type), ("shard", pa.int32())])
+    rows = compact.map_batches(shard_rows, batch_format="pyarrow")
+    nparts = min(INDEX_SHARDS, data_partitions(rows))
+    sharded = part_shuffle(rows, "shard", lambda t: t, bucket_schema, nparts)
+    os.makedirs(os.path.join(index_dir, "buckets"), exist_ok=True)
+    sharded.write_parquet(os.path.join(index_dir, "buckets"),
+                          partition_cols=["shard"])
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump({"n_planes": n_planes, "n_bands": n_bands,
+                       "seed": seed, "id_col": id_col, "dim": dim}, f)
+    return index_dir
+
+
+def near_dedup_embedding_against_index(ds, emb_col: str, id_col: str,
+                                       index_dir: str, *,
+                                       threshold: float = 0.98):
+    """Rows of ``ds`` whose embedding has EXACT cosine similarity below
+    ``threshold`` against every vector in the index — incremental embedding
+    near-dedup (the vector analogue of :func:`near_dedup_against_index`;
+    verification here is exact cosine on the stored float32 vectors, not an
+    estimate). Same shared engine, same broadcast↔distributed switches."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_planes, n_bands = int(meta["n_planes"]), int(meta["n_bands"])
+    seed = int(meta["seed"])
+
+    compact = ds.map_batches(
+        partial(_emb_band_batch, emb_col=emb_col, id_col=id_col,
+                n_planes=n_planes, n_bands=n_bands, seed=seed),
+        batch_format="pyarrow",
+        batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def decode(col) -> np.ndarray:
+        a = col.combine_chunks()
+        dim = len(a[0].as_py()) // 4 if len(a) else 1
+        return _blob_matrix(col, "<f4", dim).astype(np.float64)
+
+    def decide(nmat: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+        nn = np.linalg.norm(nmat, axis=1)
+        cn = np.linalg.norm(cmat, axis=1)
+        denom = nn * cn
+        dots = np.einsum("ij,ij->i", nmat, cmat)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dots / denom, -1.0)
+        return cos >= threshold
+
+    return _near_dedup_generic(ds, id_col, index_dir, meta, compact,
+                               payload_dir="vecs", payload_col="emb",
+                               bands=n_bands,
+                               units_per_row=int(meta.get("dim") or 64),
+                               decode=decode, decide=decide)
+
+
+def _blob_matrix(col, dtype: str, per_row: int) -> np.ndarray:
+    """Fixed-width binary blob column → (rows × per_row) matrix. Rows of a
+    binary array are contiguous in offset order, so data[off[0]:off[-1]] is
+    the row-major matrix; tobytes() re-aligns for the typed view."""
+    a = col.combine_chunks()
+    if a.type == pa.large_binary():
+        a = a.cast(pa.binary())
+    off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset: a.offset + len(a) + 1]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+    return np.frombuffer(data.tobytes(), dtype=dtype).reshape(len(a),
+                                                              per_row)
+
+
+def _near_dedup_generic(ds, id_col: str, index_dir: str, meta: dict,
+                        compact, *, payload_dir: str, payload_col: str,
+                        bands: int, units_per_row: int, decode, decide):
+    """Shared incremental near-dedup engine: bucket candidates →
+    payload-blob verification → anti-filter. ``compact`` holds one row per
+    (non-degenerate) input row with columns (id_col, payload_col = binary
+    blob, bh = fixed_size_list[bands]); ``decode`` turns a blob column into
+    a matrix, ``decide(nmat, cmat) -> bool[n]`` accepts pairs. All three
+    stages switch broadcast↔distributed on the library's config limits."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.exchange import data_partitions
+    from data_quality_framework_ray.pipelines.joins import semi_join
 
     def new_band_rows(t: pa.Table) -> pa.Table:
         e = _explode_bands(t, id_col, bands)
@@ -392,20 +573,6 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
         # only re-verify it (idempotent), never change the verdict
         pairs = cand.map_batches(distinct_pairs, batch_format="pyarrow")
 
-    def _sig_matrix(col) -> np.ndarray:
-        # rows of a binary array are contiguous in offset order, so the
-        # span data[off[0]:off[-1]] is the row-major matrix; tobytes()
-        # re-aligns for the uint64 view (sig blobs are fixed 8·num_perm B)
-        a = col.combine_chunks()
-        if a.type == pa.large_binary():
-            a = a.cast(pa.binary())
-        off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
-            a.offset: a.offset + len(a) + 1]
-        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)[
-            off[0]:off[-1]]
-        return np.frombuffer(data.tobytes(), dtype="<u8") \
-            .reshape(len(a), num_perm)
-
     # pairs are consumed once but their COUNT picks the verify route —
     # materialize so the route probe doesn't re-run the candidate stage
     pairs = pairs.materialize()
@@ -413,7 +580,7 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
     if n_pairs == 0:
         return ds
 
-    sig_budget = config.BROADCAST_DUP_LIMIT // max(num_perm, 1)
+    sig_budget = config.BROADCAST_DUP_LIMIT // max(units_per_row, 1)
     if (n_pairs <= config.DRIVER_PAIR_LIMIT
             and n_pairs * 2 <= sig_budget):
         # driver verify (the _verify_text_pairs shape): fetch ONLY the
@@ -440,7 +607,7 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
             def f(t: pa.Table) -> pa.Table:
                 ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
                 keep = pc.fill_null(pc.is_in(t[idname], value_set=ks), False)
-                return t.filter(keep).select([idname, "sig"])
+                return t.filter(keep).select([idname, payload_col])
 
             tabs, _ = collect_blocks(
                 src.map_batches(f, batch_format="pyarrow"))
@@ -448,7 +615,7 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
                     if tabs else None)
 
         nsig_t = fetch_sigs(compact.drop_columns(["bh"]), id_col, nid_set)
-        csig_src = rd.read_parquet(os.path.join(index_dir, "sigs")) \
+        csig_src = rd.read_parquet(os.path.join(index_dir, payload_dir)) \
             .map_batches(lambda t: t.rename_columns(
                 [id_col if c == meta["id_col"] else c
                  for c in t.column_names]), batch_format="pyarrow")
@@ -458,17 +625,17 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
                 and csig_t.num_rows:
             import pandas as pd
 
-            nmat = _sig_matrix(nsig_t["sig"])
-            cmat = _sig_matrix(csig_t["sig"])
+            nmat = decode(nsig_t[payload_col])
+            cmat = decode(csig_t[payload_col])
             n_idx = pd.Index(nsig_t[id_col].to_pandas())
             c_idx = pd.Index(csig_t[id_col].to_pandas())
             ia = n_idx.get_indexer(pd.Index(nid_arr.to_pandas()))
             ib = c_idx.get_indexer(pd.Index(cid_arr.to_pandas()))
-            ok = (ia >= 0) & (ib >= 0)  # sides with dropped zero-shingle
-            est = np.zeros(len(ia))
-            est[ok] = (nmat[ia[ok]] == cmat[ib[ok]]).mean(axis=1)
-            flagged_ids = pc.unique(
-                nid_arr.filter(pa.array(est >= threshold)))
+            ok = (ia >= 0) & (ib >= 0)  # sides with dropped degenerate rows
+            acc = np.zeros(len(ia), dtype=bool)
+            if ok.any():
+                acc[ok] = decide(nmat[ia[ok]], cmat[ib[ok]])
+            flagged_ids = pc.unique(nid_arr.filter(pa.array(acc)))
         if len(flagged_ids) == 0:
             return ds
         fref = ray.put(flagged_ids)
@@ -481,28 +648,27 @@ def near_dedup_against_index(ds, text_col: str, id_col: str, index_dir: str,
         return ds.map_batches(anti, batch_format="pyarrow",
                               batch_size=config.TEXT_BATCH_SIZE)
 
-    # distributed verify: join each pair to its two signatures (8·num_perm B
-    # per CANDIDATE row only), vectorized estimate, anti semi-join by id
+    # distributed verify: join each pair to its two payload blobs (blob
+    # bytes per CANDIDATE row only), vectorized decide, anti semi-join by id
     sig_name = {id_col: "nid"}
     new_sigs = compact.drop_columns(["bh"]).map_batches(
         lambda t: t.rename_columns(
             [sig_name.get(c, c) for c in t.column_names]),
         batch_format="pyarrow")
-    idx_sigs = rd.read_parquet(os.path.join(index_dir, "sigs")) \
+    idx_sigs = rd.read_parquet(os.path.join(index_dir, payload_dir)) \
         .map_batches(lambda t: pa.table(
             {"cid": t[meta["id_col"]].combine_chunks(),
-             "csig": t["sig"].combine_chunks()}), batch_format="pyarrow")
+             "cblob": t[payload_col].combine_chunks()}),
+        batch_format="pyarrow")
 
     both = (pairs.join(new_sigs, "inner", nparts, on=("nid",))
             .join(idx_sigs, "inner", nparts, on=("cid",)))
 
     def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "sig" not in t.column_names:
+        if t.num_rows == 0 or payload_col not in t.column_names:
             return pa.table({id_col: pa.array([], type=pa.int64())})
-        sn = _sig_matrix(t["sig"])
-        sc = _sig_matrix(t["csig"])
-        est = (sn == sc).mean(axis=1)
-        flagged = t.select(["nid"]).filter(pa.array(est >= threshold))
+        acc = decide(decode(t[payload_col]), decode(t["cblob"]))
+        flagged = t.select(["nid"]).filter(pa.array(acc))
         return flagged.rename_columns([id_col])
 
     flagged = both.map_batches(verify, batch_format="pyarrow")

@@ -126,6 +126,60 @@ def test_near_dedup_against_minhash_index(ray_session, tmp_path, monkeypatch,
                             num_perm=64)
 
 
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_near_dedup_embedding_index(ray_session, tmp_path, monkeypatch,
+                                    force_distributed):
+    """Persisted hyperplane-LSH vector index: exact-cosine verification
+    drops scaled copies (cos=1), keeps fresh vectors and zero-norm rows,
+    appends extend — on both the broadcast/driver and distributed paths."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.incremental import (
+        build_embedding_index,
+        near_dedup_embedding_against_index,
+    )
+
+    if force_distributed:
+        monkeypatch.setattr(config, "MEMBERSHIP_BROADCAST_LIMIT", 0)
+        monkeypatch.setattr(config, "DRIVER_PAIR_LIMIT", 0)
+
+    rng = np.random.default_rng(9)
+    corpus_v = rng.standard_normal((80, 16)).astype(np.float32)
+    lt = pa.list_(pa.float32())
+    corpus = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                       "embedding": pa.array([list(v) for v in corpus_v],
+                                             type=lt)})
+    new_v = np.concatenate([corpus_v[:10] * 1.001,
+                            rng.standard_normal((10, 16)).astype(np.float32),
+                            np.zeros((1, 16), dtype=np.float32)])
+    new = pa.table({"vec_id": pa.array(range(100, 121), pa.int64()),
+                    "embedding": pa.array([list(v) for v in new_v],
+                                          type=lt)})
+    idx = str(tmp_path / "emb")
+    build_embedding_index(rd.from_arrow(corpus).repartition(3),
+                          "embedding", "vec_id", idx)
+    out = near_dedup_embedding_against_index(
+        rd.from_arrow(new).repartition(2), "embedding", "vec_id", idx)
+    got = sorted(r["vec_id"] for r in out.take_all())
+    # 100-109 are scaled corpus copies (dropped); 110-119 fresh; 120 is the
+    # zero vector (cosine undefined → never flagged, passes through)
+    assert got == list(range(110, 121))
+
+    build_embedding_index(rd.from_arrow(pa.table(
+        {"vec_id": pa.array([200], pa.int64()),
+         "embedding": pa.array([list(new_v[10])], type=lt)})),
+        "embedding", "vec_id", idx)
+    got2 = sorted(r["vec_id"] for r in near_dedup_embedding_against_index(
+        rd.from_arrow(new), "embedding", "vec_id", idx).take_all())
+    assert 110 not in got2 and 111 in got2
+
+    with pytest.raises(ValueError, match="parameters"):
+        build_embedding_index(rd.from_arrow(corpus), "embedding", "vec_id",
+                              idx, n_planes=4)
+
+
 def test_minhash_incremental_vs_exact_all_tiers(ray_session):
     """The oracled query's signature verify must agree with the EXACT
     cross-split Jaccard restatement at every driver tier — including sf0.1,
