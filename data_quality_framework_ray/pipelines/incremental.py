@@ -1,13 +1,20 @@
-"""Incremental / cross-corpus dedup against a PERSISTED fingerprint index.
+"""Incremental / cross-corpus dedup against PERSISTED fingerprint indexes.
 
 The reference dedups only within one run; a training-data pipeline ingesting
 100 TB in daily batches needs the other shape too: "drop everything we have
 EVER ingested" without re-reading (or re-shipping) the historical corpus.
-The index holds only the corpus's 128-bit content fingerprints — 16 B/row,
-~0.2 % of a 10 kB/doc corpus — laid out as hive-partitioned parquet sharded
-by fingerprint bits so (a) appends are new files, never rewrites, (b) a
-failed build resumes per shard, and (c) a future selective probe can prune
-shards by key range.
+Three index families share the layout conventions (hive-sharded parquet,
+appends are new files never rewrites, failed builds resume per shard) and —
+for the two LSH families — one verification engine
+(:func:`_near_dedup_generic`):
+
+- EXACT: 128-bit content fingerprints, 16 B/row (~0.2 % of a 10 kB/doc
+  corpus) — :func:`build_content_index` / :func:`dedup_against_index`.
+- NEAR (text): MinHash LSH band buckets + signature blobs —
+  :func:`build_minhash_index` / :func:`near_dedup_against_index`.
+- NEAR (vectors): hyperplane-LSH buckets + float32 vector blobs, EXACT
+  cosine verification — :func:`build_embedding_index` /
+  :func:`near_dedup_embedding_against_index`.
 
 Scale shape of the anti-filter (mirrors ``dedup.exact_dedup``'s two paths):
 below ``config.BROADCAST_DUP_LIMIT`` index entries, the (h1, h2) table is
