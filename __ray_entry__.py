@@ -2160,6 +2160,68 @@ def _q_pack_chunks(sf_dir: str):
                        budget=2048, bucket_size=100)
 
 
+def _q_join_semi(sf_dir: str):
+    """Semi join: customers WITH at least one order from 1997 on — distinct
+    key reduction on the order side, then a broadcast/hash membership filter
+    (the anti-join primitive with anti=False; pipelines/joins.py:86)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    cutoff = pa.scalar(dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    out = semi_join(cust, orders, on="c_custkey", right_on="o_custkey")
+    rows = out.select_columns(["c_custkey"]).take_all()
+    return pa.table({"c_custkey": pa.array(
+        sorted(r["c_custkey"] for r in rows), type=pa.int64())})
+
+
+def _q_grouped_mode(sf_dir: str):
+    """Per-group mode of l_quantity with deterministic tie-break (highest
+    count, then smallest value) — count partials only cross the wire."""
+    from data_quality_framework_ray.pipelines.stats import grouped_mode
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mode(ds, "l_returnflag", "l_quantity")
+
+
+def _q_skew_kurtosis(sf_dir: str):
+    """Per-group population skewness/excess-kurtosis from EXACT int64 power
+    sums (l_quantity is whole-valued and ≤ 50, so Σx⁴ is exact to ~1.4e12
+    rows); finishing doubles mirror the SQL oracle's expression shape
+    bit-for-bit — no rounding slack needed."""
+    from data_quality_framework_ray.pipelines.stats import grouped_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_moments(ds, "l_returnflag", "l_quantity")
+
+
+def _q_grouped_mad(sf_dir: str):
+    """Per-group median absolute deviation of l_extendedprice (discrete
+    quantile convention both passes; medians broadcast via ray.put)."""
+    from data_quality_framework_ray.pipelines.stats import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_mad(ds, "l_returnflag", "l_extendedprice")
+
+
+def _q_bigram_freq(sf_dir: str):
+    """Top-20 adjacent-token bigrams over the documents corpus (n-gram
+    frequency, n=2): vectorized explode + global shift pairing per batch,
+    distributed count-sum, distributed top-k BEFORE collection."""
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        bigram_top_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return _collect(bigram_top_counts(ds, "text", top_k=20))
+
+
 ROTATED_FIRST = [
     # The 13 oracled entries that fell OUTSIDE the driver's 50-entry check
     # window in rounds 3-4 (CORRECTNESS_r04.json): rotated to the FRONT this
@@ -2173,6 +2235,9 @@ ROTATED_FIRST = [
     "filter_by_quantile", "tfidf_topk",  # new in round 5 (threshold filter, TF-IDF)
     "dedup_minhash_incremental", "cube",  # new in round 5 (LSH index, CUBE)
     "dedup_embedding_incremental",  # new in round 5 (vector index)
+    # new in round 5 continuation session: no driver row yet
+    "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
+    "bigram_freq",
 ]
 
 
@@ -2265,6 +2330,11 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pack_chunks": _q_pack_chunks,
+        "join_semi": _q_join_semi,
+        "grouped_mode": _q_grouped_mode,
+        "skew_kurtosis": _q_skew_kurtosis,
+        "grouped_mad": _q_grouped_mad,
+        "bigram_freq": _q_bigram_freq,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -2823,6 +2893,61 @@ def oracle_sql() -> dict[str, str]:
             " regexp_extract(p_name, '^(\\S+) (\\S+)$', 1) AS adj,"
             " regexp_extract(p_name, '^(\\S+) (\\S+)$', 2) AS noun"
             " FROM part ORDER BY p_partkey"),
+        "join_semi": (
+            "SELECT c_custkey FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+            " AND o.o_orderdate >= TIMESTAMP '1997-01-01') "
+            "ORDER BY c_custkey"),
+        "grouped_mode": (
+            "WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n"
+            " FROM lineitem GROUP BY 1, 2)"
+            " SELECT l_returnflag, l_quantity AS mode_value, n FROM c"
+            " QUALIFY row_number() OVER (PARTITION BY l_returnflag"
+            "  ORDER BY n DESC, l_quantity ASC) = 1"
+            " ORDER BY l_returnflag"),
+        "skew_kurtosis": (
+            # exact HUGEINT power sums; the double finishing expressions are
+            # the SAME shape as stats.grouped_moments (convert-to-double
+            # first, left-assoc expansion, sqrt not pow) -> bit-exact match
+            "WITH s AS (SELECT l_returnflag AS k, count(l_quantity) AS n,"
+            "  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,"
+            "  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))"
+            "   AS DOUBLE) AS s2,"
+            "  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)"
+            "   *CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,"
+            "  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)"
+            "   *CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))"
+            "   AS DOUBLE) AS s4"
+            "  FROM lineitem GROUP BY 1),"
+            " m AS (SELECT k, n, s1/n AS mean, s2/n AS q2, s3/n AS q3,"
+            "  s4/n AS q4 FROM s),"
+            " c AS (SELECT k, n, q2 - mean*mean AS m2,"
+            "  q3 - 3.0*mean*q2 + 2.0*mean*mean*mean AS m3,"
+            "  q4 - 4.0*mean*q3 + 6.0*(mean*mean)*q2"
+            "   - 3.0*(mean*mean*mean*mean) AS m4 FROM m)"
+            " SELECT k AS l_returnflag, n,"
+            "  CASE WHEN m2 > 0 THEN m3/(m2*sqrt(m2)) ELSE NULL END AS skew,"
+            "  CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0 ELSE NULL END AS kurt"
+            " FROM c ORDER BY k"),
+        "grouped_mad": (
+            "WITH med AS (SELECT l_returnflag AS k,"
+            "  quantile_disc(l_extendedprice, 0.5) AS m"
+            "  FROM lineitem GROUP BY 1)"
+            " SELECT k AS l_returnflag,"
+            "  quantile_disc(abs(l_extendedprice - m), 0.5) AS mad"
+            " FROM lineitem JOIN med ON l_returnflag = k"
+            " GROUP BY k ORDER BY k"),
+        "bigram_freq": (
+            # list_zip pads the shorter list with NULL, so the last token of
+            # every doc pairs with NULL -> NULL bg; the filter drops exactly
+            # those (tokens themselves are never NULL)
+            "SELECT bg, count(*) AS n FROM ("
+            " SELECT z[1] || ' ' || z[2] AS bg FROM ("
+            "  SELECT unnest(list_zip(l[:-1], l[2:])) AS z FROM ("
+            "   SELECT regexp_extract_all(text, '\\S+') AS l"
+            "   FROM documents)))"
+            " WHERE bg IS NOT NULL"
+            " GROUP BY bg ORDER BY n DESC, bg LIMIT 20"),
     }
 
 

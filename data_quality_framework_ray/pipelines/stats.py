@@ -308,6 +308,141 @@ def grouped_outlier_counts(ds, key: str, col: str, z: float = 2.0):
     return out.to_arrow()
 
 
+def grouped_mode(ds, key: str, col: str):
+    """Per-group mode with a DETERMINISTIC tie-break (highest count, then
+    smallest value — SQL restatement: row_number() OVER (PARTITION BY key
+    ORDER BY n DESC, value ASC) = 1): per-batch (key, value) count partials
+    → bounded fold (driver under PARTIAL_FOLD_LIMIT, distributed groupby
+    above it) → one vectorized sorted pick per key. The shuffle carries
+    distinct (key, value) count rows, never data rows, so cost is bounded
+    by group×value cardinality regardless of row count. Returns a pyarrow
+    Table (key, mode_value, n) sorted by key."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t.select([key, col])).drop_nulls()
+                .group_by(key, col).agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_arrow())
+
+    folded = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key, col], ["n"])
+    if folded.height == 0:  # empty/all-null input: typed empty result
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        sm = schema_map(ds)
+        return pa.table({key: pa.array([], type=sm.get(key, pa.null())),
+                         "mode_value": pa.array([], type=sm.get(col, pa.null())),
+                         "n": pa.array([], type=pa.int64())})
+    out = (folded.sort([key, "n", col], descending=[False, True, False])
+           .group_by(key, maintain_order=True)
+           .agg(pl.col(col).first().alias("mode_value"),
+                pl.col("n").first())
+           .sort(key))
+    return out.to_arrow()
+
+
+def grouped_moments(ds, key: str, col: str):
+    """Per-group population skewness and excess kurtosis from EXACT integer
+    power sums. The column must be integer-valued and bounded so that the
+    dataset-wide Σx⁴ fits int64 (|x| ≤ 50 supports ~1.4e12 rows; larger
+    magnitudes need the partials widened to decimal128/Python ints). Each
+    batch emits one (key, n, s1..s4) int64 row; the bounded fold combines
+    them exactly (integer addition — no float accumulation-order drift, the
+    failure mode that forced the int64-cents rework in round 4); skew/kurt
+    are then closed-form doubles computed ONCE per key from the exact sums.
+
+    Numerics contract: the finishing expressions below are written in the
+    SAME shape as the SQL oracle (convert each exact sum to double FIRST,
+    then s/n, then the left-associative central-moment expansion, sqrt not
+    pow) so engine≡oracle equality is bit-exact with NO rounding slack —
+    +,-,*,/ and sqrt are IEEE-determined given identical operand order.
+    Returns a pyarrow Table (key, n, skew, kurt) sorted by key; groups with
+    zero variance or n=0 report NaN."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, col])).drop_nulls()
+        x = pl.col(col).cast(pl.Int64)
+        return (df.group_by(key)
+                .agg(n=pl.col(col).count().cast(pl.Int64),
+                     s1=x.sum(), s2=(x * x).sum(),
+                     s3=(x * x * x).sum(), s4=(x * x * x * x).sum())
+                .to_arrow())
+
+    folded = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key], ["n", "s1", "s2", "s3", "s4"])
+    rows = []
+    for r in sorted(folded.iter_rows(named=True), key=lambda r: r[key]):
+        n = int(r["n"])
+        if n == 0:
+            rows.append({key: r[key], "n": 0,
+                         "skew": float("nan"), "kurt": float("nan")})
+            continue
+        # float() FIRST, then /n — matches SQL CAST(s AS DOUBLE)/n (Python's
+        # big-int / would round the exact rational instead, a different op)
+        s1, s2 = float(r["s1"]), float(r["s2"])
+        s3, s4 = float(r["s3"]), float(r["s4"])
+        mean, q2, q3, q4 = s1 / n, s2 / n, s3 / n, s4 / n
+        m2 = q2 - mean * mean
+        m3 = q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean
+        m4 = (q4 - 4.0 * mean * q3 + 6.0 * (mean * mean) * q2
+              - 3.0 * (mean * mean * mean * mean))
+        if m2 > 0:
+            skew = m3 / (m2 * math.sqrt(m2))
+            kurt = m4 / (m2 * m2) - 3.0
+        else:
+            skew = kurt = float("nan")
+        rows.append({key: r[key], "n": n, "skew": skew, "kurt": kurt})
+    if not rows:
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        f64 = pa.array([], type=pa.float64())
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
+                         "n": pa.array([], type=pa.int64()),
+                         "skew": f64, "kurt": f64})
+    return pa.Table.from_pylist(rows)
+
+
+def grouped_mad(ds, key: str, col: str):
+    """Per-group median absolute deviation, discrete-quantile convention
+    throughout (value at position ceil(0.5·n) — DuckDB ``quantile_disc``):
+    pass 1 computes per-group medians via the counts scale path
+    (``grouped_quantiles_counts``); pass 2 streams |x − median(key)| against
+    the BROADCAST median map (ray.put once, vectorized replace per batch)
+    and reuses the same counts path for the deviation median. Both shuffles
+    carry (key, value) count partials only — never data rows. Returns a
+    pyarrow Table (key, mad) sorted by key."""
+    import polars as pl
+    import ray
+
+    meds = grouped_quantiles_counts(ds, key, col, [0.5])
+    med_map = {r[key]: float(r["value"]) for r in meds.take_all()}
+    if not med_map:
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
+                         "mad": pa.array([], type=pa.float64())})
+    ref = ray.put(med_map)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = pl.from_arrow(t.select([key, col])).drop_nulls()
+        return (df.with_columns(
+            (pl.col(col).cast(pl.Float64)
+             - pl.col(key).replace_strict(m, return_dtype=pl.Float64))
+            .abs().alias("dev"))
+            .select([key, "dev"]).to_arrow())
+
+    devs = ds.map_batches(dev, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)
+    out = grouped_quantiles_counts(devs, key, "dev", [0.5])
+    t = pa.Table.from_pylist(sorted(
+        ({key: r[key], "mad": float(r["value"])} for r in out.take_all()),
+        key=lambda r: r[key]))
+    return t
+
+
 def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
     """Fixed-width histogram: bin = floor((x − origin) / width), per-batch
     partial counts folded on the driver (bin cardinality ≈ range/width, tiny

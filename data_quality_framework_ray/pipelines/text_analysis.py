@@ -115,3 +115,38 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm"):
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=config.TEXT_BATCH_SIZE)
+
+
+def bigram_top_counts(ds, text_col: str = "text", top_k: int = 20):
+    """Corpus-wide top-K adjacent-token bigrams — the n-gram frequency
+    operator (n=2) over the documents table. Tokenizer is the SAME ``\\S+``
+    extractor as the word-count query so the SQL oracle
+    (regexp_extract_all + list_zip + unnest) restates it exactly.
+
+    Execution: per batch, one vectorized explode to (doc_idx, token) rows,
+    then a GLOBAL shift(-1) paired with a doc-index shift — a neighbour is a
+    bigram only when both rows share the doc index, so bigrams never cross
+    document boundaries and no per-doc window/hash pass is needed. Partial
+    (bigram, n) counts per batch → distributed groupby-sum → distributed
+    sort + limit (the bigram vocabulary can exceed driver comfort at corpus
+    scale, so top-k happens before collection). Returns a Ray Dataset of
+    (bg, n) — callers collect the k rows."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(pa.table({"t": batch[text_col]}))["t"].fill_null("")
+        df = (pl.DataFrame({"i": np.arange(len(s), dtype=np.int64),
+                            "tok": s.str.extract_all(r"\S+")})
+              .explode("tok").drop_nulls("tok"))
+        df = df.with_columns(nxt=pl.col("tok").shift(-1),
+                             ni=pl.col("i").shift(-1))
+        df = (df.filter(pl.col("ni") == pl.col("i"))
+              .with_columns((pl.col("tok") + " " + pl.col("nxt")).alias("bg")))
+        return (df.group_by("bg").agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_arrow())
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE)
+            .groupby("bg").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "bg"], descending=[True, False]).limit(top_k))

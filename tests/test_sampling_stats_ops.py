@@ -385,3 +385,77 @@ def test_stats_folds_distributed_empty_input(ray_session, monkeypatch):
     ds = rd.from_arrow(t).materialize()
     assert grouped_outlier_counts(ds, "g", "x").to_pylist() == []
     assert histogram_fixed(ds, "x", width=1.0).to_pylist() == []
+
+
+def test_grouped_mode_tie_break_and_distributed_fold(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_mode
+
+    # group "a": 5 appears 3x, 9 appears 3x -> tie, smallest value wins
+    rows = ([{"g": "a", "v": 5}] * 3 + [{"g": "a", "v": 9}] * 3
+            + [{"g": "a", "v": 1}]
+            + [{"g": "b", "v": 2}] * 2 + [{"g": "b", "v": 7}])
+    ds = rd.from_items(rows)
+    t = grouped_mode(ds, "g", "v")
+    got = {r["g"]: (r["mode_value"], r["n"]) for r in t.to_pylist()}
+    assert got == {"a": (5, 3), "b": (2, 2)}
+
+    # forced distributed fold (limit 0 -> groupby path) must agree
+    from data_quality_framework_ray import config
+    old = config.PARTIAL_FOLD_LIMIT
+    config.PARTIAL_FOLD_LIMIT = 0
+    try:
+        t2 = grouped_mode(rd.from_items(rows), "g", "v")
+    finally:
+        config.PARTIAL_FOLD_LIMIT = old
+    assert t2.to_pylist() == t.to_pylist()
+
+
+def test_grouped_moments_vs_numpy_and_empty(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_moments
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(1, 51, size=500)
+    gs = rng.choice(["p", "q"], size=500)
+    rows = [{"g": str(g), "v": int(x)} for g, x in zip(gs, xs)]
+    t = grouped_moments(rd.from_items(rows), "g", "v")
+    got = {r["g"]: r for r in t.to_pylist()}
+    for g in ("p", "q"):
+        x = xs[gs == g].astype(np.float64)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert got[g]["n"] == len(x)
+        assert got[g]["skew"] == pytest.approx(m3 / m2 ** 1.5, rel=1e-9)
+        assert got[g]["kurt"] == pytest.approx(m4 / m2 ** 2 - 3.0, rel=1e-9)
+
+    # constant column -> zero variance -> NaN; empty -> typed empty table
+    c = grouped_moments(rd.from_items([{"g": "z", "v": 4}] * 5), "g", "v")
+    assert np.isnan(c.to_pylist()[0]["skew"])
+    e = grouped_moments(
+        rd.from_items([{"g": "z", "v": 4}]).filter(lambda r: False), "g", "v")
+    assert e.num_rows == 0 and e.column_names == ["g", "n", "skew", "kurt"]
+
+
+def test_grouped_mad_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.stats import grouped_mad
+
+    rng = np.random.default_rng(11)
+    rows = [{"g": ["u", "w"][i % 2], "v": float(rng.normal(100, 25))}
+            for i in range(401)]
+    t = grouped_mad(rd.from_items(rows), "g", "v")
+    got = {r["g"]: r["mad"] for r in t.to_pylist()}
+
+    def disc_median(a):
+        a = np.sort(a)
+        return a[max(1, int(np.ceil(0.5 * len(a)))) - 1]
+
+    for g in ("u", "w"):
+        x = np.asarray([r["v"] for r in rows if r["g"] == g])
+        assert got[g] == disc_median(np.abs(x - disc_median(x)))

@@ -85,3 +85,25 @@ def test_text_stats_total_functions(texts):
     for i, t in enumerate(texts):
         assert st_["nchars"][i] == len(t)
         assert st_["ntok"][i] == len(t.split())
+
+
+def test_bigram_top_counts_boundaries(ray_session):
+    """Bigrams never cross document boundaries; tie-break is (n desc, bg
+    asc); single-token and empty docs contribute nothing."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        bigram_top_counts
+
+    docs = [{"text": "a b c"},      # "a b", "b c"
+            {"text": "c a b"},      # "c a", "a b"
+            {"text": "b"},          # no bigram
+            {"text": ""},           # no bigram
+            {"text": None},         # no bigram
+            {"text": "  x   y  "}]  # whitespace runs: one bigram "x y"
+    out = bigram_top_counts(rd.from_items(docs), "text", top_k=10).take_all()
+    got = [(r["bg"], r["n"]) for r in out]
+    assert got[0] == ("a b", 2)
+    assert set(got) == {("a b", 2), ("b c", 1), ("c a", 1), ("x y", 1)}
+    # deterministic tie order among the n=1 bigrams
+    assert [bg for bg, n in got if n == 1] == ["b c", "c a", "x y"]
