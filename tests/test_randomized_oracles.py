@@ -430,3 +430,109 @@ def test_profile_null_typed_column_block(ray_session):
     prof = {r["column_name"]: r for r in rows}
     assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_values"] == 0
     assert prof["x"]["n_nulls"] == 1
+
+
+def test_grouped_mode_randomized_vs_duckdb(ray_session):
+    from data_quality_framework_ray.pipelines.stats import grouped_mode
+
+    rng = random.Random(21)
+    for trial in range(6):
+        n = rng.choice([1, 2, 40, 400])
+        t = pa.table({
+            "g": pa.array([f"g{rng.randrange(3)}" for _ in range(n)]),
+            "v": pa.array([rng.randrange(6) for _ in range(n)], pa.int64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = grouped_mode(ds, "g", "v").to_pylist()
+        want = duckdb.sql("""
+            WITH c AS (SELECT g, v, count(*) AS n FROM t GROUP BY 1, 2)
+            SELECT g, v AS mode_value, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY g
+              ORDER BY n DESC, v ASC) = 1
+            ORDER BY g
+        """).fetchall()
+        assert [(r["g"], r["mode_value"], r["n"]) for r in got] == want
+
+
+def test_grouped_moments_randomized_vs_duckdb_hugeint(ray_session):
+    """Engine doubles must equal DuckDB's bit-for-bit (no tolerance): both
+    sides compute from identical exact integer sums with the same
+    expression shape."""
+    from data_quality_framework_ray.pipelines.stats import grouped_moments
+
+    rng = random.Random(22)
+    for trial in range(5):
+        n = rng.choice([2, 3, 50, 500])
+        t = pa.table({
+            "g": pa.array([f"g{rng.randrange(2)}" for _ in range(n)]),
+            "v": pa.array([rng.randrange(1, 51) for _ in range(n)],
+                          pa.int64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = {r["g"]: r for r in grouped_moments(ds, "g", "v").to_pylist()}
+        want = duckdb.sql("""
+            WITH s AS (SELECT g, count(v) AS n,
+              CAST(sum(v) AS DOUBLE) AS s1,
+              CAST(sum(v*v) AS DOUBLE) AS s2,
+              CAST(sum(v*v*v) AS DOUBLE) AS s3,
+              CAST(sum(v*v*v*v) AS DOUBLE) AS s4
+              FROM t GROUP BY 1),
+            m AS (SELECT g, n, s1/n AS mean, s2/n AS q2, s3/n AS q3,
+              s4/n AS q4 FROM s),
+            c AS (SELECT g, n, q2 - mean*mean AS m2,
+              q3 - 3.0*mean*q2 + 2.0*mean*mean*mean AS m3,
+              q4 - 4.0*mean*q3 + 6.0*(mean*mean)*q2
+               - 3.0*(mean*mean*mean*mean) AS m4 FROM m)
+            SELECT g, n,
+              CASE WHEN m2 > 0 THEN m3/(m2*sqrt(m2)) END AS skew,
+              CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0 END AS kurt
+            FROM c ORDER BY g
+        """).fetchall()
+        for g, wn, wskew, wkurt in want:
+            r = got[g]
+            assert r["n"] == wn
+            if wskew is None:
+                assert math.isnan(r["skew"]) and math.isnan(r["kurt"])
+            else:
+                assert r["skew"] == wskew, (trial, g)  # bit-exact
+                assert r["kurt"] == wkurt, (trial, g)
+
+
+def test_grouped_mad_randomized_vs_duckdb(ray_session):
+    from data_quality_framework_ray.pipelines.stats import grouped_mad
+
+    rng = random.Random(23)
+    for trial in range(5):
+        n = rng.choice([1, 2, 41, 401])
+        t = pa.table({
+            "g": pa.array([f"g{rng.randrange(3)}" for _ in range(n)]),
+            "v": pa.array([round(rng.uniform(0, 100), 2) for _ in range(n)],
+                          pa.float64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = {r["g"]: r["mad"] for r in grouped_mad(ds, "g", "v").to_pylist()}
+        want = duckdb.sql("""
+            WITH med AS (SELECT g AS k, quantile_disc(v, 0.5) AS m
+              FROM t GROUP BY 1)
+            SELECT k, quantile_disc(abs(v - m), 0.5) AS mad
+            FROM t JOIN med ON g = k GROUP BY k ORDER BY k
+        """).fetchall()
+        assert got == {k: m for k, m in want}
+
+
+def test_bigram_counts_randomized_vs_python(ray_session):
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        bigram_top_counts
+
+    rng = random.Random(24)
+    words = ["aa", "bb", "cc", "dd"]
+    for trial in range(5):
+        docs = []
+        for _ in range(rng.choice([1, 10, 80])):
+            k = rng.randrange(0, 6)
+            docs.append(" ".join(rng.choice(words) for _ in range(k)))
+        want = collections.Counter()
+        for d in docs:
+            toks = d.split()
+            want.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        ds = _rd().from_items([{"text": d} for d in docs]).repartition(
+            rng.choice([1, 4]))
+        got = bigram_top_counts(ds, "text", top_k=10_000).take_all()
+        assert {r["bg"]: r["n"] for r in got} == dict(want)
