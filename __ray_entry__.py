@@ -2211,6 +2211,18 @@ def _q_grouped_mad(sf_dir: str):
     return grouped_mad(ds, "l_returnflag", "l_extendedprice")
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25 relevance top-10 for a fixed query-term set (doc-length
+    normalized; Lucene idf). Exact double parity with the SQL oracle: int
+    tf/dl/df partials, fixed term order, identical expression shapes
+    (pipelines/text_analysis.py:bm25_topk numerics contract)."""
+    from data_quality_framework_ray.pipelines.text_analysis import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(bm25_topk(ds, "text", "doc_id",
+                              ["join", "vector", "window"], top_k=10))
+
+
 def _q_bigram_freq(sf_dir: str):
     """Top-20 adjacent-token bigrams over the documents corpus (n-gram
     frequency, n=2): vectorized explode + global shift pairing per batch,
@@ -2237,7 +2249,7 @@ ROTATED_FIRST = [
     "dedup_embedding_incremental",  # new in round 5 (vector index)
     # new in round 5 continuation session: no driver row yet
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
-    "bigram_freq",
+    "bigram_freq", "bm25_topk",
 ]
 
 
@@ -2335,6 +2347,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "skew_kurtosis": _q_skew_kurtosis,
         "grouped_mad": _q_grouped_mad,
         "bigram_freq": _q_bigram_freq,
+        "bm25_topk": _q_bm25_topk,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -2937,6 +2950,36 @@ def oracle_sql() -> dict[str, str]:
             "  quantile_disc(abs(l_extendedprice - m), 0.5) AS mad"
             " FROM lineitem JOIN med ON l_returnflag = k"
             " GROUP BY k ORDER BY k"),
+        "bm25_topk": (
+            # same expression shapes as bm25_topk's numerics contract:
+            # (1.2 + 1.0) not 2.2 so both sides constant-fold identically;
+            # fixed term order in the score sum
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '\\S+')) AS tok FROM documents),"
+            " d AS (SELECT doc_id, count(*) AS dl,"
+            "   count(*) FILTER (tok = 'join') AS tf0,"
+            "   count(*) FILTER (tok = 'vector') AS tf1,"
+            "   count(*) FILTER (tok = 'window') AS tf2"
+            "  FROM tok GROUP BY 1),"
+            " s AS (SELECT (SELECT count(*) FROM documents) AS nd,"
+            "   CAST(sum(dl) AS DOUBLE) AS sdl,"
+            "   count(*) FILTER (tf0 > 0) AS df0,"
+            "   count(*) FILTER (tf1 > 0) AS df1,"
+            "   count(*) FILTER (tf2 > 0) AS df2 FROM d),"
+            " p AS (SELECT sdl/nd AS avgdl,"
+            "   ln((nd - df0 + 0.5)/(df0 + 0.5) + 1.0) AS idf0,"
+            "   ln((nd - df1 + 0.5)/(df1 + 0.5) + 1.0) AS idf1,"
+            "   ln((nd - df2 + 0.5)/(df2 + 0.5) + 1.0) AS idf2 FROM s)"
+            " SELECT doc_id,"
+            "  (CASE WHEN tf0 > 0 THEN idf0 * ((tf0 * (1.2 + 1.0))"
+            "    / (tf0 + 1.2*(0.25 + 0.75*(dl/avgdl)))) ELSE 0.0 END"
+            "   + CASE WHEN tf1 > 0 THEN idf1 * ((tf1 * (1.2 + 1.0))"
+            "    / (tf1 + 1.2*(0.25 + 0.75*(dl/avgdl)))) ELSE 0.0 END"
+            "   + CASE WHEN tf2 > 0 THEN idf2 * ((tf2 * (1.2 + 1.0))"
+            "    / (tf2 + 1.2*(0.25 + 0.75*(dl/avgdl)))) ELSE 0.0 END)"
+            "   AS score"
+            " FROM d, p WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"
+            " ORDER BY score DESC, doc_id LIMIT 10"),
         "bigram_freq": (
             # list_zip pads the shorter list with NULL, so the last token of
             # every doc pairs with NULL -> NULL bg; the filter drops exactly

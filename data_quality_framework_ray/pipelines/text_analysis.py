@@ -150,3 +150,84 @@ def bigram_top_counts(ds, text_col: str = "text", top_k: int = 20):
                            batch_size=config.TEXT_BATCH_SIZE)
             .groupby("bg").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "bg"], descending=[True, False]).limit(top_k))
+
+
+def bm25_topk(ds, text_col: str = "text", id_col: str = "doc_id",
+              terms: list[str] | None = None, k1: float = 1.2,
+              b: float = 0.75, top_k: int = 10):
+    """BM25 relevance top-k for a fixed query-term set (the doc-length-
+    normalized upgrade of the TF-IDF query; Lucene idf form
+    ln((N−df+0.5)/(df+0.5)+1) — always positive).
+
+    Execution: ONE tokenize pass emits a per-doc int stats row
+    (id, dl, tf per term) — the text payload is dropped immediately and the
+    stats table is materialized once (5 int64 columns, tiny at any corpus
+    scale). Corpus scalars (N, Σdl, df per term) fold from per-batch
+    partials on the driver; scoring is a vectorized double pass over the
+    candidate rows (any tf>0) with idf/avgdl CLOSED OVER (broadcast), then
+    a distributed sort + limit BEFORE collection.
+
+    Numerics contract (same discipline as stats.grouped_moments): tf/dl/df
+    are exact ints; every double expression below is written in the same
+    shape as the SQL oracle — avgdl = float(Σdl)/N, per-term score
+    idf*((tf*(k1+1))/(tf + k1*(1−b + b*(dl/avgdl)))), summed over terms in
+    FIXED term order — so engine≡oracle equality is exact up to libm ln
+    (shared by DuckDB and CPython here; psi_drift set the precedent).
+
+    Returns a Ray Dataset of (id_col, score) — the top_k rows."""
+    import math
+
+    import polars as pl
+
+    terms = terms or ["join", "vector", "window"]
+    tcols = [f"tf{i}" for i in range(len(terms))]
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({id_col: batch[id_col],
+                                     "t": batch[text_col]}))
+        df = df.with_columns(pl.col("t").fill_null("")
+                             .str.extract_all(r"\S+").alias("toks"))
+        exprs = [pl.col("toks").list.len().cast(pl.Int64).alias("dl")]
+        exprs += [pl.col("toks").list.count_matches(term)
+                  .cast(pl.Int64).alias(c) for c, term in zip(tcols, terms)]
+        return df.select(id_col, *exprs).to_arrow()
+
+    stats = ds.map_batches(per_doc, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        row = {"n": [df.height], "sum_dl": [int(df["dl"].sum() or 0)]}
+        for c in tcols:
+            row[f"df_{c}"] = [int((df[c] > 0).sum())]
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in row.items()})
+
+    import pyarrow as _pa
+    folds = stats.map_batches(partial_sums, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in folds)
+    sum_dl = sum(r["sum_dl"] for r in folds)
+    dfs = [sum(r[f"df_{c}"] for r in folds) for c in tcols]
+    if n_docs == 0 or all(d == 0 for d in dfs):
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}))
+    avgdl = float(sum_dl) / n_docs
+    idfs = [math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) if d else 0.0
+            for d in dfs]
+
+    def score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(
+            sum((pl.col(c) > 0).cast(pl.Int64) for c in tcols) > 0)
+        dl = df["dl"].to_numpy().astype(np.float64)
+        den = k1 * (1.0 - b + b * (dl / avgdl))
+        sc = np.zeros(df.height, dtype=np.float64)
+        for c, idf in zip(tcols, idfs):  # fixed term order — parity contract
+            tf = df[c].to_numpy().astype(np.float64)
+            s = idf * ((tf * (k1 + 1.0)) / (tf + den))
+            sc = sc + np.where(tf > 0, s, 0.0)
+        return pa.table({id_col: df[id_col].to_arrow(), "score": sc})
+
+    return (stats.map_batches(score, batch_format="pyarrow")
+            .sort(["score", id_col], descending=[True, False]).limit(top_k))

@@ -536,3 +536,48 @@ def test_bigram_counts_randomized_vs_python(ray_session):
             rng.choice([1, 4]))
         got = bigram_top_counts(ds, "text", top_k=10_000).take_all()
         assert {r["bg"]: r["n"] for r in got} == dict(want)
+
+
+def test_bm25_topk_randomized_vs_python(ray_session):
+    from data_quality_framework_ray.pipelines.text_analysis import bm25_topk
+
+    rng = random.Random(25)
+    vocab = ["join", "vector", "window", "filler", "pad"]
+    for trial in range(4):
+        docs = []
+        for _ in range(rng.choice([1, 20, 120])):
+            k = rng.randrange(0, 12)
+            docs.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        terms = ["join", "vector", "window"]
+        # independent plain-Python BM25 (k1=1.2, b=0.75, Lucene idf)
+        toks = [d.split() for d in docs]
+        nd = len(docs)
+        sdl = sum(len(t) for t in toks)
+        avgdl = sdl / nd if nd else 0.0
+        dfs = [sum(1 for t in toks if term in t) for term in terms]
+        idfs = [math.log((nd - d + 0.5) / (d + 0.5) + 1.0) if d else 0.0
+                for d in dfs]
+        want = {}
+        for i, t in enumerate(toks):
+            s = 0.0
+            for term, idf in zip(terms, idfs):
+                tf = t.count(term)
+                if tf:
+                    s += idf * (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl)))
+            if s > 0.0:
+                want[i] = s
+        ds = _rd().from_items(
+            [{"doc_id": i, "text": d} for i, d in enumerate(docs)]
+        ).repartition(rng.choice([1, 4]))
+        got = bm25_topk(ds, "text", "doc_id", terms,
+                        top_k=10_000).take_all()
+        got_m = {r["doc_id"]: r["score"] for r in got}
+        assert set(got_m) == set(want)
+        for i, s in want.items():
+            assert got_m[i] == pytest.approx(s, rel=1e-12)
+
+    # empty corpus / no matching terms -> typed empty result
+    e = bm25_topk(_rd().from_items([{"doc_id": 1, "text": "pad pad"}]),
+                  "text", "doc_id", ["join"]).take_all()
+    assert e == []
