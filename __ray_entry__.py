@@ -1606,6 +1606,46 @@ def _q_audio_normalize(sf_dir: str):
     return _collect(out).sort_by("clip_id")
 
 
+def _q_audio_resample(sf_dir: str):
+    """Sample-rate standardization transform (linear-interp to 16 kHz,
+    re-encode pcm16): per-fragment tasks decode → interp → re-encode; only
+    per-clip scalars (sample counts, output RMS, byte length) leave the
+    stage. Gated in the harness by an independent audioop+np.interp
+    recomputation on sampled clips."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            out = A.resample_batch(t, sr_out=16000)
+            outs.append(pa.table({
+                "clip_id": out["clip_id"],
+                "in_samples": out["in_samples"],
+                "out_samples": out["out_samples"],
+                "out_rms": out["out_rms"],
+                "out_bytes": pc.fill_null(
+                    pc.binary_length(out["bytes"]), -1).cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return _collect(out).sort_by("clip_id")
+
+
 def _q_audio_trim(sf_dir: str):
     """Silence-trimming transform (energy-gate VAD bounds, standardize to
     pcm16): per-fragment tasks; per-clip scalars only. Gated in the harness
@@ -2365,6 +2405,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "unpivot": _q_unpivot,
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
+        "audio_resample": _q_audio_resample,
         "audio_dup_groups": _q_audio_dup_groups,
         "snapshot_diff": _q_snapshot_diff,
         "string_agg": _q_string_agg,

@@ -421,6 +421,69 @@ def _replace_payload(batch: pa.Table, out_bytes: list,
             .append_column("codec", pa.array(merged_c, type=pa.string())))
 
 
+def resample_batch(batch: pa.Table, *, sr_out: int = 16000) -> pa.Table:
+    """Sample-rate conversion to a uniform target rate (``resample_linear``
+    — one vectorized np.interp per clip) and STANDARDIZE to pcm16@sr_out:
+    the 'make the corpus one sample rate' preprocessing step before
+    feature extraction / ASR training. Per-row O(row) temporaries (same
+    memory contract as decode_stats).
+
+    Same pass-through contract as normalize_loudness_batch: rows that
+    cannot be decoded (null bytes, unknown codec, missing sr) keep their
+    original bytes/codec untouched; clips already at ``sr_out`` re-encode
+    to pcm16 without interpolation (resample_linear's identity path).
+
+    Output columns: ``bytes``/``codec`` (pcm16 where transformed),
+    ``sr_hz`` (= sr_out where transformed, original otherwise),
+    ``in_samples``/``out_samples`` (-1 where untouched), ``out_rms``
+    (double RMS of the resampled float signal; NaN where untouched or
+    empty — the cheap scalar a correctness gate can recompute
+    independently)."""
+    n = batch.num_rows
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    sr_np = np.asarray(batch["sr_hz"].to_pandas(), dtype=object)
+    out_bytes: list = [None] * n
+    touched = np.zeros(n, dtype=bool)
+    in_samples = np.full(n, -1, dtype=np.int64)
+    out_samples = np.full(n, -1, dtype=np.int64)
+    out_rms = np.full(n, np.nan, dtype=np.float64)
+
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        for i in range(len(offsets) - 1):
+            r = row_base + i
+            codec, sr = codec_np[r], sr_np[r]
+            # `sr != sr` catches NaN (null sr_hz arrives as float NaN via
+            # the pandas view) — `not NaN` is False, so it needs its own arm
+            if not valid[i] or codec not in CODEC_BPS or not sr or sr != sr:
+                continue  # undecodable: original payload passes through
+            pcm = _decode_span(data, int(offsets[i]), int(offsets[i + 1]),
+                               codec)
+            touched[r] = True
+            in_samples[r] = 0 if pcm is None else len(pcm)
+            if pcm is None or len(pcm) == 0:
+                out_bytes[r] = b""
+                out_samples[r] = 0
+                continue
+            y = resample_linear(pcm, int(sr), sr_out)
+            out_samples[r] = len(y)
+            if len(y):
+                out_rms[r] = float(np.sqrt(np.mean(
+                    np.square(y, dtype=np.float64))))
+            out_bytes[r] = encode_pcm16(y)
+        row_base += len(offsets) - 1
+
+    out = _replace_payload(batch, out_bytes, touched)
+    sr_col = np.asarray(
+        [sr_out if t else (int(s) if (s and s == s) else 0)
+         for s, t in zip(sr_np, touched)], dtype=np.int64)
+    out = out.drop_columns(["sr_hz"]) if "sr_hz" in out.column_names else out
+    return (out.append_column("sr_hz", pa.array(sr_col, type=pa.int64()))
+            .append_column("in_samples", pa.array(in_samples, type=pa.int64()))
+            .append_column("out_samples", pa.array(out_samples, type=pa.int64()))
+            .append_column("out_rms", pa.array(out_rms, type=pa.float64())))
+
+
 def trim_silence_batch(batch: pa.Table, *, threshold_db: float = -35.0,
                        sr_col: str = "sr_hz") -> pa.Table:
     """Strip leading/trailing silence using the SAME energy-gate framing as

@@ -255,6 +255,74 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} sampled gain/length ≡ "
                       f"audioop recomputation ({checked} clips) [{el:.1f}s]")
             continue
+        if name == "audio_resample":
+            # gate: sampled independent recomputation — audioop decode, a
+            # fresh np.interp over the target grid; out_samples must equal
+            # round(n·16000/sr), RMS within 1e-9, bytes == 2×out_samples
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(
+                fragment_paths(clips_dir)[0],
+                columns=["clip_id", "bytes", "codec", "sr_hz"])
+            by_id = {c: (i_n, o_n, r, ob) for c, i_n, o_n, r, ob in
+                     zip(got["clip_id"], got["in_samples"],
+                         got["out_samples"], got["out_rms"],
+                         got["out_bytes"])}
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                sr = t0_tbl["sr_hz"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw") \
+                        or not sr:
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = (_np.frombuffer(pcm_b, dtype="<i2")
+                     .astype(_np.float64) / 32768.0)
+                i_got, o_got, r_got, b_got = by_id[cid]
+                checked += 1
+                if len(x) == 0:
+                    if not (i_got == 0 and o_got == 0 and b_got == 0):
+                        bad += 1
+                    continue
+                if sr == 16000:
+                    y = x  # identity path: no interpolation
+                else:
+                    n_out = int(round(len(x) * 16000 / sr))
+                    y = _np.interp(
+                        _np.arange(n_out, dtype=_np.float64) * (sr / 16000.0),
+                        _np.arange(len(x), dtype=_np.float64), x)
+                want_rms = float(_np.sqrt(_np.mean(y ** 2))) if len(y) else None
+                ok = (i_got == len(x) and o_got == len(y)
+                      and b_got == 2 * len(y))
+                if want_rms is not None:
+                    # engine RMS is over float32-rounded samples; the fresh
+                    # float64 recompute differs by the quantization, bounded
+                    ok = ok and r_got is not None \
+                        and abs(r_got - want_rms) < 1e-6
+                if not ok:
+                    bad += 1
+            if checked < 10 or bad:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips diverge "
+                      "from independent resample recomputation")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled counts/RMS ≡ "
+                      f"np.interp recomputation ({checked} clips) [{el:.1f}s]")
+            continue
         if name == "audio_trim":
             # gate: sampled independent recomputation of the VAD bounds via
             # the engine-independent frame loop (same as speech_ratio's gate)

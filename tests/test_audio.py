@@ -380,3 +380,50 @@ def test_binary_column_buffers_rejects_non_binary():
     arr = pa.array([b"abcd", b"efgh"], type=pa.binary(4))  # fixed-size
     with pytest.raises(TypeError):
         A.binary_column_buffers(arr)
+
+
+def test_resample_batch_contract():
+    """Pass-through for undecodable/NaN-sr rows; identity path at the
+    target rate; counts/RMS/bytes consistent with a fresh np.interp."""
+    t = _mixed_clip_table()
+    srs = []
+    for i in range(t.num_rows):
+        srs.append([8000, 16000, 22050, None][i % 4])
+    t = t.append_column("sr_hz", pa.array(
+        [float(s) if s else None for s in srs], type=pa.float64()))
+    out = A.resample_batch(t, sr_out=16000)
+    assert out.num_rows == t.num_rows
+    dec = A.decode_rows(t["bytes"], t["codec"])
+    for r in range(t.num_rows):
+        codec = t["codec"][r].as_py()
+        sr = srs[r]
+        x = dec[r]
+        o_codec = out["codec"][r].as_py()
+        if x is None or not sr:
+            # untouched: original payload and codec, sentinel stats
+            assert o_codec == codec
+            assert out["bytes"][r].as_py() == t["bytes"][r].as_py()
+            assert out["in_samples"][r].as_py() == -1
+            assert out["out_samples"][r].as_py() == -1
+            continue
+        assert o_codec == "pcm16"
+        assert out["in_samples"][r].as_py() == len(x)
+        if len(x) == 0:
+            assert out["out_samples"][r].as_py() == 0
+            assert out["bytes"][r].as_py() == b""
+            continue
+        if sr == 16000:
+            y = np.asarray(x, dtype=np.float64)  # identity: no interp
+        else:
+            n_out = int(round(len(x) * 16000 / sr))
+            y = np.interp(np.arange(n_out) * (sr / 16000.0),
+                          np.arange(len(x), dtype=np.float64),
+                          np.asarray(x, dtype=np.float64))
+        assert out["out_samples"][r].as_py() == len(y)
+        b = out["bytes"][r].as_py()
+        assert len(b) == 2 * len(y)
+        got_rms = out["out_rms"][r].as_py()
+        want_rms = float(np.sqrt(np.mean(y ** 2)))
+        assert abs(got_rms - want_rms) < 1e-6  # float32 quantization slack
+        # output sample rate column standardized where touched
+        assert out["sr_hz"][r].as_py() == 16000
