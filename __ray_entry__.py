@@ -2251,6 +2251,55 @@ def _q_grouped_mad(sf_dir: str):
     return grouped_mad(ds, "l_returnflag", "l_extendedprice")
 
 
+def _q_join_outer(sf_dir: str):
+    """Left-outer join with genuinely-null probe rows: per-customer 1998+
+    order counts, customers with no such orders keep a 0. The order side is
+    pre-aggregated to one row per key BEFORE the join (partial counts →
+    groupby-sum), so the shuffle carries (custkey, n) pairs, never order
+    rows."""
+    import datetime as dt
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from data_quality_framework_ray.pipelines.joins import hash_join
+
+    cutoff = pa.scalar(dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], cutoff))
+        return (pl.from_arrow(t.select(["o_custkey"]))
+                .group_by("o_custkey").agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_arrow())
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.joins import broadcast_hash_join
+
+    agg = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    # house cardinality switch: the aggregate side is one row per customer
+    # with recent orders — broadcast it below the limit (the Ray hash join's
+    # aggregator-actor spawn dwarfs this probe at small-to-medium keys);
+    # above it, the partitioned join path is unchanged
+    if agg.count() <= config.BROADCAST_DUP_LIMIT:
+        small = _collect(agg)
+        j = broadcast_hash_join(cust, small, "c_custkey", "o_custkey",
+                                how="left")
+    else:
+        j = hash_join(cust, agg, on="c_custkey", right_on="o_custkey",
+                      join_type="left_outer")
+    t = _collect(j)
+    n = pc.coalesce(t["n"] if "n" in t.column_names else
+                    pa.nulls(t.num_rows, pa.int64()), pa.scalar(0, pa.int64()))
+    return (pa.table({"c_custkey": t["c_custkey"], "n_orders": n})
+            .sort_by("c_custkey"))
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 relevance top-10 for a fixed query-term set (doc-length
     normalized; Lucene idf). Exact double parity with the SQL oracle: int
@@ -2289,7 +2338,7 @@ ROTATED_FIRST = [
     "dedup_embedding_incremental",  # new in round 5 (vector index)
     # new in round 5 continuation session: no driver row yet
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
-    "bigram_freq", "bm25_topk",
+    "bigram_freq", "bm25_topk", "join_outer",
 ]
 
 
@@ -2388,6 +2437,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": _q_grouped_mad,
         "bigram_freq": _q_bigram_freq,
         "bm25_topk": _q_bm25_topk,
+        "join_outer": _q_join_outer,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -2991,6 +3041,12 @@ def oracle_sql() -> dict[str, str]:
             "  quantile_disc(abs(l_extendedprice - m), 0.5) AS mad"
             " FROM lineitem JOIN med ON l_returnflag = k"
             " GROUP BY k ORDER BY k"),
+        "join_outer": (
+            "SELECT c_custkey, coalesce(n, 0) AS n_orders"
+            " FROM customer LEFT JOIN ("
+            "  SELECT o_custkey, count(*) AS n FROM orders"
+            "  WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)"
+            " ON c_custkey = o_custkey ORDER BY c_custkey"),
         "bm25_topk": (
             # same expression shapes as bm25_topk's numerics contract:
             # (1.2 + 1.0) not 2.2 so both sides constant-fold identically;

@@ -186,3 +186,38 @@ def test_heavy_hitters_randomized_zipf_vs_counter(ray_session):
         # prefix (value ties at the k-th count are resolved by value asc on
         # both sides, so exact tuple equality holds)
         assert got == want, (trial, got[:5], want[:5])
+
+
+def test_left_outer_broadcast_vs_hash_join_randomized(ray_session):
+    """The two left-outer paths (broadcast polars lookup vs Ray's
+    partitioned hash join) must agree row-for-row, including unmatched
+    left rows (null payload) and duplicate right keys (fan-out)."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.joins import (
+        broadcast_hash_join, hash_join)
+
+    rng = random.Random(31)
+    for trial in range(4):
+        nl = rng.choice([1, 20, 200])
+        nr = rng.choice([0, 5, 50])
+        lt = pa.table({"k": pa.array([rng.randrange(12) for _ in range(nl)],
+                                     pa.int64()),
+                       "lv": pa.array(range(nl), pa.int64())})
+        rt = pa.table({"rk": pa.array([rng.randrange(12) for _ in range(nr)],
+                                      pa.int64()),
+                       "rv": pa.array(range(nr), pa.int64())})
+        left = rd.from_arrow(lt).repartition(rng.choice([1, 3]))
+        got_b = broadcast_hash_join(left, rt, "k", "rk", how="left").take_all()
+        got_h = hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                          on="k", right_on="rk",
+                          join_type="left_outer").take_all()
+
+        def norm(rows):
+            return sorted((r["k"], r["lv"], r.get("rv")) for r in rows)
+
+        assert norm(got_b) == norm(got_h)
+        want = duckdb.sql(
+            "SELECT k, lv, rv FROM lt LEFT JOIN rt ON k = rk"
+        ).fetchall()
+        assert norm(got_b) == sorted(want)
