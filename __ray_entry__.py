@@ -2187,6 +2187,18 @@ def _q_approx_quantiles(sf_dir: str):
                      "est": pa.array([v for _, v in res], type=pa.float64())})
 
 
+def _q_approx_distinct_grouped(sf_dir: str):
+    """Per-group HLL distinct estimate (groups × 4 KiB of registers cross
+    the wire, never values — the scale path beside the exact
+    count_distinct_grouped). Harness gates rel err ≤ 5% per group vs exact
+    plus determinism."""
+    from data_quality_framework_ray.functions.sketches import \
+        grouped_approx_distinct
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+    return grouped_approx_distinct(ds, "o_orderstatus", "o_custkey")
+
+
 def _q_pack_chunks(sf_dir: str):
     """Sequence packing (concat-then-chunk): pack_id = exclusive prefix sum
     of whitespace-token counts // 2048, computed distributed via range
@@ -2438,6 +2450,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "bigram_freq": _q_bigram_freq,
         "bm25_topk": _q_bm25_topk,
         "join_outer": _q_join_outer,
+        "approx_distinct_grouped": _q_approx_distinct_grouped,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,

@@ -96,6 +96,75 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return hll_estimate(hll_merge(parts))
 
 
+def grouped_approx_distinct(ds, key: str, col: str, p: int = 12):
+    """PER-GROUP approximate distinct counts: each batch emits one
+    (key, registers) row per key it sees (2^p bytes of uint8 registers —
+    the blob, never the values, crosses the wire); register merge is a
+    positionwise MAX per key. Under ``PARTIAL_FOLD_LIMIT`` partial rows the
+    merge is one driver pass; above it, a distributed ``groupby(key)
+    .map_groups`` merge runs first and only the merged per-key registers
+    reach the driver — the same bounded-fold discipline as
+    stats._fold_partials (which cannot be reused directly: it SUMS, HLL
+    merges by max). Returns a pyarrow Table (key, approx) sorted by key.
+
+    This is the scale path for count-distinct-per-group when the exact
+    distinct-row shuffle (count_distinct_grouped) is too wide: cost is
+    groups × 4 KiB regardless of value cardinality."""
+    import polars as pl
+
+    from data_quality_framework_ray import config
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, col]))
+        keys, blobs = [], []
+        # group count per batch is small (enum-ish keys); hll_partial is
+        # vectorized over each group's values
+        for (kv,), g in df.group_by(key):
+            keys.append(kv)
+            blobs.append(hll_partial(g[col].to_arrow(), p=p).tobytes())
+        return pa.table({key: keys, "regs": pa.array(blobs, pa.binary())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+
+    def merge_rows(t: pa.Table) -> dict[object, np.ndarray]:
+        out: dict[object, np.ndarray] = {}
+        kvs = t[key].to_pylist()
+        for kv, blob in zip(kvs, t["regs"].to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            cur = out.get(kv)
+            out[kv] = r.copy() if cur is None else np.maximum(cur, r)
+        return out
+
+    if parts.count() <= config.PARTIAL_FOLD_LIMIT:
+        from data_quality_framework_ray.pipelines.exchange import collect_blocks
+        tabs, schema = collect_blocks(parts)
+        merged: dict[object, np.ndarray] = {}
+        for t in tabs:
+            for kv, r in merge_rows(t).items():
+                cur = merged.get(kv)
+                merged[kv] = r if cur is None else np.maximum(cur, r)
+    else:
+        def per_key(g: pa.Table) -> pa.Table:
+            m = merge_rows(g)
+            ((kv, r),) = m.items()
+            return pa.table({key: [kv],
+                             "regs": pa.array([r.tobytes()], pa.binary())})
+
+        merged_ds = parts.groupby(key).map_groups(per_key,
+                                                  batch_format="pyarrow")
+        merged = {r[key]: np.frombuffer(r["regs"], dtype=np.uint8)
+                  for r in merged_ds.take_all()}
+
+    rows = [{key: kv, "approx": float(hll_estimate(r))}
+            for kv, r in sorted(merged.items())]
+    if not rows:
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
+                         "approx": pa.array([], type=pa.float64())})
+    return pa.Table.from_pylist(rows)
+
+
 # ---------------- bottom-k quantile sketch (mergeable uniform sample) ----------------
 
 def _bottom_k_rows(h: np.ndarray, v: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

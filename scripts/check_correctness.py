@@ -549,6 +549,25 @@ def main() -> None:
                 print(f"ok   {name}: approx={approx:.0f} exact={exact} "
                       f"rel_err={rel:.3f} [{el:.1f}s]")
             continue
+        if name == "approx_distinct_grouped":
+            exact = dict(con.execute(
+                "SELECT o_orderstatus, count(DISTINCT o_custkey)"
+                " FROM orders GROUP BY 1").fetchall())
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            keys = set(got["o_orderstatus"])
+            worst = 0.0
+            for _, r in got.iterrows():
+                ex = exact[r["o_orderstatus"]]
+                worst = max(worst, abs(float(r["approx"]) - ex) / max(ex, 1))
+            if keys != set(exact) or worst > 0.05 or not det:
+                print(f"FAIL {name}: keys={keys == set(exact)} worst rel "
+                      f"err {worst:.3f} det={det}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {len(keys)} groups, worst rel_err "
+                      f"{worst:.3f}, deterministic [{el:.1f}s]")
+            continue
         if name == "approx_quantiles":
             # gate: rank error of each estimate vs the exact DuckDB CDF
             # ≤ 2% (sketch bound ~0.6% at k=8192), plus determinism

@@ -581,3 +581,38 @@ def test_bm25_topk_randomized_vs_python(ray_session):
     e = bm25_topk(_rd().from_items([{"doc_id": 1, "text": "pad pad"}]),
                   "text", "doc_id", ["join"]).take_all()
     assert e == []
+
+
+def test_grouped_approx_distinct_paths_and_accuracy(ray_session):
+    """Driver fold and distributed map_groups merge must produce IDENTICAL
+    estimates (register max is associative/commutative); estimates within
+    the HLL error bound of exact."""
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.functions.sketches import \
+        grouped_approx_distinct
+
+    rng = random.Random(33)
+    rows = [{"g": f"g{rng.randrange(3)}", "v": rng.randrange(5000)}
+            for _ in range(20_000)]
+    ds = _rd().from_items(rows).repartition(4)
+    a = grouped_approx_distinct(ds, "g", "v").to_pylist()
+    old = config.PARTIAL_FOLD_LIMIT
+    config.PARTIAL_FOLD_LIMIT = 0  # force the distributed merge path
+    try:
+        b = grouped_approx_distinct(
+            _rd().from_items(rows).repartition(4), "g", "v").to_pylist()
+    finally:
+        config.PARTIAL_FOLD_LIMIT = old
+    assert a == b  # bit-identical merged registers -> identical estimates
+    exact = collections.defaultdict(set)
+    for r in rows:
+        exact[r["g"]].add(r["v"])
+    for r in a:
+        ex = len(exact[r["g"]])
+        assert abs(r["approx"] - ex) / ex < 0.05
+
+    # empty input -> typed empty
+    e = grouped_approx_distinct(
+        _rd().from_items([{"g": "x", "v": 1}]).filter(lambda r: False),
+        "g", "v")
+    assert e.num_rows == 0 and e.column_names == ["g", "approx"]
