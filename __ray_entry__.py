@@ -2187,6 +2187,52 @@ def _q_approx_quantiles(sf_dir: str):
                      "est": pa.array([v for _, v in res], type=pa.float64())})
 
 
+def _q_iqr_outliers(sf_dir: str):
+    """Per-group Tukey-fence (1.5×IQR) outlier counts — the quantile-based
+    sibling of zscore_outliers; fences share the oracle's expression
+    shape."""
+    from data_quality_framework_ray.pipelines.stats import grouped_iqr_outliers
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_iqr_outliers(ds, "l_returnflag", "l_extendedprice")
+
+
+def _q_weighted_avg(sf_dir: str):
+    """Per-group quantity-weighted average price from EXACT int64 cents
+    partials; one double division per group in the oracle's shape."""
+    from data_quality_framework_ray.pipelines.stats import grouped_weighted_avg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_avg(ds, "l_returnflag", "l_extendedprice",
+                                "l_quantity")
+
+
+def _q_percent_rank(sf_dir: str):
+    """Window percent_rank per event_type over (ts, event_id) — the tie
+    order is total, so rank = row_number and percent_rank = (rn−1)/(n−1)
+    (0.0 for single-row groups, DuckDB convention). One polars sort per
+    GROUP (map_groups), ints only until the final division."""
+    import polars as pl
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g).sort(["ts", "event_id"])
+              .with_columns(pl.int_range(0, pl.len()).alias("rn0")))
+        n = df.height
+        df = df.with_columns(
+            (pl.col("rn0").cast(pl.Float64) / (n - 1) if n > 1
+             else pl.lit(0.0)).alias("pr")).drop("rn0")
+        return df.select(["event_type", "event_id", "pr"]).to_arrow()
+
+    out = ds.groupby("event_type").map_groups(per_group,
+                                              batch_format="pyarrow")
+    return _collect(out).sort_by([("event_type", "ascending"),
+                                  ("event_id", "ascending")])
+
+
 def _q_approx_distinct_grouped(sf_dir: str):
     """Per-group HLL distinct estimate (groups × 4 KiB of registers cross
     the wire, never values — the scale path beside the exact
@@ -2350,7 +2396,8 @@ ROTATED_FIRST = [
     "dedup_embedding_incremental",  # new in round 5 (vector index)
     # new in round 5 continuation session: no driver row yet
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
-    "bigram_freq", "bm25_topk", "join_outer",
+    "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
+    "weighted_avg", "percent_rank",
 ]
 
 
@@ -2451,6 +2498,9 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "join_outer": _q_join_outer,
         "approx_distinct_grouped": _q_approx_distinct_grouped,
+        "iqr_outliers": _q_iqr_outliers,
+        "weighted_avg": _q_weighted_avg,
+        "percent_rank": _q_percent_rank,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3054,6 +3104,33 @@ def oracle_sql() -> dict[str, str]:
             "  quantile_disc(abs(l_extendedprice - m), 0.5) AS mad"
             " FROM lineitem JOIN med ON l_returnflag = k"
             " GROUP BY k ORDER BY k"),
+        "iqr_outliers": (
+            "WITH q AS (SELECT l_returnflag AS k,"
+            "  quantile_disc(l_extendedprice, 0.25) AS q1,"
+            "  quantile_disc(l_extendedprice, 0.75) AS q3"
+            "  FROM lineitem GROUP BY 1)"
+            " SELECT k AS l_returnflag,"
+            "  count(*) FILTER (l_extendedprice < q1 - 1.5*(q3-q1)"
+            "   OR l_extendedprice > q3 + 1.5*(q3-q1)) AS n_outliers,"
+            "  count(*) AS n"
+            " FROM lineitem JOIN q ON l_returnflag = k"
+            " GROUP BY k ORDER BY k"),
+        "weighted_avg": (
+            # same expression shape as stats.grouped_weighted_avg: exact
+            # hugeint cents*weight sums, then double(cw)/100.0/sw
+            "WITH s AS (SELECT l_returnflag AS k,"
+            "  sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+            "      * CAST(l_quantity AS BIGINT)) AS cw,"
+            "  sum(CAST(l_quantity AS BIGINT)) AS sw"
+            "  FROM lineitem GROUP BY 1)"
+            " SELECT k AS l_returnflag,"
+            "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
+            " FROM s ORDER BY k"),
+        "percent_rank": (
+            "SELECT event_type, event_id,"
+            " percent_rank() OVER (PARTITION BY event_type"
+            "  ORDER BY ts, event_id) AS pr"
+            " FROM events ORDER BY event_type, event_id"),
         "join_outer": (
             "SELECT c_custkey, coalesce(n, 0) AS n_orders"
             " FROM customer LEFT JOIN ("

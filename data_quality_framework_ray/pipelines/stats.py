@@ -443,6 +443,88 @@ def grouped_mad(ds, key: str, col: str):
     return t
 
 
+def grouped_iqr_outliers(ds, key: str, col: str, k: float = 1.5):
+    """Per-group Tukey-fence outlier counts: q1/q3 from ONE
+    ``grouped_quantiles_counts`` pass (discrete quantiles — SQL
+    ``quantile_disc`` parity), fences lo = q1 − k·(q3−q1) /
+    hi = q3 + k·(q3−q1) computed in the same double expression shape as
+    the SQL oracle, then a streaming count of rows outside the broadcast
+    fences (count partials fold bounded). Two passes, shuffles carry
+    (key, value) counts and (key, n) partials only. Returns a pyarrow
+    Table (key, n_outliers, n) sorted by key."""
+    import polars as pl
+    import ray
+
+    qs = grouped_quantiles_counts(ds, key, col, [0.25, 0.75])
+    by_key: dict = {}
+    for r in qs.take_all():
+        by_key.setdefault(r[key], {})[r["p"]] = float(r["value"])
+    if not by_key:
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        i64 = pa.array([], type=pa.int64())
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
+                         "n_outliers": i64, "n": i64})
+    fences = {}
+    for kv, ps in by_key.items():
+        q1, q3 = ps[0.25], ps[0.75]
+        fences[kv] = (q1 - k * (q3 - q1), q3 + k * (q3 - q1))
+    ref = ray.put(fences)
+
+    def count_out(t: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        df = pl.from_arrow(t.select([key, col])).drop_nulls()
+        lo = pl.col(key).replace_strict({kv: v[0] for kv, v in f.items()},
+                                        return_dtype=pl.Float64)
+        hi = pl.col(key).replace_strict({kv: v[1] for kv, v in f.items()},
+                                        return_dtype=pl.Float64)
+        x = pl.col(col).cast(pl.Float64)
+        return (df.group_by(key)
+                .agg(n_outliers=((x < lo) | (x > hi)).sum().cast(pl.Int64),
+                     n=pl.len().cast(pl.Int64))
+                .to_arrow())
+
+    out = _fold_partials(
+        ds.map_batches(count_out, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key], ["n_outliers", "n"]).sort(key)
+    return out.to_arrow()
+
+
+def grouped_weighted_avg(ds, key: str, col: str, weight_col: str):
+    """Per-group weighted average of a 2-decimal money column weighted by an
+    integer column, EXACT: per-batch int64 partials Σ(cents·w) and Σw (cents
+    via half-away-from-zero rounding — the same convention every money query
+    and oracle uses), bounded fold, then ONE double division per group in
+    the oracle's expression shape (double(Σcw)/100.0/double(Σw)). int64
+    bound: max cents·w ≈ 5e8/row → exact to ~1.8e10 rows per fold cell;
+    widen to Python-int folding beyond. Returns (key, wavg) sorted by key."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, col, weight_col])).drop_nulls()
+        cents = ((pl.col(col) * 100).round(0, mode="half_away_from_zero")
+                 .cast(pl.Int64))
+        w = pl.col(weight_col).cast(pl.Int64)
+        return (df.group_by(key)
+                .agg(cw=(cents * w).sum(), sw=w.sum())
+                .to_arrow())
+
+    folded = _fold_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key], ["cw", "sw"])
+    rows = [{key: r[key],
+             "wavg": float(r["cw"]) / 100.0 / float(r["sw"])
+             if r["sw"] else float("nan")}
+            for r in sorted(folded.iter_rows(named=True),
+                            key=lambda r: r[key])]
+    if not rows:
+        from data_quality_framework_ray.pipelines.exchange import schema_map
+        return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
+                         "wavg": pa.array([], type=pa.float64())})
+    return pa.Table.from_pylist(rows)
+
+
 def histogram_fixed(ds, col: str, width: float, origin: float = 0.0):
     """Fixed-width histogram: bin = floor((x − origin) / width), per-batch
     partial counts folded on the driver (bin cardinality ≈ range/width, tiny

@@ -616,3 +616,51 @@ def test_grouped_approx_distinct_paths_and_accuracy(ray_session):
         _rd().from_items([{"g": "x", "v": 1}]).filter(lambda r: False),
         "g", "v")
     assert e.num_rows == 0 and e.column_names == ["g", "approx"]
+
+
+def test_iqr_outliers_randomized_vs_duckdb(ray_session):
+    from data_quality_framework_ray.pipelines.stats import grouped_iqr_outliers
+
+    rng = random.Random(41)
+    for trial in range(5):
+        n = rng.choice([1, 4, 80, 400])
+        t = pa.table({
+            "g": pa.array([f"g{rng.randrange(3)}" for _ in range(n)]),
+            "v": pa.array([round(rng.uniform(0, 50), 2)
+                           if rng.random() > 0.2 else rng.uniform(200, 900)
+                           for _ in range(n)], pa.float64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = grouped_iqr_outliers(ds, "g", "v").to_pylist()
+        want = duckdb.sql("""
+            WITH q AS (SELECT g AS k, quantile_disc(v, 0.25) AS q1,
+                quantile_disc(v, 0.75) AS q3 FROM t GROUP BY 1)
+            SELECT k, count(*) FILTER (v < q1 - 1.5*(q3-q1)
+                OR v > q3 + 1.5*(q3-q1)) AS n_outliers, count(*) AS n
+            FROM t JOIN q ON g = k GROUP BY k ORDER BY k
+        """).fetchall()
+        assert [(r["g"], r["n_outliers"], r["n"]) for r in got] == want
+
+
+def test_weighted_avg_randomized_vs_duckdb(ray_session):
+    from data_quality_framework_ray.pipelines.stats import grouped_weighted_avg
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.choice([1, 3, 70, 350])
+        t = pa.table({
+            "g": pa.array([f"g{rng.randrange(3)}" for _ in range(n)]),
+            "price": pa.array([round(rng.uniform(1, 9000), 2)
+                               for _ in range(n)], pa.float64()),
+            "w": pa.array([rng.randrange(1, 51) for _ in range(n)],
+                          pa.float64())})
+        ds = _rd().from_arrow(t).repartition(rng.choice([1, 4]))
+        got = {r["g"]: r["wavg"] for r in
+               grouped_weighted_avg(ds, "g", "price", "w").to_pylist()}
+        want = duckdb.sql("""
+            WITH s AS (SELECT g, sum(CAST(round(price*100) AS BIGINT)
+                * CAST(w AS BIGINT)) AS cw, sum(CAST(w AS BIGINT)) AS sw
+              FROM t GROUP BY 1)
+            SELECT g, CAST(cw AS DOUBLE)/100.0/sw FROM s ORDER BY g
+        """).fetchall()
+        for g, w in want:
+            assert got[g] == w  # bit-exact
