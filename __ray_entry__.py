@@ -999,6 +999,54 @@ def _q_sessionize(sf_dir: str):
     return _collect(out).sort_by("user_id")
 
 
+def _q_funnel_stages(sf_dir: str):
+    """Ordered-sequence funnel (view → click strictly after → purchase
+    strictly after): hash-partition by user (complete users per partition,
+    same exchange shape as sessionize), ONE vectorized polars pass per
+    PARTITION computing each user's stage timestamps via filtered mins +
+    two bounded joins, then a 3-int partial row per partition summed on the
+    driver. Python runs O(partitions), never O(users); only stage counts
+    cross the wire."""
+    import polars as pl
+    import pyarrow as pa
+
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array((uid % P).astype("int64")))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part).select(["user_id", "event_type", "ts"])
+        g0 = df.group_by("user_id").agg(
+            t0=pl.col("ts").filter(pl.col("event_type") == "view").min())
+        g1 = (df.join(g0, on="user_id").group_by("user_id")
+              .agg(t1=pl.col("ts").filter(
+                  (pl.col("event_type") == "click")
+                  & (pl.col("ts") > pl.col("t0"))).min()))
+        g2 = (df.join(g1, on="user_id").group_by("user_id")
+              .agg(t2=pl.col("ts").filter(
+                  (pl.col("event_type") == "purchase")
+                  & (pl.col("ts") > pl.col("t1"))).min()))
+        return pa.table({
+            "n_view": pa.array([int(g0["t0"].is_not_null().sum())], pa.int64()),
+            "n_click": pa.array([int(g1["t1"].is_not_null().sum())], pa.int64()),
+            "n_purchase": pa.array([int(g2["t2"].is_not_null().sum())],
+                                   pa.int64())})
+
+    parts = (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+             .take_all())
+    n = {k: sum(r[k] for r in parts)
+         for k in ("n_view", "n_click", "n_purchase")}
+    return pa.table({
+        "stage": pa.array(["1_view", "2_click", "3_purchase"]),
+        "n_users": pa.array([n["n_view"], n["n_click"], n["n_purchase"]],
+                            pa.int64())})
+
+
 def _q_top_tokens(sf_dir: str):
     """The canonical flat_map/word-count: explode tokens (vectorized polars
     explode per batch, i.e. flat_map without per-row Python), partial counts,
@@ -2397,7 +2445,7 @@ ROTATED_FIRST = [
     # new in round 5 continuation session: no driver row yet
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
-    "weighted_avg", "percent_rank",
+    "weighted_avg", "percent_rank", "funnel_stages",
 ]
 
 
@@ -2501,6 +2549,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers": _q_iqr_outliers,
         "weighted_avg": _q_weighted_avg,
         "percent_rank": _q_percent_rank,
+        "funnel_stages": _q_funnel_stages,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3126,6 +3175,22 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "funnel_stages": (
+            "WITH v AS (SELECT user_id, min(ts) AS t0 FROM events"
+            "  WHERE event_type = 'view' GROUP BY 1),"
+            " c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e"
+            "  JOIN v USING (user_id)"
+            "  WHERE e.event_type = 'click' AND e.ts > v.t0"
+            "  GROUP BY e.user_id),"
+            " p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e"
+            "  JOIN c USING (user_id)"
+            "  WHERE e.event_type = 'purchase' AND e.ts > c.t1"
+            "  GROUP BY e.user_id)"
+            " SELECT * FROM ("
+            "  SELECT '1_view' AS stage, count(*) AS n_users FROM v"
+            "  UNION ALL SELECT '2_click', count(*) FROM c"
+            "  UNION ALL SELECT '3_purchase', count(*) FROM p)"
+            " ORDER BY stage"),
         "percent_rank": (
             "SELECT event_type, event_id,"
             " percent_rank() OVER (PARTITION BY event_type"

@@ -664,3 +664,54 @@ def test_weighted_avg_randomized_vs_duckdb(ray_session):
         """).fetchall()
         for g, w in want:
             assert got[g] == w  # bit-exact
+
+
+def test_funnel_stages_randomized_vs_duckdb(ray_session):
+    """Funnel over random event sequences (incl. users who click BEFORE
+    their first view — must not count) vs the DuckDB correlated oracle."""
+    import __ray_entry__ as m
+
+    rng = random.Random(51)
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for _ in range(rng.choice([1, 30, 120])):
+            uid = rng.randrange(25)
+            for _ in range(rng.randrange(1, 8)):
+                rows.append({
+                    "event_id": eid,
+                    "ts": dt.datetime(2024, 1, 1) + dt.timedelta(
+                        seconds=rng.randrange(100_000)),
+                    "user_id": uid,
+                    "event_type": rng.choice(
+                        ["view", "click", "purchase", "error", "signup"]),
+                    "value": 1.0, "props": "{}"})
+                eid += 1
+        t = pa.Table.from_pylist(rows)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            got = m._q_funnel_stages(d).to_pylist()
+        want = duckdb.sql("""
+            WITH v AS (SELECT user_id, min(ts) AS t0 FROM t
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t1 FROM t e
+              JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t0
+              GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t2 FROM t e
+              JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t1
+              GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT '1_view' AS stage, count(*) AS n FROM v
+              UNION ALL SELECT '2_click', count(*) FROM c
+              UNION ALL SELECT '3_purchase', count(*) FROM p)
+            ORDER BY stage
+        """).fetchall()
+        assert [(r["stage"], r["n_users"]) for r in got] == want
