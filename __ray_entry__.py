@@ -1047,6 +1047,50 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    as active per day-offset (0..7). Hash-partitioned by user — complete
+    users per partition makes per-partition DISTINCT (user, cohort, offset)
+    globally correct, so only (cohort, offset, n) count partials cross the
+    wire; the bounded fold sums them."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array((uid % P).astype("int64")))
+
+    def per_part(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).select(["user_id", "ts"])
+              .with_columns(pl.col("ts").dt.truncate("1d")
+                            .cast(pl.Date).alias("day")))
+        df = df.with_columns(
+            pl.col("day").min().over("user_id").alias("cohort"))
+        df = (df.with_columns(((pl.col("day") - pl.col("cohort"))
+                               .dt.total_days().cast(pl.Int64))
+                              .alias("off_days"))
+              .filter(pl.col("off_days") <= 7)
+              .unique(subset=["user_id", "cohort", "off_days"])
+              .group_by(["cohort", "off_days"])
+              .agg(pl.len().cast(pl.Int64).alias("n_users")))
+        return df.to_arrow()
+
+    parts = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("__part").map_groups(per_part, batch_format="pyarrow"))
+    folded = _fold_partials(parts, ["cohort", "off_days"], ["n_users"])
+    if folded.height == 0:
+        return pa.table({"cohort": pa.array([], pa.date32()),
+                         "off_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    return folded.sort(["cohort", "off_days"]).to_arrow()
+
+
 def _q_top_tokens(sf_dir: str):
     """The canonical flat_map/word-count: explode tokens (vectorized polars
     explode per batch, i.e. flat_map without per-row Python), partial counts,
@@ -2445,7 +2489,7 @@ ROTATED_FIRST = [
     # new in round 5 continuation session: no driver row yet
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
-    "weighted_avg", "percent_rank", "funnel_stages",
+    "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
 ]
 
 
@@ -2550,6 +2594,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": _q_weighted_avg,
         "percent_rank": _q_percent_rank,
         "funnel_stages": _q_funnel_stages,
+        "cohort_retention": _q_cohort_retention,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3175,6 +3220,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "cohort_retention": (
+            "WITH f AS (SELECT user_id,"
+            "  CAST(date_trunc('day', min(ts)) AS DATE) AS cohort"
+            "  FROM events GROUP BY 1),"
+            " a AS (SELECT DISTINCT e.user_id, f.cohort,"
+            "  date_diff('day', f.cohort,"
+            "   CAST(date_trunc('day', e.ts) AS DATE)) AS off_days"
+            "  FROM events e JOIN f USING (user_id))"
+            " SELECT cohort, off_days, count(*) AS n_users FROM a"
+            " WHERE off_days <= 7 GROUP BY 1, 2 ORDER BY 1, 2"),
         "funnel_stages": (
             "WITH v AS (SELECT user_id, min(ts) AS t0 FROM events"
             "  WHERE event_type = 'view' GROUP BY 1),"

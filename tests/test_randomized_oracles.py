@@ -715,3 +715,41 @@ def test_funnel_stages_randomized_vs_duckdb(ray_session):
             ORDER BY stage
         """).fetchall()
         assert [(r["stage"], r["n_users"]) for r in got] == want
+
+
+def test_cohort_retention_randomized_vs_duckdb(ray_session):
+    import __ray_entry__ as m
+
+    rng = random.Random(52)
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    for trial in range(3):
+        rows = []
+        for eid in range(rng.choice([1, 60, 300])):
+            rows.append({
+                "event_id": eid,
+                "ts": dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=rng.randrange(20 * 86_400)),
+                "user_id": rng.randrange(20),
+                "event_type": "view", "value": 1.0, "props": "{}"})
+        t = pa.Table.from_pylist(rows)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            got = m._q_cohort_retention(d).to_pylist()
+        want = duckdb.sql("""
+            WITH f AS (SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+              FROM t GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+               date_diff('day', f.cohort,
+                CAST(date_trunc('day', e.ts) AS DATE)) AS off_days
+              FROM t e JOIN f USING (user_id))
+            SELECT cohort, off_days, count(*) AS n FROM a
+            WHERE off_days <= 7 GROUP BY 1, 2 ORDER BY 1, 2
+        """).fetchall()
+        assert [(r["cohort"], r["off_days"], r["n_users"]) for r in got] \
+            == want
