@@ -1047,6 +1047,20 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (k=8, 5
+    iterations): centroids broadcast per iteration, per-batch matmul
+    assignment + (n, Σvec) partials, driver folds k·d numbers in a FIXED
+    order — rows never shuffle. RNG-free init (k smallest vec_ids) so the
+    harness's plain-numpy oracle replays the identical algorithm; gated on
+    exact per-cluster counts, inertia agreement and run-twice
+    determinism."""
+    from data_quality_framework_ray.pipelines.similarity import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_lloyd(ds, "embedding", "vec_id", k=8, iters=5)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity day, counted
     as active per day-offset (0..7). Hash-partitioned by user — complete
@@ -2595,6 +2609,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
+        "kmeans_clusters": _q_kmeans_clusters,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,

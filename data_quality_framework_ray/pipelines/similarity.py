@@ -323,3 +323,100 @@ def pq_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
         (float(qn[q] @ by_id[i]) for q, i in zip(qid, cids)),
         dtype=np.float64, count=len(qid))  # nq·kr pairs — tiny by contract
     return _rank_topk(qid, cids, exact, k)
+
+
+def kmeans_lloyd(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 8, iters: int = 5):
+    """DISTRIBUTED Lloyd's k-means over the full embedding column — the
+    iterative-algorithm pattern: per iteration, centroids are broadcast
+    (``ray.put`` once), each batch computes assignments with ONE matmul and
+    emits per-cluster (n, Σvec) partials, and the driver folds k·d numbers —
+    data rows never shuffle, per-iteration traffic is O(k·d·batches).
+
+    Determinism contract: initial centroids are the vectors of the k
+    smallest ``id_col`` values (reproducible by any oracle with no RNG
+    coupling); partials are folded in sorted ``min_id`` order so the
+    float64 accumulation order is fixed regardless of task completion
+    order. Ties in assignment break to the LOWEST cluster index (argmin on
+    the distance matrix) on both this engine and a plain-numpy oracle.
+
+    Returns (cluster, n, inertia) — one row per cluster, inertia = Σ of
+    squared euclidean distance of members to their final centroid."""
+    import ray
+
+    # --- init: k vectors with the smallest ids (deterministic, RNG-free)
+    seed_rows = ds.sort(id_col).limit(k).take_all()
+    cent = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                     for r in seed_rows])
+    d = cent.shape[1]
+
+    def _assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin over ||x-c||² = argmax over (x·c − ||c||²/2); ties → lowest
+        # cluster index (np.argmax/argmin both take the first maximum)
+        score = x @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+        return np.argmax(score, axis=1)
+
+    def _partials(cent_ref, final: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) \
+                else cent_ref
+            if batch.num_rows == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(pa.float64())),
+                                 "min_id": pa.array([], pa.int64())})
+            x = np.stack(batch[emb_col].to_pandas().to_numpy()).astype(
+                np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            a = _assign(x, c)
+            kk = len(c)
+            counts = np.bincount(a, minlength=kk)
+            if final:
+                diff = x - c[a]
+                per = np.einsum("ij,ij->i", diff, diff)
+                sums = np.zeros(kk, dtype=np.float64)
+                np.add.at(sums, a, per)
+                s_lists = [[float(v)] for v in sums]
+            else:
+                sums = np.zeros((kk, d), dtype=np.float64)
+                np.add.at(sums, a, x)
+                s_lists = [row.tolist() for row in sums]
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "s": pa.array([s_lists[i] for i in nz],
+                              pa.list_(pa.float64())),
+                "min_id": pa.array([int(ids.min())] * len(nz), pa.int64())})
+        return f
+
+    def _fold(rows):
+        rows = sorted(rows, key=lambda r: (r["min_id"], r["cluster"]))
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            n0, s0 = agg.get(r["cluster"], (0, None))
+            v = np.asarray(r["s"], dtype=np.float64)
+            agg[r["cluster"]] = (n0 + r["n"], v if s0 is None else s0 + v)
+        return agg
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        agg = _fold(ds.map_batches(_partials(ref, final=False),
+                                   batch_format="pyarrow",
+                                   batch_size=config.TEXT_BATCH_SIZE)
+                    .take_all())
+        for ci, (n, s) in agg.items():
+            if n:
+                cent[ci] = s / n  # empty clusters keep their centroid
+
+    ref = ray.put(cent)
+    agg = _fold(ds.map_batches(_partials(ref, final=True),
+                               batch_format="pyarrow",
+                               batch_size=config.TEXT_BATCH_SIZE).take_all())
+    rows = [{"cluster": ci, "n": int(n), "inertia": float(s[0])}
+            for ci, (n, s) in sorted(agg.items())]
+    if not rows:
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "inertia": pa.array([], pa.float64())})
+    return pa.Table.from_pylist(rows)

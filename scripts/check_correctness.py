@@ -549,6 +549,55 @@ def main() -> None:
                 print(f"ok   {name}: approx={approx:.0f} exact={exact} "
                       f"rel_err={rel:.3f} [{el:.1f}s]")
             continue
+        if name == "kmeans_clusters":
+            # gate: a plain-numpy Lloyd's replay (same RNG-free init, same
+            # argmin tie-break, whole-table float64) must agree on exact
+            # per-cluster counts; inertia within float tolerance (the
+            # engine folds partial sums in a different order); plus
+            # run-twice determinism
+            import numpy as _np
+
+            emb = con.execute(
+                "SELECT vec_id, embedding FROM embeddings"
+                " ORDER BY vec_id").fetchall()
+            x = _np.stack([_np.asarray(e, dtype=_np.float64)
+                           for _, e in emb])
+            cent = x[:8].copy()
+            for _ in range(5):
+                sc = x @ cent.T - 0.5 * _np.einsum("ij,ij->i", cent, cent)
+                a = _np.argmax(sc, axis=1)
+                for ci in range(8):
+                    m = a == ci
+                    if m.any():
+                        cent[ci] = x[m].mean(axis=0)
+            sc = x @ cent.T - 0.5 * _np.einsum("ij,ij->i", cent, cent)
+            a = _np.argmax(sc, axis=1)
+            diff = x - cent[a]
+            per = _np.einsum("ij,ij->i", diff, diff)
+            want = {ci: (int((a == ci).sum()), float(per[a == ci].sum()))
+                    for ci in range(8) if (a == ci).any()}
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            got_m = {int(r["cluster"]): (int(r["n"]), float(r["inertia"]))
+                     for _, r in got.iterrows()}
+            ok = det and set(got_m) == set(want)
+            worst = 0.0
+            if ok:
+                for ci, (n, inr) in want.items():
+                    gn, gi = got_m[ci]
+                    rel = abs(gi - inr) / max(inr, 1e-12)
+                    worst = max(worst, rel)
+                    if gn != n or rel > 1e-6:
+                        ok = False
+            if not ok:
+                print(f"FAIL {name}: det={det} clusters "
+                      f"engine={sorted(got_m)} oracle={sorted(want)} "
+                      f"worst inertia rel {worst:.2e}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {len(got_m)} clusters, exact counts, "
+                      f"inertia rel ≤ {worst:.1e}, deterministic [{el:.1f}s]")
+            continue
         if name == "approx_distinct_grouped":
             exact = dict(con.execute(
                 "SELECT o_orderstatus, count(DISTINCT o_custkey)"

@@ -753,3 +753,44 @@ def test_cohort_retention_randomized_vs_duckdb(ray_session):
         """).fetchall()
         assert [(r["cohort"], r["off_days"], r["n_users"]) for r in got] \
             == want
+
+
+def test_kmeans_lloyd_randomized_vs_numpy(ray_session):
+    """Distributed Lloyd's vs a whole-table numpy replay: identical
+    RNG-free init and tie-break -> exact per-cluster counts; inertia within
+    accumulation-order tolerance; repartitioning must not change results
+    (the sorted-partial fold pins the accumulation order)."""
+    from data_quality_framework_ray.pipelines.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(61)
+    for trial in range(3):
+        n, d, k = [(20, 4, 3), (300, 8, 5), (64, 16, 8)][trial]
+        x = rng.normal(size=(n, d))
+        rows = [{"vec_id": i, "embedding": x[i].astype(np.float32).tolist()}
+                for i in range(n)]
+        x64 = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in rows])
+        got = kmeans_lloyd(_rd().from_items(rows).repartition(4),
+                           "embedding", "vec_id", k=k, iters=4).to_pylist()
+        got2 = kmeans_lloyd(_rd().from_items(rows).repartition(2),
+                            "embedding", "vec_id", k=k, iters=4).to_pylist()
+        assert got == got2  # partition-count invariant
+        cent = x64[:k].copy()
+        for _ in range(4):
+            sc = x64 @ cent.T - 0.5 * np.einsum("ij,ij->i", cent, cent)
+            a = np.argmax(sc, axis=1)
+            for ci in range(k):
+                m = a == ci
+                if m.any():
+                    cent[ci] = x64[m].mean(axis=0)
+        sc = x64 @ cent.T - 0.5 * np.einsum("ij,ij->i", cent, cent)
+        a = np.argmax(sc, axis=1)
+        diff = x64 - cent[a]
+        per = np.einsum("ij,ij->i", diff, diff)
+        want = {ci: (int((a == ci).sum()), float(per[a == ci].sum()))
+                for ci in range(k) if (a == ci).any()}
+        assert {r["cluster"] for r in got} == set(want)
+        for r in got:
+            wn, wi = want[r["cluster"]]
+            assert r["n"] == wn
+            assert r["inertia"] == pytest.approx(wi, rel=1e-8)
