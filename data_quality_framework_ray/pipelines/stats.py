@@ -405,89 +405,116 @@ def grouped_moments(ds, key: str, col: str):
     return pa.Table.from_pylist(rows)
 
 
+def _grouped_value_counts(ds, key: str, col: str):
+    """ONE data pass → folded distinct (key, value, c) polars frame (driver
+    fold under PARTIAL_FOLD_LIMIT, distributed combine above). The distinct
+    value-count table is a sufficient statistic for every order-statistic
+    finish (quantiles, MAD, IQR fences + outlier counts), so operators built
+    on it never need a second scan of the data."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t.select([key, col])).drop_nulls()
+                .group_by(key, col).agg(pl.len().alias("c").cast(pl.Int64))
+                .to_arrow())
+
+    return _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=config.TEXT_BATCH_SIZE),
+        [key, col], ["c"])
+
+
+def _disc_quantile_segments(folded, key: str, col: str, ps: list[float]):
+    """Vectorized per-key discrete quantiles (ceil(p·n) convention) over a
+    sorted distinct-count frame — one global cumsum serves all keys (same
+    kernel as grouped_quantiles_counts.finish). Returns (keys_u, {p: values},
+    starts, cs, k, v) so callers can run further passes over the segments."""
+    df = folded.sort([key, col])
+    k = df[key].to_numpy()
+    v = df[col].to_numpy().astype(np.float64)
+    cs = np.cumsum(df["c"].to_numpy().astype(np.int64))
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    ends = np.append(cs[starts[1:] - 1], cs[-1])
+    totals = ends - base
+    out = {}
+    for p in ps:
+        pos = np.maximum(1, np.ceil(p * totals).astype(np.int64))
+        out[p] = v[np.searchsorted(cs, base + pos, side="left")]
+    return k[starts], out, starts, cs, k, v
+
+
 def grouped_mad(ds, key: str, col: str):
     """Per-group median absolute deviation, discrete-quantile convention
-    throughout (value at position ceil(0.5·n) — DuckDB ``quantile_disc``):
-    pass 1 computes per-group medians via the counts scale path
-    (``grouped_quantiles_counts``); pass 2 streams |x − median(key)| against
-    the BROADCAST median map (ray.put once, vectorized replace per batch)
-    and reuses the same counts path for the deviation median. Both shuffles
-    carry (key, value) count partials only — never data rows. Returns a
-    pyarrow Table (key, mad) sorted by key."""
+    throughout (value at position ceil(0.5·n) — DuckDB ``quantile_disc``)
+    in ONE data pass: the folded distinct (key, value, count) table is a
+    sufficient statistic, so the per-key median AND the deviation median
+    both finish on that small table (map |v−med| keeping counts, re-sort
+    the few distinct rows, cumsum again) — the raw rows are scanned once
+    and only count partials cross the wire. Returns a pyarrow Table
+    (key, mad) sorted by key."""
     import polars as pl
-    import ray
 
-    meds = grouped_quantiles_counts(ds, key, col, [0.5])
-    med_map = {r[key]: float(r["value"]) for r in meds.take_all()}
-    if not med_map:
+    folded = _grouped_value_counts(ds, key, col)
+    if folded.height == 0:
         from data_quality_framework_ray.pipelines.exchange import schema_map
         return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
                          "mad": pa.array([], type=pa.float64())})
-    ref = ray.put(med_map)
-
-    def dev(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        df = pl.from_arrow(t.select([key, col])).drop_nulls()
-        return (df.with_columns(
-            (pl.col(col).cast(pl.Float64)
-             - pl.col(key).replace_strict(m, return_dtype=pl.Float64))
-            .abs().alias("dev"))
-            .select([key, "dev"]).to_arrow())
-
-    devs = ds.map_batches(dev, batch_format="pyarrow",
-                          batch_size=config.TEXT_BATCH_SIZE)
-    out = grouped_quantiles_counts(devs, key, "dev", [0.5])
-    t = pa.Table.from_pylist(sorted(
-        ({key: r[key], "mad": float(r["value"])} for r in out.take_all()),
-        key=lambda r: r[key]))
-    return t
+    keys_u, q, *_ = _disc_quantile_segments(folded, key, col, [0.5])
+    med_map = dict(zip(keys_u, q[0.5]))
+    dev = (folded.with_columns(
+        (pl.col(col).cast(pl.Float64)
+         - pl.col(key).replace_strict(med_map, return_dtype=pl.Float64))
+        .abs().alias("__dev"))
+        .group_by(key, "__dev").agg(pl.col("c").sum()))
+    keys_d, qd, *_ = _disc_quantile_segments(dev, key, "__dev", [0.5])
+    rows = sorted(({key: kv, "mad": float(m)}
+                   for kv, m in zip(keys_d, qd[0.5])),
+                  key=lambda r: r[key])
+    return pa.Table.from_pylist(rows)
 
 
 def grouped_iqr_outliers(ds, key: str, col: str, k: float = 1.5):
-    """Per-group Tukey-fence outlier counts: q1/q3 from ONE
-    ``grouped_quantiles_counts`` pass (discrete quantiles — SQL
-    ``quantile_disc`` parity), fences lo = q1 − k·(q3−q1) /
-    hi = q3 + k·(q3−q1) computed in the same double expression shape as
-    the SQL oracle, then a streaming count of rows outside the broadcast
-    fences (count partials fold bounded). Two passes, shuffles carry
-    (key, value) counts and (key, n) partials only. Returns a pyarrow
+    """Per-group Tukey-fence outlier counts in ONE data pass: q1/q3 come
+    from the folded distinct (key, value, count) table (discrete quantiles —
+    SQL ``quantile_disc`` parity), fences lo = q1 − k·(q3−q1) /
+    hi = q3 + k·(q3−q1) are computed in the same double expression shape as
+    the SQL oracle, and the outlier count is the sum of counts outside the
+    fences over that SAME small table — the raw rows are never scanned a
+    second time; only count partials cross the wire. Returns a pyarrow
     Table (key, n_outliers, n) sorted by key."""
     import polars as pl
-    import ray
 
-    qs = grouped_quantiles_counts(ds, key, col, [0.25, 0.75])
-    by_key: dict = {}
-    for r in qs.take_all():
-        by_key.setdefault(r[key], {})[r["p"]] = float(r["value"])
-    if not by_key:
+    folded = _grouped_value_counts(ds, key, col)
+    if folded.height == 0:
         from data_quality_framework_ray.pipelines.exchange import schema_map
         i64 = pa.array([], type=pa.int64())
         return pa.table({key: pa.array([], type=schema_map(ds).get(key, pa.null())),
                          "n_outliers": i64, "n": i64})
-    fences = {}
-    for kv, ps in by_key.items():
-        q1, q3 = ps[0.25], ps[0.75]
-        fences[kv] = (q1 - k * (q3 - q1), q3 + k * (q3 - q1))
-    ref = ray.put(fences)
-
-    def count_out(t: pa.Table) -> pa.Table:
-        f = ray.get(ref)
-        df = pl.from_arrow(t.select([key, col])).drop_nulls()
-        lo = pl.col(key).replace_strict({kv: v[0] for kv, v in f.items()},
-                                        return_dtype=pl.Float64)
-        hi = pl.col(key).replace_strict({kv: v[1] for kv, v in f.items()},
-                                        return_dtype=pl.Float64)
-        x = pl.col(col).cast(pl.Float64)
-        return (df.group_by(key)
-                .agg(n_outliers=((x < lo) | (x > hi)).sum().cast(pl.Int64),
-                     n=pl.len().cast(pl.Int64))
-                .to_arrow())
-
-    out = _fold_partials(
-        ds.map_batches(count_out, batch_format="pyarrow",
-                       batch_size=config.TEXT_BATCH_SIZE),
-        [key], ["n_outliers", "n"]).sort(key)
-    return out.to_arrow()
+    keys_u, q, starts, cs, karr, v = _disc_quantile_segments(
+        folded, key, col, [0.25, 0.75])
+    lo_map, hi_map, n_map = {}, {}, {}
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    ends = np.append(cs[starts[1:] - 1], cs[-1])
+    for kv, q1, q3, n in zip(keys_u, q[0.25], q[0.75], ends - base):
+        lo_map[kv] = q1 - k * (q3 - q1)
+        hi_map[kv] = q3 + k * (q3 - q1)
+        n_map[kv] = int(n)
+    out = (folded.with_columns(
+        lo=pl.col(key).replace_strict(lo_map, return_dtype=pl.Float64),
+        hi=pl.col(key).replace_strict(hi_map, return_dtype=pl.Float64),
+        x=pl.col(col).cast(pl.Float64))
+        .group_by(key)
+        .agg(n_outliers=(pl.col("c")
+                         .filter((pl.col("x") < pl.col("lo"))
+                                 | (pl.col("x") > pl.col("hi")))
+                         .sum().fill_null(0).cast(pl.Int64)))
+        .sort(key))
+    return (out.with_columns(
+        n=pl.col(key).replace_strict(n_map, return_dtype=pl.Int64))
+        .to_arrow())
 
 
 def grouped_weighted_avg(ds, key: str, col: str, weight_col: str):
