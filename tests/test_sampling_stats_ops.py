@@ -459,3 +459,31 @@ def test_grouped_mad_vs_numpy(ray_session):
     for g in ("u", "w"):
         x = np.asarray([r["v"] for r in rows if r["g"] == g])
         assert got[g] == disc_median(np.abs(x - disc_median(x)))
+
+
+def test_mad_iqr_distributed_fold_path(ray_session):
+    """PARTIAL_FOLD_LIMIT=0 forces the distributed combine under
+    _grouped_value_counts; results must equal the driver-fold path."""
+    import ray.data as rd
+
+    from data_quality_framework_ray import config
+    from data_quality_framework_ray.pipelines.stats import (
+        grouped_iqr_outliers, grouped_mad)
+
+    rng = np.random.default_rng(71)
+    rows = [{"g": ["a", "b"][i % 2], "v": float(rng.normal(50, 9))}
+            for i in range(500)]
+    ds = rd.from_items(rows).repartition(4)
+    want_mad = grouped_mad(ds, "g", "v").to_pylist()
+    want_iqr = grouped_iqr_outliers(rd.from_items(rows), "g", "v").to_pylist()
+    old = config.PARTIAL_FOLD_LIMIT
+    config.PARTIAL_FOLD_LIMIT = 0
+    try:
+        got_mad = grouped_mad(rd.from_items(rows).repartition(4),
+                              "g", "v").to_pylist()
+        got_iqr = grouped_iqr_outliers(rd.from_items(rows).repartition(4),
+                                       "g", "v").to_pylist()
+    finally:
+        config.PARTIAL_FOLD_LIMIT = old
+    assert got_mad == want_mad
+    assert got_iqr == want_iqr
