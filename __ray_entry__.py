@@ -1047,6 +1047,36 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_write_partitioned(sf_dir: str):
+    """Partitioned-parquet SINK round-trip: write events hive-partitioned by
+    event_type (``write_parquet(partition_cols=...)`` — one directory per
+    key, the resumable layout the task brief mandates), then prove the
+    round-trip by reading the directory back with a partition-pruned read
+    and counting rows per partition. The oracle is the per-type count off
+    the original table, so a lost/duplicated row or a mis-bucketed
+    partition fails the hash compare."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    out_dir = "/tmp/dqfr_write_partitioned"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds.write_parquet(out_dir, partition_cols=["event_type"])
+    # layout check: exactly one hive directory per key, nothing at top level
+    subdirs = sorted(d for d in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, d)))
+    assert all(d.startswith("event_type=") for d in subdirs), subdirs
+    back = rd.read_parquet(out_dir)
+    g = back.groupby("event_type").aggregate(Count(alias_name="n"))
+    t = _collect(g).sort_by("event_type")
+    return pa.table({"event_type": t["event_type"].cast(pa.string()),
+                     "n": t["n"].cast(pa.int64())})
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (k=8, 5
     iterations): centroids broadcast per iteration, per-batch matmul
@@ -2504,6 +2534,7 @@ ROTATED_FIRST = [
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
+    "write_partitioned",
 ]
 
 
@@ -2610,6 +2641,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
+        "write_partitioned": _q_write_partitioned,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3235,6 +3267,9 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "write_partitioned": (
+            "SELECT event_type, count(*) AS n FROM events"
+            " GROUP BY 1 ORDER BY 1"),
         "cohort_retention": (
             "WITH f AS (SELECT user_id,"
             "  CAST(date_trunc('day', min(ts)) AS DATE) AS cohort"
