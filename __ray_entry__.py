@@ -1047,6 +1047,16 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy (bits) — repetition /
+    diversity quality signal; no shuffle (each doc is one input row)."""
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        token_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(token_entropy(ds)).sort_by("doc_id")
+
+
 def _q_write_partitioned(sf_dir: str):
     """Partitioned-parquet SINK round-trip: write events hive-partitioned by
     event_type (``write_parquet(partition_cols=...)`` — one directory per
@@ -2534,7 +2544,7 @@ ROTATED_FIRST = [
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
-    "write_partitioned",
+    "write_partitioned", "token_entropy",
 ]
 
 
@@ -2642,6 +2652,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
         "write_partitioned": _q_write_partitioned,
+        "token_entropy": _q_token_entropy,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3267,6 +3278,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "token_entropy": (
+            "SELECT doc_id, round(entropy(tok), 6) AS h FROM ("
+            " SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok"
+            " FROM documents)"
+            " GROUP BY doc_id ORDER BY doc_id"),
         "write_partitioned": (
             "SELECT event_type, count(*) AS n FROM events"
             " GROUP BY 1 ORDER BY 1"),

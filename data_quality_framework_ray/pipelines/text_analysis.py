@@ -231,3 +231,38 @@ def bm25_topk(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return (stats.map_batches(score, batch_format="pyarrow")
             .sort(["score", id_col], descending=[True, False]).limit(top_k))
+
+
+def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy (bits) of the token distribution — the
+    repetition/diversity quality signal (a low-entropy doc is boilerplate
+    or looped text). Same ``\\S+`` tokenizer as the other corpus queries;
+    restated by DuckDB's ``entropy()`` aggregate (log2) over unnested
+    tokens. One vectorized pass per batch: explode → (doc, token) counts →
+    window-sum per doc → −Σ p·log2 p; each doc is one input row, so the
+    computation never crosses batches and there is NO shuffle. Docs with
+    zero tokens emit nothing (SQL inner-unnest parity). Entropy is rounded
+    to 6 dp on both sides — the oracle's per-doc summation order is
+    unspecified, and the rounding absorbs that last-ulp drift."""
+    import polars as pl
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(pa.table({id_col: batch[id_col],
+                                      "t": batch[text_col]}))
+              .with_columns(pl.col("t").fill_null("")
+                            .str.extract_all(r"\S+").alias("tok"))
+              .select(id_col, "tok").explode("tok").drop_nulls("tok"))
+        if df.height == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "h": pa.array([], pa.float64())})
+        out = (df.group_by(id_col, "tok").agg(pl.len().alias("c"))
+               .with_columns(n=pl.col("c").sum().over(id_col))
+               .with_columns(p=pl.col("c") / pl.col("n"))
+               .group_by(id_col)
+               .agg(h=(-(pl.col("p") * pl.col("p").log(2)).sum())
+                    .round(6))
+               .sort(id_col))
+        return out.to_arrow()
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)

@@ -107,3 +107,38 @@ def test_bigram_top_counts_boundaries(ray_session):
     assert set(got) == {("a b", 2), ("b c", 1), ("c a", 1), ("x y", 1)}
     # deterministic tie order among the n=1 bigrams
     assert [bg for bg, n in got if n == 1] == ["b c", "c a", "x y"]
+
+
+def test_token_entropy_vs_python(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        token_entropy
+
+    docs = [{"doc_id": 0, "text": "a a b c"},   # H = 1.5 bits exactly
+            {"doc_id": 1, "text": "x x x x"},   # H = 0
+            {"doc_id": 2, "text": ""},          # no tokens -> no row
+            {"doc_id": 3, "text": None},        # no row
+            {"doc_id": 4, "text": "a b c d"}]   # H = 2
+    out = {r["doc_id"]: r["h"]
+           for r in token_entropy(rd.from_items(docs)).take_all()}
+    assert set(out) == {0, 1, 4}
+    assert out[0] == 1.5 and out[1] == 0.0 and out[4] == 2.0
+
+    import collections
+    import random
+    rng = random.Random(81)
+    docs = [{"doc_id": i,
+             "text": " ".join(rng.choice("abcdef") for _ in
+                              range(rng.randrange(1, 30)))}
+            for i in range(60)]
+    got = {r["doc_id"]: r["h"]
+           for r in token_entropy(
+               rd.from_items(docs).repartition(3)).take_all()}
+    for d in docs:
+        c = collections.Counter(d["text"].split())
+        n = sum(c.values())
+        want = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert abs(got[d["doc_id"]] - want) < 2e-6
