@@ -1047,6 +1047,18 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_documents_filter(sf_dir: str):
+    """Document-level keep/drop quality filter (text analogue of the
+    flagship): too_short / too_long / low_diversity / dup in fixed
+    precedence, every rule SQL-restatable (integer cross-multiplied
+    diversity threshold; dup via exact-text grouping)."""
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        document_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(document_filter(ds)).sort_by("doc_id")
+
+
 def _q_token_entropy(sf_dir: str):
     """Per-doc token-distribution Shannon entropy (bits) — repetition /
     diversity quality signal; no shuffle (each doc is one input row)."""
@@ -2544,7 +2556,7 @@ ROTATED_FIRST = [
     "join_semi", "grouped_mode", "skew_kurtosis", "grouped_mad",
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
-    "write_partitioned", "token_entropy",
+    "write_partitioned", "token_entropy", "documents_filter",
 ]
 
 
@@ -2653,6 +2665,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "write_partitioned": _q_write_partitioned,
         "token_entropy": _q_token_entropy,
+        "documents_filter": _q_documents_filter,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3278,6 +3291,25 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "documents_filter": (
+            # same fixed rule precedence as text_analysis.document_filter;
+            # dup groups by raw text (equivalent to the engine's 128-bit
+            # content hash up to collision, the dedup_exact convention)
+            "WITH s AS (SELECT doc_id, length(text) AS n_chars,"
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens,"
+            "  (SELECT count(DISTINCT x) FROM"
+            "   unnest(regexp_extract_all(text, '\\S+')) AS u(x))"
+            "   AS n_distinct,"
+            "  min(doc_id) OVER (PARTITION BY text) AS rep"
+            "  FROM documents),"
+            " r AS (SELECT doc_id,"
+            "  CASE WHEN n_tokens < 12 THEN 'too_short'"
+            "   WHEN n_chars > 500 THEN 'too_long'"
+            "   WHEN n_distinct * 100 < 45 * n_tokens THEN 'low_diversity'"
+            "   WHEN doc_id <> rep THEN 'dup'"
+            "   ELSE '' END AS drop_reason FROM s)"
+            " SELECT doc_id, drop_reason = '' AS keep, drop_reason"
+            " FROM r ORDER BY doc_id"),
         "token_entropy": (
             "SELECT doc_id, round(entropy(tok), 6) AS h FROM ("
             " SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok"

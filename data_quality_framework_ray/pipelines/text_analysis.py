@@ -266,3 +266,76 @@ def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=config.TEXT_BATCH_SIZE)
+
+
+def document_filter(ds, id_col: str = "doc_id", text_col: str = "text", *,
+                    min_tokens: int = 12, max_chars: int = 500,
+                    min_diversity_pct: int = 45):
+    """Document-level keep/drop quality filter — the TEXT analogue of the
+    flagship audio pipeline, fully SQL-restatable so the whole decision
+    table oracles exactly. Rules in FIXED precedence (first failure is the
+    ``drop_reason``):
+
+      too_short      n_tokens < min_tokens           (``\\S+`` tokenizer)
+      too_long       n_chars  > max_chars            (codepoint length)
+      low_diversity  n_distinct·100 < pct·n_tokens   (INTEGER cross-
+                     multiplication — no float threshold boundary for the
+                     oracle compare to trip on)
+      dup            not the min-id member of an identical-text group
+                     (vectorized 128-bit content hash engine-side; the SQL
+                     oracle groups by the text itself — the same partition
+                     up to a 2⁻¹²⁸ collision, the dedup_exact convention)
+
+    Stats are one vectorized pass (no shuffle); the dup rule reuses the
+    exact-dedup winner pattern (``keyed_dup_groups`` — only (hash, min_id,
+    cnt) partials cross the wire, broadcast↔join switched). Returns a
+    Dataset of (id, keep, drop_reason) with drop_reason '' for kept rows."""
+    import polars as pl
+    import ray
+
+    from data_quality_framework_ray.functions import hashing as H
+    from data_quality_framework_ray.pipelines.dedup import keyed_dup_groups
+
+    def with_stats(t: pa.Table) -> pa.Table:
+        h1, h2 = H.content_hash_128(t[text_col])
+        df = (pl.from_arrow(pa.table({id_col: t[id_col],
+                                      "t": t[text_col]}))
+              .with_columns(pl.col("t").fill_null(""))
+              .with_columns(
+                  n_chars=pl.col("t").str.len_chars().cast(pl.Int64),
+                  toks=pl.col("t").str.extract_all(r"\S+"))
+              .with_columns(
+                  n_tokens=pl.col("toks").list.len().cast(pl.Int64),
+                  n_distinct=pl.col("toks").list.n_unique().cast(pl.Int64))
+              .drop("t", "toks"))
+        return (df.to_arrow()
+                .append_column("h1", pa.array(h1.astype("int64")))
+                .append_column("h2", pa.array(h2.astype("int64"))))
+
+    stats = ds.map_batches(with_stats, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+    dups = keyed_dup_groups(stats, ["h1", "h2"], id_col)
+    # losers = dup-group members that are not their group's min id
+    losers = {r[id_col] for r in dups.take_all()
+              if r[id_col] != r["cluster_rep"]}
+    ref = ray.put(losers)
+
+    def decide(t: pa.Table) -> pa.Table:
+        ls = ray.get(ref) if not isinstance(ref, (set, frozenset)) else ref
+        df = pl.from_arrow(t)
+        is_dup = pl.col(id_col).is_in(list(ls)) if ls else pl.lit(False)
+        reason = (pl.when(pl.col("n_tokens") < min_tokens)
+                  .then(pl.lit("too_short"))
+                  .when(pl.col("n_chars") > max_chars)
+                  .then(pl.lit("too_long"))
+                  .when(pl.col("n_distinct") * 100
+                        < min_diversity_pct * pl.col("n_tokens"))
+                  .then(pl.lit("low_diversity"))
+                  .when(is_dup).then(pl.lit("dup"))
+                  .otherwise(pl.lit("")))
+        out = df.with_columns(drop_reason=reason).with_columns(
+            keep=pl.col("drop_reason") == "")
+        return (out.select([id_col, "keep", "drop_reason"]).to_arrow())
+
+    return stats.map_batches(decide, batch_format="pyarrow",
+                             batch_size=config.TEXT_BATCH_SIZE)

@@ -142,3 +142,34 @@ def test_token_entropy_vs_python(ray_session):
         n = sum(c.values())
         want = -sum((v / n) * math.log2(v / n) for v in c.values())
         assert abs(got[d["doc_id"]] - want) < 2e-6
+
+
+def test_document_filter_rules_and_planted_dups(ray_session):
+    """Precedence order, every rule fires, planted exact dups keep only the
+    min id, and dup precedence loses to earlier rules."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        document_filter
+
+    long_text = " ".join(f"w{i}" for i in range(200))      # > 500 chars
+    rows = [
+        {"doc_id": 0, "text": "too few tokens"},            # too_short
+        {"doc_id": 1, "text": long_text},                   # too_long
+        {"doc_id": 2, "text": " ".join(["dup words galore here now"] * 4)},
+        # ^ 20 tokens, 5 distinct -> low_diversity
+        {"doc_id": 3, "text": " ".join(f"u{i}" for i in range(20))},  # keep
+        {"doc_id": 4, "text": " ".join(f"u{i}" for i in range(20))},  # = 3
+        {"doc_id": 5, "text": "tiny"},                      # short AND dup…
+        {"doc_id": 6, "text": "tiny"},                      # …short wins
+    ]
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in document_filter(
+               rd.from_items(rows).repartition(3)).take_all()}
+    assert got[0] == (False, "too_short")
+    assert got[1] == (False, "too_long")
+    assert got[2] == (False, "low_diversity")
+    assert got[3] == (True, "")
+    assert got[4] == (False, "dup")          # loser of the planted pair
+    assert got[5] == (False, "too_short")    # precedence over dup
+    assert got[6] == (False, "too_short")
