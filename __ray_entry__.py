@@ -1047,6 +1047,38 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_decontaminate_embedding(sf_dir: str):
+    """Embedding-space decontamination: corpus rows within 0.98 cosine of a
+    broadcast benchmark set. The benchmark plants scaled copies of vec_id%7
+    ==0 rows (cosine exactly 1.0 → must flag) and NEGATED copies of %7==1
+    rows (cosine −1 with their source, ≤ the natural corpus max ≈0.6 with
+    everything else → must NOT flag), so the oracle compare is
+    discriminating in both directions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.decontam import \
+        flag_contaminated_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mod7_01(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["vec_id"]) % 7 <= 1
+        return t.filter(pa.array(keep))
+
+    src = _collect(ds.map_batches(mod7_01, batch_format="pyarrow"))
+    vid = np.asarray(src["vec_id"])
+    emb = np.stack(src["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    bench = np.concatenate([emb[vid % 7 == 0] * 1.001,
+                            -emb[vid % 7 == 1]])
+    flagged = flag_contaminated_embeddings(ds, bench)
+    out = _collect(flagged.filter(lambda r: r["contaminated"])
+                   .select_columns(["vec_id"]))
+    return pa.table({"vec_id": pa.array(sorted(out["vec_id"].to_pylist()),
+                                        pa.int64())})
+
+
 def _q_documents_filter(sf_dir: str):
     """Document-level keep/drop quality filter (text analogue of the
     flagship): too_short / too_long / low_diversity / dup in fixed
@@ -2557,6 +2589,7 @@ ROTATED_FIRST = [
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
+    "decontaminate_embedding",
 ]
 
 
@@ -2666,6 +2699,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "write_partitioned": _q_write_partitioned,
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,
+        "decontaminate_embedding": _q_decontaminate_embedding,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3291,6 +3325,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "decontaminate_embedding": (
+            "WITH b AS ("
+            " SELECT list_transform(embedding, x -> x * 1.001) AS e"
+            " FROM embeddings WHERE vec_id % 7 = 0"
+            " UNION ALL SELECT list_transform(embedding, x -> -x)"
+            " FROM embeddings WHERE vec_id % 7 = 1)"
+            " SELECT vec_id FROM embeddings c WHERE EXISTS ("
+            "  SELECT 1 FROM b"
+            "  WHERE list_cosine_similarity(c.embedding, b.e) >= 0.98)"
+            " ORDER BY vec_id"),
         "documents_filter": (
             # same fixed rule precedence as text_analysis.document_filter;
             # dup groups by raw text (equivalent to the engine's 128-bit

@@ -135,3 +135,37 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=config.TEXT_BATCH_SIZE)
+
+
+def flag_contaminated_embeddings(ds, bench: np.ndarray, *,
+                                 emb_col: str = "embedding",
+                                 threshold: float = 0.98):
+    """Append a ``contaminated`` bool column: is any benchmark vector within
+    ``threshold`` cosine of the row's embedding? The EMBEDDING analogue of
+    the snippet-containment decontamination pass (semantic near-matches a
+    string scan misses). The benchmark matrix is L2-normalized once on the
+    driver and broadcast via ``ray.put``; each batch does ONE matmul against
+    it and keeps only the row-max — no shuffle, cost O(rows·|bench|·d) per
+    batch with the bench side fixed. For benchmark sets too large to
+    broadcast, pre-bucket both sides with the hyperplane-LSH index
+    (pipelines/incremental.py) and run this kernel per bucket."""
+    import ray
+
+    from data_quality_framework_ray.pipelines.similarity import _norm_rows
+
+    b = _norm_rows(np.asarray(bench, dtype=np.float64))
+    ref = ray.put(b)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bb = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        if batch.num_rows == 0 or bb.size == 0:
+            return batch.append_column(
+                "contaminated", pa.array(np.zeros(batch.num_rows, bool)))
+        x = _norm_rows(np.stack(
+            batch[emb_col].to_pandas().to_numpy()).astype(np.float64))
+        mx = (x @ bb.T).max(axis=1)
+        return batch.append_column("contaminated",
+                                   pa.array(mx >= threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE)

@@ -221,3 +221,37 @@ def test_left_outer_broadcast_vs_hash_join_randomized(ray_session):
             "SELECT k, lv, rv FROM lt LEFT JOIN rt ON k = rk"
         ).fetchall()
         assert norm(got_b) == sorted(want)
+
+
+def test_flag_contaminated_embeddings_randomized(ray_session):
+    """Planted scaled copies flag; orthogonal/negated vectors don't; empty
+    bench flags nothing."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.decontam import \
+        flag_contaminated_embeddings
+
+    rng = np.random.default_rng(91)
+    for trial in range(3):
+        n, d = [(5, 4), (80, 16), (200, 8)][trial]
+        x = rng.normal(size=(n, d))
+        rows = [{"vec_id": i, "embedding": x[i].astype(np.float32).tolist()}
+                for i in range(n)]
+        planted = [i for i in range(n) if i % 5 == 0]
+        bench = np.concatenate([x[planted] * 3.0,          # cos == 1
+                                -x[[i for i in range(n) if i % 5 == 1]]])
+        out = flag_contaminated_embeddings(
+            rd.from_items(rows).repartition(2), bench).take_all()
+        got = {r["vec_id"] for r in out if r["contaminated"]}
+        # scaled copies must flag; exact expected set needs the full cosine
+        # check for coincidental near-matches of the random vectors
+        xe = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                       for r in rows])
+        xe /= np.linalg.norm(xe, axis=1, keepdims=True)
+        be = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+        want = {i for i in range(n) if (xe[i] @ be.T).max() >= 0.98}
+        assert set(planted) <= got == want
+
+    e = flag_contaminated_embeddings(
+        rd.from_items(rows), np.empty((0, d))).take_all()
+    assert not any(r["contaminated"] for r in e)
