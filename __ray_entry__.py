@@ -1047,6 +1047,33 @@ def _q_funnel_stages(sf_dir: str):
                             pa.int64())})
 
 
+def _q_running_total(sf_dir: str):
+    """Global running total of event value ordered by event_id — the
+    distributed prefix sum (two-level bucket bases, pack_chunks machinery);
+    money pre-scaled to exact int cents so accumulation order is
+    irrelevant; final division matches the oracle's expression shape."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.packing import running_total
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            cents=(pl.col("value") * 100)
+            .round(0, mode="half_away_from_zero").cast(pl.Int64))
+        return df.select(["event_id", "cents"]).to_arrow()
+
+    rt = running_total(ds.map_batches(to_cents, batch_format="pyarrow"),
+                       id_col="event_id", value_col="cents",
+                       bucket_size=10_000)
+    t = _collect(rt).sort_by("event_id")
+    running = [float(c) / 100.0 for c in t["running"].to_pylist()]
+    return pa.table({"event_id": t["event_id"],
+                     "running": pa.array(running, pa.float64())})
+
+
 def _q_decontaminate_embedding(sf_dir: str):
     """Embedding-space decontamination: corpus rows within 0.98 cosine of a
     broadcast benchmark set. The benchmark plants scaled copies of vec_id%7
@@ -2589,7 +2616,7 @@ ROTATED_FIRST = [
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
-    "decontaminate_embedding",
+    "decontaminate_embedding", "running_total",
 ]
 
 
@@ -2700,6 +2727,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,
         "decontaminate_embedding": _q_decontaminate_embedding,
+        "running_total": _q_running_total,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
         "read_formats": _q_read_formats,
@@ -3325,6 +3353,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT k AS l_returnflag,"
             "  CAST(cw AS DOUBLE)/100.0/sw AS wavg"
             " FROM s ORDER BY k"),
+        "running_total": (
+            "SELECT event_id,"
+            " sum(CAST(round(value*100) AS BIGINT))"
+            "  OVER (ORDER BY event_id) / 100.0 AS running"
+            " FROM events ORDER BY event_id"),
         "decontaminate_embedding": (
             "WITH b AS ("
             " SELECT list_transform(embedding, x -> x * 1.001) AS e"

@@ -83,3 +83,59 @@ def pack_chunks(ds, *, weight_col: str, id_col: str, budget: int,
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(pack_group, batch_format="pyarrow"))
+
+
+def running_total(ds, *, id_col: str, value_col: str,
+                  bucket_size: int = 100_000):
+    """Global INCLUSIVE prefix sum of an int64 column ordered by a unique
+    integer id — the distributed running-total, same two-level pattern as
+    pack_chunks: per-batch bucket partials → tiny groupby → driver turns
+    per-bucket sums into exclusive bases (one int per bucket) → per-bucket
+    sort + local cumsum + base. The shuffle moves per-bucket sums, never
+    rows; callers pre-scale money columns to exact integer cents so the
+    accumulation has no float-order drift. Returns a Dataset of
+    (id_col, "running") int64 rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        w = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ids // bucket_size
+        ub, inv = np.unique(bk, return_inverse=True)
+        sums = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table({"__bucket": pa.array(ub, type=pa.int64()),
+                         "__wsum": pa.array(sums, type=pa.int64())})
+
+    bucket_sums = (ds.map_batches(bucket_partials, batch_format="pyarrow")
+                   .groupby("__bucket")
+                   .aggregate(Sum("__wsum", alias_name="__wsum"))
+                   .take_all())
+    bucket_sums.sort(key=lambda r: r["__bucket"])
+    bases: dict[int, int] = {}
+    acc = 0
+    for r in bucket_sums:
+        bases[int(r["__bucket"])] = acc
+        acc += int(r["__wsum"])
+    bases_ref = ray.put(bases)
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return (b.select([id_col, value_col])
+                .append_column("__bucket",
+                               pa.array(ids // bucket_size, pa.int64())))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        bases_ = ray.get(bases_ref) if not isinstance(bases_ref, dict) \
+            else bases_ref
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        w = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        run = np.cumsum(w[order]) + bases_[int(ids[0] // bucket_size)]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "running": pa.array(run, pa.int64())})
+
+    return (ds.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))

@@ -354,3 +354,32 @@ def test_token_hashes_md5_matches_duckdb():
             for tok in toks)
     assert th.tolist() == want
     assert off[-1] == len(want)
+
+
+def test_running_total_randomized_vs_cumsum(ray_session):
+    """Distributed prefix sum vs a plain sorted cumsum: random id gaps,
+    negative values, partition counts, and tiny bucket sizes (many bucket
+    boundaries)."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.packing import running_total
+
+    rng = random.Random(101)
+    for trial in range(4):
+        n = rng.choice([1, 7, 200])
+        ids = rng.sample(range(10_000), n)
+        vals = [rng.randrange(-50, 200) for _ in range(n)]
+        rows = [{"i": i, "v": v} for i, v in zip(ids, vals)]
+        out = running_total(
+            rd.from_items(rows).repartition(rng.choice([1, 4])),
+            id_col="i", value_col="v",
+            bucket_size=rng.choice([3, 100, 100_000])).take_all()
+        got = {r["i"]: r["running"] for r in out}
+        order = np.argsort(ids)
+        cs = np.cumsum(np.asarray(vals)[order])
+        want = dict(zip(np.asarray(ids)[order].tolist(), cs.tolist()))
+        assert got == want
