@@ -91,10 +91,14 @@ def running_total(ds, *, id_col: str, value_col: str,
     integer id — the distributed running-total, same two-level pattern as
     pack_chunks: per-batch bucket partials → tiny groupby → driver turns
     per-bucket sums into exclusive bases (one int per bucket) → per-bucket
-    sort + local cumsum + base. The shuffle moves per-bucket sums, never
-    rows; callers pre-scale money columns to exact integer cents so the
-    accumulation has no float-order drift. Returns a Dataset of
-    (id_col, "running") int64 rows."""
+    sort + local cumsum + base. The base pass's shuffle moves per-bucket
+    sums, never rows; callers pre-scale money columns to exact integer
+    cents so the accumulation has no float-order drift. The lazy input
+    lineage executes twice (base pass + assignment pass) — deliberately
+    NOT materialized: the input is two pruned columns (16 B/row, a cheap
+    re-read at any scale) while materializing would pin/spill the whole
+    table in the object store. Returns a Dataset of (id_col, "running")
+    int64 rows."""
     import ray
     from ray.data.aggregate import Sum
 
