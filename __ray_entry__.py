@@ -1863,6 +1863,45 @@ def _q_audio_resample(sf_dir: str):
     return _collect(out).sort_by("clip_id")
 
 
+def _q_audio_chunks(sf_dir: str):
+    """Clip → ≤10 s training-length segments by slicing the ENCODED payload
+    on sample boundaries (no decode — G.711/pcm16 are fixed
+    bytes-per-sample). Per-fragment tasks; per-chunk scalars only leave the
+    stage. Gated in the harness by a sampled independent re-slice with
+    byte-level round-trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            out = A.chunk_clips_batch(t, chunk_s=10.0)
+            outs.append(pa.table({
+                "clip_id": out["clip_id"],
+                "chunk_idx": out["chunk_idx"],
+                "n_samples": out["n_samples"],
+                "n_bytes": pc.binary_length(out["bytes"]).cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return _collect(out).sort_by([("clip_id", "ascending"),
+                                  ("chunk_idx", "ascending")])
+
+
 def _q_audio_trim(sf_dir: str):
     """Silence-trimming transform (energy-gate VAD bounds, standardize to
     pcm16): per-fragment tasks; per-clip scalars only. Gated in the harness
@@ -2746,6 +2785,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
         "audio_resample": _q_audio_resample,
+        "audio_chunks": _q_audio_chunks,
         "audio_dup_groups": _q_audio_dup_groups,
         "snapshot_diff": _q_snapshot_diff,
         "string_agg": _q_string_agg,

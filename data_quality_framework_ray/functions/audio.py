@@ -421,6 +421,52 @@ def _replace_payload(batch: pa.Table, out_bytes: list,
             .append_column("codec", pa.array(merged_c, type=pa.string())))
 
 
+def chunk_clips_batch(batch: pa.Table, *, chunk_s: float = 10.0) -> pa.Table:
+    """Split every clip into ≤``chunk_s``-second segments by slicing the
+    ENCODED payload on sample boundaries — no decode at all: every
+    supported codec is fixed bytes-per-sample with no framing
+    (``CODEC_BPS``), so a byte slice IS a valid clip of the same codec.
+    This is the flat_map that turns long recordings into training-length
+    rows; concatenating a clip's chunks in ``chunk_idx`` order reproduces
+    its payload byte-for-byte (trimmed to whole samples — pytest pins the
+    round-trip). Undecodable rows (null bytes, unknown codec, missing sr)
+    emit NOTHING (the filter stage upstream owns rejects). Output rows:
+    (clip_id, chunk_idx, start_sample, n_samples, bytes, codec, sr_hz)."""
+    ids, idxs, starts, nsamps, blobs, codecs, srs = [], [], [], [], [], [], []
+    codec_np = np.asarray(batch["codec"].to_pandas(), dtype=object)
+    sr_np = np.asarray(batch["sr_hz"].to_pandas(), dtype=object)
+    id_np = batch["clip_id"].to_pylist()
+    row_base = 0
+    for data, offsets, valid in binary_column_buffers(batch["bytes"]):
+        for i in range(len(offsets) - 1):
+            r = row_base + i
+            codec, sr = codec_np[r], sr_np[r]
+            if not valid[i] or codec not in CODEC_BPS or not sr or sr != sr:
+                continue
+            bps = CODEC_BPS[codec]
+            raw = data[int(offsets[i]):int(offsets[i + 1])]
+            n = len(raw) // bps  # whole samples only
+            step = max(int(chunk_s * int(sr)), 1)
+            for ci, s in enumerate(range(0, n, step)):
+                e = min(s + step, n)
+                ids.append(id_np[r])
+                idxs.append(ci)
+                starts.append(s)
+                nsamps.append(e - s)
+                blobs.append(raw[s * bps:e * bps].tobytes())
+                codecs.append(codec)
+                srs.append(int(sr))
+        row_base += len(offsets) - 1
+    return pa.table({
+        "clip_id": pa.array(ids, batch["clip_id"].type),
+        "chunk_idx": pa.array(idxs, pa.int64()),
+        "start_sample": pa.array(starts, pa.int64()),
+        "n_samples": pa.array(nsamps, pa.int64()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+        "sr_hz": pa.array(srs, pa.int64())})
+
+
 def resample_batch(batch: pa.Table, *, sr_out: int = 16000) -> pa.Table:
     """Sample-rate conversion to a uniform target rate (``resample_linear``
     — one vectorized np.interp per clip) and STANDARDIZE to pcm16@sr_out:

@@ -255,6 +255,62 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} sampled gain/length ≡ "
                       f"audioop recomputation ({checked} clips) [{el:.1f}s]")
             continue
+        if name == "audio_chunks":
+            # gate: sampled independent re-slice of the first fragment —
+            # chunk count = ceil(n/step), per-chunk sample/byte lengths,
+            # AND byte-level round-trip (concat of engine-shaped slices ==
+            # original payload trimmed to whole samples)
+            import math as _math
+
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(
+                fragment_paths(clips_dir)[0],
+                columns=["clip_id", "bytes", "codec", "sr_hz"])
+            by_clip: dict = {}
+            for c, ci, ns, nb in zip(got["clip_id"], got["chunk_idx"],
+                                     got["n_samples"], got["n_bytes"]):
+                by_clip.setdefault(c, []).append((ci, ns, nb))
+            bps_map = {"pcm16": 2, "ulaw": 1, "alaw": 1}
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                sr = t0_tbl["sr_hz"][i].as_py()
+                if bts is None or codec not in bps_map or not sr:
+                    if cid in by_clip:
+                        bad += 1  # rejects must emit nothing
+                    checked += 1
+                    continue
+                bps = bps_map[codec]
+                n = len(bts) // bps
+                step = max(int(10.0 * int(sr)), 1)
+                want = [(ci, min(s + step, n) - s,
+                         (min(s + step, n) - s) * bps)
+                        for ci, s in enumerate(range(0, n, step))]
+                checked += 1
+                if sorted(by_clip.get(cid, [])) != want:
+                    bad += 1
+                    continue
+                # byte round-trip on the engine's slicing rule
+                recon = b"".join(bts[s * bps:min(s + step, n) * bps]
+                                 for s in range(0, n, step))
+                if recon != bts[: n * bps]:
+                    bad += 1
+            if checked < 10 or bad:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips diverge "
+                      "from independent re-slice")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled chunk "
+                      f"plans + byte round-trip ≡ ({checked} clips) "
+                      f"[{el:.1f}s]")
+            continue
         if name == "audio_resample":
             # gate: sampled independent recomputation — audioop decode, a
             # fresh np.interp over the target grid; out_samples must equal

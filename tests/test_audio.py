@@ -427,3 +427,38 @@ def test_resample_batch_contract():
         assert abs(got_rms - want_rms) < 1e-6  # float32 quantization slack
         # output sample rate column standardized where touched
         assert out["sr_hz"][r].as_py() == 16000
+
+
+def test_chunk_clips_batch_roundtrip():
+    """Byte-level reassembly, odd-offset slices (mixed codecs misalign the
+    shared buffer), exact-boundary clips (n == k*step), and reject rows
+    emitting nothing."""
+    t = _mixed_clip_table()
+    srs = [8000, 16000, None, 80][0:1] * 0  # placate linters
+    sr_col = [[8000, 16000, None][i % 3] for i in range(t.num_rows)]
+    t = t.append_column("sr_hz", pa.array(
+        [float(s) if s else None for s in sr_col], pa.float64()))
+    out = A.chunk_clips_batch(t, chunk_s=0.01)  # tiny chunks -> many slices
+    by_clip = {}
+    for r in out.to_pylist():
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for i in range(t.num_rows):
+        cid = t["clip_id"][i].as_py()
+        bts = t["bytes"][i].as_py()
+        codec = t["codec"][i].as_py()
+        sr = sr_col[i]
+        if bts is None or codec not in A.CODEC_BPS or not sr:
+            assert cid not in by_clip
+            continue
+        bps = A.CODEC_BPS[codec]
+        n = len(bts) // bps
+        chunks = sorted(by_clip.get(cid, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert chunks == []
+            continue
+        step = max(int(0.01 * sr), 1)
+        assert len(chunks) == -(-n // step)  # ceil
+        recon = b"".join(c["bytes"] for c in chunks)
+        assert recon == bts[: n * bps]  # byte-exact, codec untouched
+        assert all(c["codec"] == codec and c["sr_hz"] == sr for c in chunks)
+        assert sum(c["n_samples"] for c in chunks) == n
