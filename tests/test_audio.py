@@ -434,7 +434,6 @@ def test_chunk_clips_batch_roundtrip():
     shared buffer), exact-boundary clips (n == k*step), and reject rows
     emitting nothing."""
     t = _mixed_clip_table()
-    srs = [8000, 16000, None, 80][0:1] * 0  # placate linters
     sr_col = [[8000, 16000, None][i % 3] for i in range(t.num_rows)]
     t = t.append_column("sr_hz", pa.array(
         [float(s) if s else None for s in sr_col], pa.float64()))
