@@ -1863,6 +1863,43 @@ def _q_audio_resample(sf_dir: str):
     return _collect(out).sort_by("clip_id")
 
 
+def _q_audio_spectral(sf_dir: str):
+    """Per-clip spectral quality features (normalized centroid + log
+    flatness) — the opt-in FFT path of decode_stats (removed from the
+    flagship hot path in round 3 because no keep/drop rule consumes it;
+    exposed here as its own operator). Gated by a sampled independent
+    float64 audioop+rfft recomputation with a float32-kernel tolerance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec"])
+            st = A.decode_stats(t, spectral=True)
+            outs.append(pa.table({
+                "clip_id": t["clip_id"],
+                "spectral_centroid": pa.array(st["spectral_centroid"],
+                                              type=pa.float64()),
+                "spectral_flatness": pa.array(st["spectral_flatness"],
+                                              type=pa.float64()),
+            }))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return _collect(out).sort_by("clip_id")
+
+
 def _q_audio_chunks(sf_dir: str):
     """Clip → ≤10 s training-length segments by slicing the ENCODED payload
     on sample boundaries (no decode — G.711/pcm16 are fixed
@@ -2786,6 +2823,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "audio_trim": _q_audio_trim,
         "audio_resample": _q_audio_resample,
         "audio_chunks": _q_audio_chunks,
+        "audio_spectral": _q_audio_spectral,
         "audio_dup_groups": _q_audio_dup_groups,
         "snapshot_diff": _q_snapshot_diff,
         "string_agg": _q_string_agg,

@@ -255,6 +255,71 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} sampled gain/length ≡ "
                       f"audioop recomputation ({checked} clips) [{el:.1f}s]")
             continue
+        if name == "audio_spectral":
+            # gate: sampled independent float64 recomputation of the
+            # centroid/flatness formulas (audioop decode, fresh rfft with
+            # the same zero-pad rule); engine kernel is float32 so the
+            # comparison carries a quantization tolerance
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+            from data_quality_framework_ray.functions.audio import FFT_CAP
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            t0_tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                    columns=["clip_id", "bytes", "codec"])
+            by_id = {c: (ce, fl) for c, ce, fl in
+                     zip(got["clip_id"], got["spectral_centroid"],
+                         got["spectral_flatness"])}
+            checked = bad = 0
+            for i in range(0, t0_tbl.num_rows, max(t0_tbl.num_rows // 20, 1)):
+                cid = t0_tbl["clip_id"][i].as_py()
+                bts = t0_tbl["bytes"][i].as_py()
+                codec = t0_tbl["codec"][i].as_py()
+                if bts is None or codec not in ("pcm16", "ulaw", "alaw"):
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = (_np.frombuffer(pcm_b, dtype="<i2")
+                     .astype(_np.float64) / 32768.0)
+                ce_got, fl_got = by_id[cid]
+                checked += 1
+                if len(x) == 0:
+                    if ce_got == ce_got or fl_got == fl_got:  # want NaN
+                        bad += 1
+                    continue
+                n_in = min(len(x), FFT_CAP)
+                n_fft = 1 << (n_in - 1).bit_length()
+                spec = _np.abs(_np.fft.rfft(x[:n_in], n=n_fft))
+                power = spec * spec + 1e-12
+                freqs = _np.arange(len(power), dtype=_np.float64)
+                ce = float((freqs @ power)
+                           / (power.sum() * max(len(power) - 1, 1)))
+                fl = float(_np.exp(_np.mean(_np.log(power)))
+                           / _np.mean(power))
+                # float32 kernel vs float64 oracle: power sums agree to
+                # ~1e-4 relative; flatness's log-mean amplifies low-power
+                # quantization so it gets a looser bound
+                if abs(ce_got - ce) > 5e-3 * max(abs(ce), 1e-3) + 1e-5 \
+                        or abs(fl_got - fl) > 0.05 * max(fl, 1e-6) + 1e-5:
+                    bad += 1
+            if checked < 10 or bad:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips diverge "
+                      "from independent spectral recomputation")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} sampled centroid/"
+                      f"flatness ≡ float64 rfft recomputation "
+                      f"({checked} clips) [{el:.1f}s]")
+            continue
         if name == "audio_chunks":
             # gate: sampled independent re-slice of the first fragment —
             # chunk count = ceil(n/step), per-chunk sample/byte lengths,
