@@ -1172,6 +1172,33 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_lloyd(ds, "embedding", "vec_id", k=8, iters=5)
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the part↔supplier
+    purchase graph: every lineitem row contributes the directed edge pair
+    (2·l_partkey → 2·l_suppkey+1) and its reverse, parallel edges with
+    multiplicity. Edges stay distributed; per iteration the rank vector is
+    broadcast once (``ray.put``) and per-batch sparse (dst, contribution)
+    partials go through the bounded fold / distributed-groupby switch.
+    Gated on a plain-numpy whole-graph replay (same float64 formula, rel ≤
+    1e-9) + run-twice determinism — an iterative algorithm, like
+    kmeans_clusters, that SQL cannot restate without unrolling."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({"src": pa.array(np.concatenate([p, s])),
+                         "dst": pa.array(np.concatenate([s, p]))})
+
+    return pagerank(ds.map_batches(to_edges, batch_format="pyarrow"),
+                    iters=3, damping=0.85)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity day, counted
     as active per day-offset (0..7). Hash-partitioned by user — complete
@@ -2799,6 +2826,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pagerank": _q_pagerank,
         "write_partitioned": _q_write_partitioned,
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,

@@ -719,6 +719,53 @@ def main() -> None:
                 print(f"ok   {name}: {len(got_m)} clusters, exact counts, "
                       f"inertia rel ≤ {worst:.1e}, deterministic [{el:.1f}s]")
             continue
+        if name == "pagerank":
+            # gate: plain-numpy whole-graph replay of the identical
+            # fixed-iteration formula (3 iters, d=0.85, both edge
+            # directions, dangling redistribution); node set must match
+            # exactly, ranks at rel <= 1e-9, ranks sum to 1, plus
+            # run-twice determinism
+            import numpy as _np
+
+            pk, sk = zip(*con.execute(
+                "SELECT l_partkey, l_suppkey FROM lineitem").fetchall())
+            p = _np.asarray(pk, dtype=_np.int64) * 2
+            s = _np.asarray(sk, dtype=_np.int64) * 2 + 1
+            src = _np.concatenate([p, s])
+            dst = _np.concatenate([s, p])
+            nodes = _np.unique(_np.concatenate([src, dst]))
+            si = _np.searchsorted(nodes, src)
+            di = _np.searchsorted(nodes, dst)
+            odeg = _np.bincount(si, minlength=len(nodes))
+            dang = odeg == 0
+            nn = len(nodes)
+            rr = _np.full(nn, 1.0 / nn)
+            for _ in range(3):
+                w = _np.where(dang, 0.0, 0.85 * rr / _np.maximum(odeg, 1))
+                acc = _np.zeros(nn)
+                _np.add.at(acc, di, w[si])
+                rr = 0.15 / nn + acc + 0.85 * float(rr[dang].sum()) / nn
+            # canon() rounds floats to 6dp — fine for the determinism
+            # compare, fatal for rel<=1e-9 on ~1e-4 ranks, so the
+            # precision compare uses the RAW second run
+            again_raw = to_pandas(qs[name](SF_DIR))
+            det = got.equals(canon(again_raw))
+            gnodes = again_raw.sort_values("node")
+            ok = det and gnodes["node"].to_numpy().tolist() == nodes.tolist()
+            worst = 1.0
+            if ok:
+                gr = gnodes["rank"].to_numpy()
+                worst = float(_np.max(_np.abs(gr - rr)
+                                      / _np.maximum(rr, 1e-300)))
+                ok = worst <= 1e-9 and abs(float(gr.sum()) - 1.0) < 1e-9
+            if not ok:
+                print(f"FAIL {name}: det={det} nodes={len(got)} "
+                      f"(oracle {nn}) worst rank rel {worst:.2e}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {nn} nodes, rank rel <= {worst:.1e} "
+                      f"vs numpy replay, sum=1, deterministic [{el:.1f}s]")
+            continue
         if name == "approx_distinct_grouped":
             exact = dict(con.execute(
                 "SELECT o_orderstatus, count(DISTINCT o_custkey)"
