@@ -2270,6 +2270,39 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_ewma(sf_dir: str):
+    """Per-user exponentially-weighted moving average (α=0.3, adjust=False)
+    of event values ordered by (ts, event_id) — a RECURSIVE window
+    (each output depends on the previous output), which plain SQL cannot
+    restate without recursion, so this is gated on a whole-table pandas
+    ``ewm`` replay (rel ≤ 1e-9) + run-twice determinism. Same exchange
+    shape as rolling_mean/lag_delta: one hash exchange on user_id, then a
+    vectorized polars ewm_mean per partition; the recursion never leaves
+    the partition because each user's full history is co-located."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("ewma", pa.float64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+              .with_columns(pl.col("value")
+                            .ewm_mean(alpha=0.3, adjust=False)
+                            .over("user_id").alias("ewma")))
+        return df.select(["user_id", "event_id", "ewma"]).to_arrow() \
+            .cast(out_schema)
+
+    out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
+    return _collect(out).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
 def _q_lag_delta(sf_dir: str):
     """LAG window: per-user event-over-event value delta ordered by (ts,
     event_id) — the CDC/telemetry differencing op. Same shape as
@@ -2827,6 +2860,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
         "pagerank": _q_pagerank,
+        "ewma": _q_ewma,
         "write_partitioned": _q_write_partitioned,
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,

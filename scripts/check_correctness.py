@@ -766,6 +766,32 @@ def main() -> None:
                 print(f"ok   {name}: {nn} nodes, rank rel <= {worst:.1e} "
                       f"vs numpy replay, sum=1, deterministic [{el:.1f}s]")
             continue
+        if name == "ewma":
+            # gate: whole-table pandas ewm replay (same alpha/adjust, same
+            # (ts, event_id) order) at rel <= 1e-9 on the RAW second run
+            # (canon rounds to 6dp), plus run-twice determinism
+            import numpy as _np
+
+            ev = con.execute(
+                "SELECT user_id, event_id, ts, value FROM events").df()
+            ev = ev.sort_values(["user_id", "ts", "event_id"])
+            ev["want"] = (ev.groupby("user_id")["value"]
+                          .transform(lambda s: s.ewm(alpha=0.3,
+                                                     adjust=False).mean()))
+            again_raw = to_pandas(qs[name](SF_DIR))
+            det = got.equals(canon(again_raw))
+            m = again_raw.merge(ev[["event_id", "want"]], on="event_id")
+            rel = (_np.abs(m["ewma"] - m["want"])
+                   / _np.maximum(_np.abs(m["want"]), 1e-300))
+            worst = float(rel.max())
+            if not det or len(m) != len(ev) or worst > 1e-9:
+                print(f"FAIL {name}: det={det} rows={len(m)}/{len(ev)} "
+                      f"worst rel {worst:.2e}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(m)} ewma rel <= {worst:.1e} "
+                      f"vs pandas replay, deterministic [{el:.1f}s]")
+            continue
         if name == "approx_distinct_grouped":
             exact = dict(con.execute(
                 "SELECT o_orderstatus, count(DISTINCT o_custkey)"
