@@ -2723,6 +2723,21 @@ def _q_bm25_topk(sf_dir: str):
                               ["join", "vector", "window"], top_k=10))
 
 
+def _q_lm_train_bigram(sf_dir: str):
+    """Bigram language-model TRAINING over the documents corpus — the
+    distributed counts step that produces the model the flagship's
+    KenLM-style perplexity scorer consumes: MLE conditional probabilities
+    P(w2|w1) from distributed (w1, w2) counts, top-30 bigrams with
+    deterministic tie-break. Fully SQL-oracled (same \\S+ tokenizer as
+    bigram_freq; cond_p is the identical n·1.0/prefix_n IEEE division both
+    sides)."""
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        bigram_lm_top
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bigram_lm_top(ds, "text", top_k=30)
+
+
 def _q_bigram_freq(sf_dir: str):
     """Top-20 adjacent-token bigrams over the documents corpus (n-gram
     frequency, n=2): vectorized explode + global shift pairing per batch,
@@ -2752,7 +2767,7 @@ ROTATED_FIRST = [
     "bigram_freq", "bm25_topk", "join_outer", "iqr_outliers",
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
-    "decontaminate_embedding", "running_total",
+    "decontaminate_embedding", "running_total", "lm_train_bigram",
 ]
 
 
@@ -2850,6 +2865,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "skew_kurtosis": _q_skew_kurtosis,
         "grouped_mad": _q_grouped_mad,
         "bigram_freq": _q_bigram_freq,
+        "lm_train_bigram": _q_lm_train_bigram,
         "bm25_topk": _q_bm25_topk,
         "join_outer": _q_join_outer,
         "approx_distinct_grouped": _q_approx_distinct_grouped,
@@ -3613,6 +3629,23 @@ def oracle_sql() -> dict[str, str]:
             "   FROM documents)))"
             " WHERE bg IS NOT NULL"
             " GROUP BY bg ORDER BY n DESC, bg LIMIT 20"),
+        "lm_train_bigram": (
+            # MLE bigram LM training counts: P(w2|w1) = n(w1 w2)/n(w1 ·).
+            # Same list_zip NULL-padding note as bigram_freq — the filter
+            # on z[2] drops exactly the last-token pseudo-pairs. cond_p is
+            # n * 1.0 / prefix_n, the expression shape the engine computes.
+            "WITH bg AS ("
+            " SELECT z[1] AS w1, z[2] AS w2, count(*) AS n FROM ("
+            "  SELECT unnest(list_zip(l[:-1], l[2:])) AS z FROM ("
+            "   SELECT regexp_extract_all(text, '\\S+') AS l"
+            "   FROM documents))"
+            " WHERE z[2] IS NOT NULL GROUP BY 1, 2),"
+            "pre AS (SELECT w1, sum(n) AS pn FROM bg GROUP BY 1) "
+            "SELECT bg.w1, bg.w2, bg.n AS bigram_n,"
+            " pre.pn::BIGINT AS prefix_n,"
+            " bg.n * 1.0 / pre.pn AS cond_p "
+            "FROM bg JOIN pre ON bg.w1 = pre.w1 "
+            "ORDER BY bigram_n DESC, bg.w1, bg.w2 LIMIT 30"),
     }
 
 

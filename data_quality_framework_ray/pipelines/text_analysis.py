@@ -152,6 +152,67 @@ def bigram_top_counts(ds, text_col: str = "text", top_k: int = 20):
             .sort(["n", "bg"], descending=[True, False]).limit(top_k))
 
 
+def bigram_lm_top(ds, text_col: str = "text", top_k: int = 30) -> pa.Table:
+    """Train the bigram language model the perplexity scorer consumes —
+    MLE conditional probabilities P(w2|w1) = n(w1 w2) / n(w1 ·) from
+    distributed corpus counts — and return the ``top_k`` most frequent
+    bigrams with their counts and probabilities (ties broken by (w1, w2)
+    so the cut is deterministic).
+
+    Execution: the same vectorized explode+shift bigram kernel as
+    ``bigram_top_counts`` emits per-batch (w1, w2, n) partials →
+    distributed groupby-sum (the bigram vocabulary never lands on the
+    driver) → the aggregated table is materialized ONCE and reused for
+    (a) prefix totals (groupby w1) and (b) the distributed top-k; only
+    ≤ top_k rows of each reach the driver. ``cond_p`` is computed as
+    n · 1.0 / prefix_n — the identical IEEE division the SQL oracle
+    states, so the doubles match bit-for-bit."""
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(pa.table({"t": batch[text_col]}))["t"].fill_null("")
+        df = (pl.DataFrame({"i": np.arange(len(s), dtype=np.int64),
+                            "tok": s.str.extract_all(r"\S+")})
+              .explode("tok").drop_nulls("tok"))
+        df = df.with_columns(nxt=pl.col("tok").shift(-1),
+                             ni=pl.col("i").shift(-1))
+        df = df.filter(pl.col("ni") == pl.col("i"))
+        return (df.group_by(["tok", "nxt"])
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .rename({"tok": "w1", "nxt": "w2"}).to_arrow())
+
+    bg = (ds.map_batches(partials, batch_format="pyarrow",
+                         batch_size=config.TEXT_BATCH_SIZE)
+          .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    top = bg.sort(["n", "w1", "w2"],
+                  descending=[True, False, False]).limit(top_k).take_all()
+    if not top:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "bigram_n": pa.array([], pa.int64()),
+                         "prefix_n": pa.array([], pa.int64()),
+                         "cond_p": pa.array([], pa.float64())})
+    need = sorted({r["w1"] for r in top})
+
+    def only_needed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["w1"], pa.array(need, pa.string())))
+
+    pre_rows = (bg.map_batches(only_needed, batch_format="pyarrow")
+                .groupby("w1").aggregate(Sum("n", alias_name="prefix_n"))
+                .take_all())
+    pre = {r["w1"]: int(r["prefix_n"]) for r in pre_rows}
+    return pa.table({
+        "w1": pa.array([r["w1"] for r in top], pa.string()),
+        "w2": pa.array([r["w2"] for r in top], pa.string()),
+        "bigram_n": pa.array([int(r["n"]) for r in top], pa.int64()),
+        "prefix_n": pa.array([pre[r["w1"]] for r in top], pa.int64()),
+        "cond_p": pa.array([float(r["n"]) / float(pre[r["w1"]])
+                            for r in top], pa.float64())})
+
+
 def bm25_topk(ds, text_col: str = "text", id_col: str = "doc_id",
               terms: list[str] | None = None, k1: float = 1.2,
               b: float = 0.75, top_k: int = 10):
