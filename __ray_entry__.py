@@ -1158,6 +1158,38 @@ def _q_write_partitioned(sf_dir: str):
                      "n": t["n"].cast(pa.int64())})
 
 
+def _q_compact_files(sf_dir: str):
+    """Small-file compaction round-trip: scatter events into 32 small
+    parquet files (the ingestion-debris layout), compact to ≤4 right-sized
+    files with NO shuffle (block split/coalesce only), then prove the
+    round-trip by reading the compacted directory back and counting rows
+    per event_type. The oracle is the per-type count off the original
+    table, so a lost or duplicated row in either rewrite fails the hash
+    compare; the file-count assertions pin the compaction itself."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray.pipelines.compaction import \
+        compact_parquet
+
+    small = "/tmp/dqfr_compact_small"
+    out = "/tmp/dqfr_compact_out"
+    shutil.rmtree(small, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds.repartition(32).write_parquet(small)
+    st = compact_parquet(small, out, target_files=4)
+    assert st["files_in"] >= 16 and st["files_out"] <= 4, st
+    back = rd.read_parquet(out)
+    g = back.groupby("event_type").aggregate(Count(alias_name="n"))
+    t = _collect(g).sort_by("event_type")
+    return pa.table({"event_type": t["event_type"].cast(pa.string()),
+                     "n": t["n"].cast(pa.int64())})
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (k=8, 5
     iterations): centroids broadcast per iteration, per-batch matmul
@@ -2768,6 +2800,7 @@ ROTATED_FIRST = [
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
     "decontaminate_embedding", "running_total", "lm_train_bigram",
+    "compact_files",
 ]
 
 
@@ -2878,6 +2911,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "ewma": _q_ewma,
         "write_partitioned": _q_write_partitioned,
+        "compact_files": _q_compact_files,
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,
         "decontaminate_embedding": _q_decontaminate_embedding,
@@ -3549,6 +3583,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)"
             " GROUP BY doc_id ORDER BY doc_id"),
         "write_partitioned": (
+            "SELECT event_type, count(*) AS n FROM events"
+            " GROUP BY 1 ORDER BY 1"),
+        "compact_files": (
+            # per-type counts must survive the scatter -> compact -> read
+            # round trip exactly
             "SELECT event_type, count(*) AS n FROM events"
             " GROUP BY 1 ORDER BY 1"),
         "cohort_retention": (
