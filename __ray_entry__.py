@@ -2755,6 +2755,26 @@ def _q_bm25_topk(sf_dir: str):
                               ["join", "vector", "window"], top_k=10))
 
 
+def _q_langid_train(sf_dir: str):
+    """Language-ID model TRAINING: per-language char-trigram frequency
+    profiles (top-20 per language) over the labeled documents corpus —
+    the distributed counts step that produces the fastText-style profile
+    the langid scorer consumes. Zero-copy trigram kernel over the Arrow
+    string buffers (one shift-and-or over the concatenated char buffer;
+    per-doc windows from the offsets buffer); fully SQL-oracled via
+    lateral substring explode."""
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        langid_train_profiles
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = langid_train_profiles(ds, "text", "lang", top_k=20)
+    t = _collect(out)
+    return t.sort_by([("lang", "ascending"), ("n", "descending"),
+                      ("g", "ascending")])
+
+
 def _q_lm_train_bigram(sf_dir: str):
     """Bigram language-model TRAINING over the documents corpus — the
     distributed counts step that produces the model the flagship's
@@ -2800,7 +2820,7 @@ ROTATED_FIRST = [
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
     "decontaminate_embedding", "running_total", "lm_train_bigram",
-    "compact_files",
+    "compact_files", "langid_train",
 ]
 
 
@@ -2899,6 +2919,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": _q_grouped_mad,
         "bigram_freq": _q_bigram_freq,
         "lm_train_bigram": _q_lm_train_bigram,
+        "langid_train": _q_langid_train,
         "bm25_topk": _q_bm25_topk,
         "join_outer": _q_join_outer,
         "approx_distinct_grouped": _q_approx_distinct_grouped,
@@ -3685,6 +3706,19 @@ def oracle_sql() -> dict[str, str]:
             " bg.n * 1.0 / pre.pn AS cond_p "
             "FROM bg JOIN pre ON bg.w1 = pre.w1 "
             "ORDER BY bigram_n DESC, bg.w1, bg.w2 LIMIT 30"),
+        "langid_train": (
+            # per-language char-trigram profile training: lateral substring
+            # explode restates the engine's zero-copy buffer kernel; the
+            # length(g)=3 filter drops the (empty-range) tails exactly as
+            # the engine's nwin = len-2 does
+            "WITH tri AS (SELECT lang, substring(text, i::INT, 3) AS g"
+            " FROM documents, UNNEST(range(1, length(text)-1)) AS t(i)),"
+            "counts AS (SELECT lang, g, count(*) AS n FROM tri"
+            " WHERE length(g) = 3 GROUP BY 1, 2),"
+            "ranked AS (SELECT lang, g, n, row_number() OVER"
+            " (PARTITION BY lang ORDER BY n DESC, g) AS rn FROM counts) "
+            "SELECT lang, g, n FROM ranked WHERE rn <= 20"
+            " ORDER BY lang, n DESC, g"),
     }
 
 

@@ -213,6 +213,79 @@ def bigram_lm_top(ds, text_col: str = "text", top_k: int = 30) -> pa.Table:
                             for r in top], pa.float64())})
 
 
+def langid_train_profiles(ds, text_col: str = "text",
+                          lang_col: str = "lang",
+                          top_k: int = 20) -> "ray.data.Dataset":
+    """TRAIN the char-n-gram language-ID profiles the langid scorer
+    consumes: per-language character-trigram frequency counts over a
+    labeled corpus, top ``top_k`` trigrams per language (ties broken by
+    trigram ascending — for ASCII, int-packed code order IS lexicographic
+    order, which is what the SQL oracle's ``ORDER BY g`` states).
+
+    Kernel: zero-copy over the Arrow string layout — the column's data
+    buffer is ALL documents' chars concatenated, so ONE vectorized
+    shift-and-or over the whole buffer yields every trigram as an int32
+    code (b0<<16|b1<<8|b2); per-doc window starts come from the offsets
+    buffer (``expand_ranges``), so windows never cross documents and no
+    per-row Python runs. Partial (lang, code, n) counts per batch →
+    distributed groupby-sum → per-language top-k inside map_groups; only
+    languages × top_k rows reach the caller. ASCII corpus assumption
+    (byte == char) is asserted per batch."""
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from data_quality_framework_ray.functions.hashing import expand_ranges
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "code": pa.array([], pa.int32()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        arr = pc.fill_null(batch[text_col], "").combine_chunks()
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        assert data.size == 0 or int(data.max()) < 128, \
+            "char-trigram kernel requires an ASCII corpus (byte == char)"
+        lens = np.diff(off)
+        nwin = np.maximum(lens - 2, 0)
+        if int(nwin.sum()) == 0:
+            return empty
+        d = data.astype(np.int32)
+        codes = (d[:-2] << 16) | (d[1:-1] << 8) | d[2:]
+        starts = expand_ranges(off[:-1], nwin)
+        langs = np.asarray(pc.fill_null(batch[lang_col], "").to_pylist(),
+                           dtype=object)
+        df = pl.DataFrame({
+            "lang": pl.Series(np.repeat(langs, nwin).tolist(),
+                              dtype=pl.Utf8),
+            "code": codes[starts]})
+        return (df.group_by(["lang", "code"])
+                .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow()
+                .cast(empty.schema))
+
+    def per_lang_top(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g)
+              .sort(["n", "code"], descending=[True, False])
+              .head(top_k))
+        code = df["code"].to_numpy()
+        tri = ["".join(map(chr, ((c >> 16) & 0xFF, (c >> 8) & 0xFF,
+                                 c & 0xFF))) for c in code]
+        return pa.table({"lang": df["lang"].to_arrow(),
+                         "g": pa.array(tri, pa.string()),
+                         "n": df["n"].to_arrow()})
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE)
+            .groupby(["lang", "code"]).aggregate(Sum("n", alias_name="n"))
+            .groupby("lang").map_groups(per_lang_top,
+                                        batch_format="pyarrow"))
+
+
 def bm25_topk(ds, text_col: str = "text", id_col: str = "doc_id",
               terms: list[str] | None = None, k1: float = 1.2,
               b: float = 0.75, top_k: int = 10):

@@ -173,3 +173,38 @@ def test_document_filter_rules_and_planted_dups(ray_session):
     assert got[4] == (False, "dup")          # loser of the planted pair
     assert got[5] == (False, "too_short")    # precedence over dup
     assert got[6] == (False, "too_short")
+
+
+def test_langid_train_profiles_vs_python(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        langid_train_profiles
+
+    rows = [
+        {"text": "abcabc", "lang": "aa"},
+        {"text": "ab", "lang": "aa"},        # < 3 chars: zero trigrams
+        {"text": "", "lang": "aa"},
+        {"text": None, "lang": "bb"},
+        {"text": "zzzzz", "lang": "bb"},
+        {"text": "abcd", "lang": "bb"},
+    ]
+    want = {}
+    for r in rows:
+        t = r["text"] or ""
+        c = want.setdefault(r["lang"], Counter())
+        for i in range(len(t) - 2):
+            c[t[i:i + 3]] += 1
+    got = langid_train_profiles(
+        rd.from_items(rows).repartition(3), top_k=10).take_all()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], {})[r["g"]] = r["n"]
+    assert by_lang == {lg: dict(c) for lg, c in want.items() if c}
+    # top-k cut + deterministic tie order: ask for 1 per lang
+    top1 = langid_train_profiles(
+        rd.from_items(rows).repartition(2), top_k=1).take_all()
+    t1 = {r["lang"]: (r["g"], r["n"]) for r in top1}
+    # aa: abc x2 wins; bb: zzz x3 wins
+    assert t1 == {"aa": ("abc", 2), "bb": ("zzz", 3)}
