@@ -999,6 +999,113 @@ def _q_sessionize(sf_dir: str):
     return _collect(out).sort_by("user_id")
 
 
+def _q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy (bits) of the event-type distribution — a
+    behavioural-diversity signal (bot traffic is low-entropy). Per-batch
+    (user, type, c) count partials shrink the exchange, then one hash
+    exchange on user_id and a vectorized polars entropy per partition.
+    Restated by DuckDB's ``entropy()`` aggregate; both sides round to 6 dp
+    (token_entropy convention — absorbs last-ulp summation-order drift)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by(["user_id", "event_type"])
+                .agg(pl.len().cast(pl.Int64).alias("c")).to_arrow())
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema([("user_id", pa.int64()), ("h", pa.float64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).group_by(["user_id", "event_type"])
+              .agg(pl.col("c").sum())
+              .with_columns(n=pl.col("c").sum().over("user_id"))
+              .with_columns(p=pl.col("c") / pl.col("n"))
+              .group_by("user_id")
+              .agg(h=(-(pl.col("p") * pl.col("p").log(2)).sum()).round(6)))
+        return df.to_arrow().cast(out_schema)
+
+    out = part_shuffle(counts, "user_id", kernel, out_schema,
+                       data_partitions(ds))
+    return _collect(out).sort_by("user_id")
+
+
+def _q_chi_square(sf_dir: str):
+    """Pearson chi-square independence statistic for the event_type ×
+    day-of-week contingency table (the drift/independence test next to
+    psi_drift): per-batch cell-count partials → bounded fold (≤ types ×
+    7 cells) → one vectorized expected-vs-observed pass. chi2 is invariant
+    to label mapping, so the engine's Mon-based weekday and the oracle's
+    Sun-based dayofweek partition rows identically; both sides round to
+    6 dp."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(dow=pl.col("ts").dt.weekday().cast(pl.Int64))
+              .group_by(["event_type", "dow"])
+              .agg(pl.len().cast(pl.Int64).alias("c")))
+        return df.to_arrow()
+
+    folded = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["event_type", "dow"], ["c"])
+    df = folded.sort(["event_type", "dow"])
+    o = df["c"].to_numpy().astype(np.float64)
+    r = df["event_type"].to_numpy()
+    col = df["dow"].to_numpy()
+    n = o.sum()
+    r_tot = {k: v for k, v in df.group_by("event_type")
+             .agg(pl.col("c").sum()).iter_rows()}
+    c_tot = {k: v for k, v in df.group_by("dow")
+             .agg(pl.col("c").sum()).iter_rows()}
+    e = np.array([r_tot[a] * c_tot[b] / n for a, b in zip(r, col)])
+    chi2 = float(np.sum((o - e) ** 2 / e))
+    dof = (len(r_tot) - 1) * (len(c_tot) - 1)
+    return pa.table({"chi2": pa.array([round(chi2, 6)], pa.float64()),
+                     "dof": pa.array([dof], pa.int64())})
+
+
+def _q_debounce_events(sf_dir: str):
+    """Streaming event debounce: per (user_id, event_type), keep only the
+    FIRST event of every burst chain — an event is dropped when it arrives
+    ≤ 1 h after its predecessor in the same key (telemetry dedup /
+    at-least-once delivery cleanup). One hash exchange on user_id (the
+    event_type sub-key rides along), then a vectorized polars
+    diff-over-key per partition; SQL restates it with LAG + the identical
+    strict > 1 h predicate."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+    out_schema = pa.schema([("event_id", pa.int64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part)
+              .sort(["user_id", "event_type", "ts", "event_id"])
+              .with_columns(d=pl.col("ts").diff()
+                            .over(["user_id", "event_type"])))
+        kept = df.filter(pl.col("d").is_null()
+                         | (pl.col("d") > pl.duration(hours=1)))
+        return kept.select(["event_id"]).to_arrow().cast(out_schema)
+
+    out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
+    return _collect(out).sort_by("event_id")
+
+
 def _q_funnel_stages(sf_dir: str):
     """Ordered-sequence funnel (view → click strictly after → purchase
     strictly after): hash-partition by user (complete users per partition,
@@ -2820,7 +2927,8 @@ ROTATED_FIRST = [
     "weighted_avg", "percent_rank", "funnel_stages", "cohort_retention",
     "write_partitioned", "token_entropy", "documents_filter",
     "decontaminate_embedding", "running_total", "lm_train_bigram",
-    "compact_files", "langid_train",
+    "compact_files", "langid_train", "debounce_events", "user_entropy",
+    "chi_square",
 ]
 
 
@@ -2927,6 +3035,9 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": _q_weighted_avg,
         "percent_rank": _q_percent_rank,
         "funnel_stages": _q_funnel_stages,
+        "debounce_events": _q_debounce_events,
+        "user_entropy": _q_user_entropy,
+        "chi_square": _q_chi_square,
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
         "pagerank": _q_pagerank,
@@ -3611,6 +3722,31 @@ def oracle_sql() -> dict[str, str]:
             # round trip exactly
             "SELECT event_type, count(*) AS n FROM events"
             " GROUP BY 1 ORDER BY 1"),
+        "debounce_events": (
+            # first event of each <=1h burst chain per (user, type); LAG
+            # NULL on the first row of a key keeps it (d IS NULL)
+            "SELECT event_id FROM ("
+            " SELECT event_id, ts - lag(ts) OVER ("
+            "  PARTITION BY user_id, event_type"
+            "  ORDER BY ts, event_id) AS d FROM events)"
+            " WHERE d IS NULL OR d > INTERVAL 1 HOUR ORDER BY event_id"),
+        "user_entropy": (
+            "SELECT user_id, round(entropy(event_type), 6) AS h"
+            " FROM events GROUP BY 1 ORDER BY 1"),
+        "chi_square": (
+            # chi2 is invariant to how day labels are numbered, so
+            # dayofweek (Sun=0) vs the engine's ISO weekday partition the
+            # rows into the same cells
+            "WITH c AS (SELECT event_type AS r, dayofweek(ts) AS col,"
+            "  count(*)::DOUBLE AS o FROM events GROUP BY 1, 2),"
+            "tot AS (SELECT sum(o) AS n FROM c),"
+            "rt AS (SELECT r, sum(o) AS nr FROM c GROUP BY 1),"
+            "ct AS (SELECT col, sum(o) AS nc FROM c GROUP BY 1) "
+            "SELECT round(sum(pow(o - nr * nc / n, 2) / (nr * nc / n)), 6)"
+            "  AS chi2,"
+            " ((SELECT count(*) FROM rt) - 1)"
+            "  * ((SELECT count(*) FROM ct) - 1) AS dof "
+            "FROM c, tot JOIN rt ON c.r = rt.r JOIN ct ON c.col = ct.col"),
         "cohort_retention": (
             "WITH f AS (SELECT user_id,"
             "  CAST(date_trunc('day', min(ts)) AS DATE) AS cohort"
