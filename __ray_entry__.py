@@ -999,6 +999,84 @@ def _q_sessionize(sf_dir: str):
     return _collect(out).sort_by("user_id")
 
 
+def _q_q5_revenue(sf_dir: str):
+    """TPC-H Q5-style local-supplier revenue: a SIX-table join pipeline
+    (region→nation driver-side tiny dims; customer + supplier broadcast
+    maps; orders⋈lineitem as the one large-large hash join) with the
+    same-nation customer/supplier predicate and exact integer 10⁻⁴-dollar
+    revenue units (price-cents × (100−discount-cents)) so the distributed
+    sum is order-free and the SQL oracle matches bit-for-bit. Per-batch
+    partial sums by nation shrink the final fold to ≤ nations rows."""
+    import datetime as _dt
+
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import (
+        broadcast_hash_join, hash_join)
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    reg = _collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    asia = {rk for rk, rn in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist()) if rn == "ASIA"}
+    nat = _collect(_read(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"]))
+    nation_name = {nk: nm for nk, nm, rg in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+        nat["n_regionkey"].to_pylist()) if rg in asia}
+    nkeys = pa.array(sorted(nation_name), pa.int64())
+
+    def _in_asia(t: pa.Table, col: str) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t[col], nkeys))
+
+    supp = _collect(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                    .map_batches(lambda t: _in_asia(t, "s_nationkey"),
+                                 batch_format="pyarrow"))
+    cust = _collect(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                    .map_batches(lambda t: _in_asia(t, "c_nationkey"),
+                                 batch_format="pyarrow"))
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def od_filter(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(
+            (pl.col("o_orderdate") >= lo) & (pl.col("o_orderdate") < hi))
+        return df.select(["o_orderkey", "o_custkey"]).to_arrow()
+
+    def li_units(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            u4=(pl.col("l_extendedprice") * 100)
+            .round(0, mode="half_away_from_zero").cast(pl.Int64)
+            * (100 - (pl.col("l_discount") * 100)
+               .round(0, mode="half_away_from_zero").cast(pl.Int64)))
+        return df.select(["l_orderkey", "l_suppkey", "u4"]).to_arrow()
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(od_filter, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]) \
+        .map_batches(li_units, batch_format="pyarrow")
+    j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    j = broadcast_hash_join(j, supp, "l_suppkey", "s_suppkey")
+    j = broadcast_hash_join(j, cust, "o_custkey", "c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .filter(pl.col("c_nationkey") == pl.col("s_nationkey"))
+              .group_by("s_nationkey").agg(pl.col("u4").sum()))
+        return df.to_arrow()
+
+    folded = _fold_partials(j.map_batches(partial, batch_format="pyarrow"),
+                            ["s_nationkey"], ["u4"])
+    rows = sorted(
+        (nation_name[int(k)], int(v) / 10000.0)
+        for k, v in zip(folded["s_nationkey"].to_list(),
+                        folded["u4"].to_list()))
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "revenue": pa.array([r[1] for r in rows], pa.float64())})
+
+
 def _q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy (bits) of the event-type distribution — a
     behavioural-diversity signal (bot traffic is low-entropy). Per-batch
@@ -2928,7 +3006,7 @@ ROTATED_FIRST = [
     "write_partitioned", "token_entropy", "documents_filter",
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
-    "chi_square",
+    "chi_square", "q5_revenue",
 ]
 
 
@@ -3037,6 +3115,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "debounce_events": _q_debounce_events,
         "user_entropy": _q_user_entropy,
+        "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
         "cohort_retention": _q_cohort_retention,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3733,6 +3812,22 @@ def oracle_sql() -> dict[str, str]:
         "user_entropy": (
             "SELECT user_id, round(entropy(event_type), 6) AS h"
             " FROM events GROUP BY 1 ORDER BY 1"),
+        "q5_revenue": (
+            # exact integer 1e-4-dollar units (price cents x (100 - disc
+            # cents)) make the six-table revenue sum order-free on both
+            # sides — same convention as q1's cents columns
+            "SELECT n_name,"
+            " sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "     * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            "   / 10000.0 AS revenue"
+            " FROM customer, orders, lineitem, supplier, nation, region"
+            " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+            " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+            " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+            " AND r_name = 'ASIA'"
+            " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01'"
+            " GROUP BY n_name ORDER BY n_name"),
         "chi_square": (
             # chi2 is invariant to how day labels are numbered, so
             # dayofweek (Sun=0) vs the engine's ISO weekday partition the
