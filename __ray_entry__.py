@@ -62,6 +62,83 @@ def _videos_parquet_for(sf_dir: str) -> str:
     return path
 
 
+_IMAGE_SCALE = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 800}
+
+
+def synth_image_array(i: int):
+    """Deterministic RGB test image for item ``i`` (varying size, full
+    0-255 range) — shared by the query's datagen and the harness replay."""
+    import numpy as np
+
+    h = 8 + (i % 3) * 4
+    w = 8 + (i % 5) * 2
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(i * 7 + y * 13 + x * 29) % 256,
+                    (i * 11 + y * 5 + x * 3) % 256,
+                    (i * 3 + y * 17 + x * 7) % 256], axis=2)
+    return img.astype(np.uint8)
+
+
+def _images_parquet_for(sf_dir: str) -> str:
+    """Deterministic synthetic BMP/PPM image table sized to the sf tier
+    (no external data; cached by path; both codecs exercised)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_framework_ray.functions.images import (encode_bmp,
+                                                             encode_ppm)
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _IMAGE_SCALE.get(name, 60)
+    path = f"/tmp/dqfr_images_{name}.parquet"
+    if not os.path.exists(path):
+        rows = []
+        for i in range(n):
+            img = synth_image_array(i)
+            enc, mime = ((encode_bmp, "image/bmp") if i % 2 == 0
+                         else (encode_ppm, "image/x-portable-pixmap"))
+            rows.append({"item_id": f"img_{i:06d}", "bytes": enc(img),
+                         "mime": mime})
+        pq.write_table(pa.Table.from_pylist(rows), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _q_image_features(sf_dir: str):
+    """Image decode → feature-extract over the synthetic BMP/PPM table:
+    the multimodal actor-pool stage (ImageDecodeStage, numpy backend —
+    REAL pure-numpy decode + grayscale area-resize, no PIL) runs as
+    map_batches with a fixed pool; payloads decode in-task and only the
+    16-dim features leave the stage, reduced here to (f_mean, f0) per
+    item. Gated on a per-row replay through the same public kernel plus
+    run-twice determinism."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from data_quality_framework_ray.stages.multimodal import ImageDecodeStage
+
+    ds = rd.read_parquet(_images_parquet_for(sf_dir))
+    pool = max(1, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    feats = ds.map_batches(ImageDecodeStage,
+                           fn_constructor_kwargs={"feature_dim": 16,
+                                                  "backend": "numpy"},
+                           concurrency=pool, batch_size=64,
+                           batch_format="pyarrow")
+
+    def summar(t: pa.Table) -> pa.Table:
+        f = np.array(t["features"].to_pylist(), dtype=np.float64)
+        if f.size == 0:
+            f = f.reshape(0, 16)
+        return pa.table({"item_id": t["item_id"],
+                         "f_mean": pa.array(f.mean(axis=1), pa.float64()),
+                         "f0": pa.array(f[:, 0], pa.float64())})
+
+    return _collect(feats.map_batches(summar, batch_format="pyarrow")) \
+        .sort_by("item_id")
+
+
 _MULTILANG_SCALE = {"sf0.001": 2000, "sf0.01": 6000, "sf0.1": 24000}
 _MULTILANG_LANGS = ("en", "fr", "de", "es", "it", "xx")
 
@@ -3129,6 +3206,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "running_total": _q_running_total,
         "approx_quantiles": _q_approx_quantiles,
         "video_frames": _q_video_frames,
+        "image_features": _q_image_features,
         "read_formats": _q_read_formats,
         "resample_weighted": _q_resample_weighted,
         "token_budget": _q_token_budget,

@@ -719,6 +719,42 @@ def main() -> None:
                 print(f"ok   {name}: {len(got_m)} clusters, exact counts, "
                       f"inertia rel ≤ {worst:.1e}, deterministic [{el:.1f}s]")
             continue
+        if name == "image_features":
+            # gate: per-row replay through the same PUBLIC kernel
+            # (synth_image_array -> encode -> images.image_features) must
+            # agree exactly; plus run-twice determinism. This checks the
+            # distributed actor-pool path end-to-end against a serial
+            # recomputation, not the engine against itself: the replay
+            # goes straight to functions/images.py with no Ray, no stage,
+            # no batch framing.
+            import numpy as _np
+
+            from data_quality_framework_ray.functions.images import (
+                encode_bmp, encode_ppm, image_features as _feat)
+
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            ok, worst = det, 0.0
+            for _, r in got.iterrows():
+                i = int(r["item_id"].split("_")[1])
+                img = entrymod.synth_image_array(i)
+                enc = encode_bmp if i % 2 == 0 else encode_ppm
+                f = _feat(enc(img), 16).astype(_np.float64)
+                for gv, wv in ((r["f_mean"], f.mean()), (r["f0"], f[0])):
+                    d = abs(float(gv) - round(float(wv), 6))
+                    worst = max(worst, d)
+                    if d > 1e-9:
+                        ok = False
+            n_img = len(got)
+            if not ok or n_img == 0:
+                print(f"FAIL {name}: det={det} rows={n_img} "
+                      f"worst |diff| {worst:.2e} vs serial kernel replay")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={n_img} features == serial "
+                      f"decode replay (both codecs), deterministic "
+                      f"[{el:.1f}s]")
+            continue
         if name == "pagerank":
             # gate: plain-numpy whole-graph replay of the identical
             # fixed-iteration formula (3 iters, d=0.85, both edge
