@@ -1231,6 +1231,94 @@ def _q_chi_square(sf_dir: str):
                      "dof": pa.array([dof], pa.int64())})
 
 
+def _q_late_events(sf_dir: str):
+    """Streaming late-data detection: flag events whose event-time lags the
+    WATERMARK (max event-time seen strictly earlier in arrival order =
+    event_id order) by more than 2 h — the out-of-orderness audit a
+    watermark-based windowing stage needs. Watermark = distributed
+    EXCLUSIVE prefix max (two-level bucket bases, rows never shuffle);
+    lateness stays in exact integer microseconds so both sides compare
+    identically. The natural table is strictly time-ordered (max natural
+    lateness is NEGATIVE), so both sides PLANT a deterministic 48 h delay
+    on event_id % 997 == 0 — those rows must flag, everything else must
+    not, keeping the compare discriminating in both directions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_quality_framework_ray.pipelines.packing import \
+        running_max_exclusive
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        us[ids % 997 == 0] -= 172_800_000_000
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pa.array(us, pa.int64())})
+
+    wm = running_max_exclusive(ds.map_batches(to_us, batch_format="pyarrow"),
+                               id_col="event_id", value_col="ts_us",
+                               bucket_size=10_000)
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.subtract(t["prev_max"], t["ts_us"])
+        keep = pc.fill_null(pc.greater(late, 7_200_000_000), False)
+        kept = t.filter(keep)
+        return pa.table({
+            "event_id": kept["event_id"],
+            "lateness_us": pc.subtract(kept["prev_max"], kept["ts_us"])})
+
+    return _collect(wm.map_batches(flag, batch_format="pyarrow")) \
+        .sort_by("event_id")
+
+
+def _q_markov_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event-type
+    sequences (ordered by ts, event_id) — the sequence-model training
+    counts op. One hash exchange on user_id, vectorized polars shift per
+    partition, then tiny (prev, cur, n) partials fold bounded (≤ types²
+    keys). cond_p is the same n·1.0/row-total IEEE division the SQL oracle
+    states."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+    part_schema = pa.schema([("prev", pa.string()), ("cur", pa.string()),
+                             ("n", pa.int64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part)
+              .sort(["user_id", "ts", "event_id"])
+              .with_columns(prev=pl.col("event_type").shift(1)
+                            .over("user_id"))
+              .drop_nulls("prev")
+              .group_by(["prev", "event_type"])
+              .agg(pl.len().cast(pl.Int64).alias("n"))
+              .rename({"event_type": "cur"}))
+        return df.to_arrow().cast(part_schema)
+
+    parts = part_shuffle(ds, "user_id", kernel, part_schema,
+                         data_partitions(ds))
+    folded = _fold_partials(parts, ["prev", "cur"], ["n"]) \
+        .sort(["prev", "cur"])
+    tot = {k: v for k, v in folded.group_by("prev")
+           .agg(pl.col("n").sum()).iter_rows()}
+    n = folded["n"].to_list()
+    prev = folded["prev"].to_list()
+    return pa.table({
+        "prev": pa.array(prev, pa.string()),
+        "cur": pa.array(folded["cur"].to_list(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "cond_p": pa.array([float(c) / float(tot[p])
+                            for c, p in zip(n, prev)], pa.float64())})
+
+
 def _q_debounce_events(sf_dir: str):
     """Streaming event debounce: per (user_id, event_type), keep only the
     FIRST event of every burst chain — an event is dropped when it arrives
@@ -3083,7 +3171,7 @@ ROTATED_FIRST = [
     "write_partitioned", "token_entropy", "documents_filter",
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
-    "chi_square", "q5_revenue",
+    "chi_square", "q5_revenue", "markov_transitions", "late_events",
 ]
 
 
@@ -3191,6 +3279,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "funnel_stages": _q_funnel_stages,
         "debounce_events": _q_debounce_events,
+        "markov_transitions": _q_markov_transitions,
+        "late_events": _q_late_events,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -3890,6 +3980,29 @@ def oracle_sql() -> dict[str, str]:
         "user_entropy": (
             "SELECT user_id, round(entropy(event_type), 6) AS h"
             " FROM events GROUP BY 1 ORDER BY 1"),
+        "markov_transitions": (
+            # first-order transition counts + MLE conditional probability;
+            # same n * 1.0 / total division shape as the engine
+            "WITH seq AS (SELECT user_id, event_type AS cur,"
+            "  lag(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS prev FROM events),"
+            "c AS (SELECT prev, cur, count(*) AS n FROM seq"
+            " WHERE prev IS NOT NULL GROUP BY 1, 2),"
+            "t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT c.prev, c.cur, c.n, c.n * 1.0 / t.tot AS cond_p"
+            " FROM c JOIN t ON c.prev = t.prev ORDER BY c.prev, c.cur"),
+        "late_events": (
+            # watermark = exclusive prefix max of event-time in arrival
+            # (event_id) order; lateness in exact integer microseconds.
+            # Same 48h plant on event_id % 997 == 0 as the engine (the
+            # natural table is strictly time-ordered)
+            "SELECT event_id, lateness_us FROM ("
+            " SELECT event_id, max(tsu) OVER (ORDER BY event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "  - tsu AS lateness_us FROM ("
+            "  SELECT event_id, epoch_us(ts) - CASE WHEN event_id % 997 = 0"
+            "   THEN 172800000000 ELSE 0 END AS tsu FROM events))"
+            " WHERE lateness_us > 7200000000 ORDER BY event_id"),
         "q5_revenue": (
             # exact integer 1e-4-dollar units (price cents x (100 - disc
             # cents)) make the six-table revenue sum order-free on both

@@ -85,6 +85,72 @@ def pack_chunks(ds, *, weight_col: str, id_col: str, budget: int,
             .map_groups(pack_group, batch_format="pyarrow"))
 
 
+def running_max_exclusive(ds, *, id_col: str, value_col: str,
+                          bucket_size: int = 100_000):
+    """Global EXCLUSIVE prefix maximum of an int64 column ordered by a
+    unique integer id — the streaming-watermark primitive (max event-time
+    seen STRICTLY BEFORE each row in arrival order). Same two-level
+    pattern as ``running_total``: per-batch bucket max partials → tiny
+    groupby → driver derives per-bucket exclusive bases (one int per
+    bucket) → per-bucket sort + local shifted cummax. Rows never shuffle;
+    only per-bucket maxima do. The global first row has no predecessor and
+    emits NULL. Returns a Dataset of (id_col, value_col, "prev_max") rows
+    — the value rides along so callers compare row vs watermark without a
+    join."""
+    import ray
+    from ray.data.aggregate import Max
+
+    I64_MIN = np.iinfo(np.int64).min
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        w = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ids // bucket_size
+        ub, inv = np.unique(bk, return_inverse=True)
+        mx = np.full(len(ub), I64_MIN, dtype=np.int64)
+        np.maximum.at(mx, inv, w)
+        return pa.table({"__bucket": pa.array(ub, type=pa.int64()),
+                         "__wmax": pa.array(mx, type=pa.int64())})
+
+    bucket_max = (ds.map_batches(bucket_partials, batch_format="pyarrow")
+                  .groupby("__bucket")
+                  .aggregate(Max("__wmax", alias_name="__wmax"))
+                  .take_all())
+    bucket_max.sort(key=lambda r: r["__bucket"])
+    bases: dict[int, int] = {}
+    acc = I64_MIN
+    for r in bucket_max:
+        bases[int(r["__bucket"])] = acc
+        acc = max(acc, int(r["__wmax"]))
+    bases_ref = ray.put(bases)
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return (b.select([id_col, value_col])
+                .append_column("__bucket",
+                               pa.array(ids // bucket_size, pa.int64())))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        bases_ = ray.get(bases_ref) if not isinstance(bases_ref, dict) \
+            else bases_ref
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        w = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        cm = np.maximum.accumulate(w[order])
+        prev = np.empty_like(cm)
+        prev[0] = I64_MIN
+        prev[1:] = cm[:-1]
+        base = bases_[int(ids[0] // bucket_size)]
+        out = np.maximum(prev, base)
+        return pa.table({id_col: pa.array(ids[order]),
+                         value_col: pa.array(w[order]),
+                         "prev_max": pa.array(out, mask=out == I64_MIN)})
+
+    return (ds.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))
+
+
 def running_total(ds, *, id_col: str, value_col: str,
                   bucket_size: int = 100_000):
     """Global INCLUSIVE prefix sum of an int64 column ordered by a unique

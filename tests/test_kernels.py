@@ -383,3 +383,38 @@ def test_running_total_randomized_vs_cumsum(ray_session):
         cs = np.cumsum(np.asarray(vals)[order])
         want = dict(zip(np.asarray(ids)[order].tolist(), cs.tolist()))
         assert got == want
+
+
+def test_running_max_exclusive_randomized_vs_numpy(ray_session):
+    """Distributed exclusive prefix max (watermark primitive) vs a plain
+    sorted shifted cummax: random id gaps, duplicate values, partition
+    counts, tiny bucket sizes, NULL for the global first row."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.packing import \
+        running_max_exclusive
+
+    rng = random.Random(202)
+    for trial in range(4):
+        n = rng.choice([1, 7, 200])
+        ids = rng.sample(range(10_000), n)
+        vals = [rng.randrange(-50, 200) for _ in range(n)]
+        rows = [{"i": i, "v": v} for i, v in zip(ids, vals)]
+        out = running_max_exclusive(
+            rd.from_items(rows).repartition(rng.choice([1, 4])),
+            id_col="i", value_col="v",
+            bucket_size=rng.choice([3, 100, 100_000])).take_all()
+        got = {r["i"]: (r["v"], r["prev_max"]) for r in out}
+        order = np.argsort(ids)
+        sv = np.asarray(vals)[order]
+        prev = np.empty(len(sv), dtype=object)
+        prev[0] = None
+        if len(sv) > 1:
+            prev[1:] = np.maximum.accumulate(sv)[:-1].tolist()
+        want = {int(i): (int(v), p) for i, v, p in
+                zip(np.asarray(ids)[order], sv, prev)}
+        assert got == want
