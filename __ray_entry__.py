@@ -2196,6 +2196,80 @@ def _q_audio_stats(sf_dir: str):
     return _collect(out).sort_by("clip_id")
 
 
+_DROPOUT_ZERO_BYTE = {"pcm16": b"\x00\x00", "ulaw": b"\xff", "alaw": b"\xd5"}
+
+
+def plant_dropout(bts: bytes | None, codec: str, sr_hz,
+                  clip_id: str) -> bytes | None:
+    """Deterministically overwrite a 60 ms span (starting at the clip's
+    quarter point) with the codec's digital-zero code for ~3% of clips
+    (crc32(clip_id) % 29 == 0) — shared by the query's datagen side and
+    the harness replay, because the synthetic clips contain no natural
+    dead air (max zero-run 0.25 ms). The zero codes decode to |x| < 1e-3
+    under BOTH the engine LUT and stdlib audioop."""
+    import zlib
+
+    if (bts is None or sr_hz is None or sr_hz <= 0
+            or codec not in _DROPOUT_ZERO_BYTE
+            or zlib.crc32(clip_id.encode()) % 29 != 0):
+        return bts
+    zb = _DROPOUT_ZERO_BYTE[codec]
+    bps = len(zb)
+    n_samp = len(bts) // bps
+    span = int(sr_hz * 0.060)
+    start = n_samp // 4
+    if start + span > n_samp:
+        span = max(0, n_samp - start)
+    if span <= 0:
+        return bts
+    return (bts[:start * bps] + zb * span + bts[(start + span) * bps:])
+
+
+def _q_audio_dropouts(sf_dir: str):
+    """Per-clip dropout detection (runs of ≥20 ms dead air — packet-loss /
+    recording-fault audit; a clip can pass every amplitude stat and still
+    have a dropped span). Decode inside path-based fragment tasks, audio
+    bytes never enter the object store; only three scalars per clip leave.
+    ~3% of clips get a planted 60 ms dropout (``plant_dropout``, shared
+    with the harness replay) since the synthetic audio has no natural dead
+    air. Rows-only for the driver; gated in the harness by a sampled
+    audioop zero-run recomputation that must flag every planted clip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            planted = [plant_dropout(bt, cd, sr, ci) for bt, cd, sr, ci in
+                       zip(t["bytes"].to_pylist(), t["codec"].to_pylist(),
+                           t["sr_hz"].to_pylist(), t["clip_id"].to_pylist())]
+            t = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                             pa.array(planted, pa.binary()))
+            st = A.dropout_stats(t, min_run_ms=20)
+            outs.append(pa.table({
+                "clip_id": t["clip_id"],
+                "n_dropouts": pa.array(st["n_dropouts"], pa.int64()),
+                "max_run_ms": pa.array(st["max_run_ms"], pa.float64()),
+                "dropout_frac": pa.array(st["dropout_frac"],
+                                         pa.float64())}))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return _collect(out).sort_by("clip_id")
+
+
 def _q_audio_normalize(sf_dir: str):
     """Loudness normalization transform (gain to target RMS, standardize to
     pcm16): per-fragment tasks decode → gain → re-encode; only per-clip
@@ -3310,6 +3384,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "repeated_passages": _q_repeated_passages,
         "rolling_mean": _q_rolling_mean,
         "unpivot": _q_unpivot,
+        "audio_dropouts": _q_audio_dropouts,
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
         "audio_resample": _q_audio_resample,

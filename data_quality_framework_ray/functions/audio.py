@@ -125,6 +125,41 @@ def iter_decoded(batch: pa.Table):
         row_base += len(offsets) - 1
 
 
+DROPOUT_THRESHOLD = 1e-3  # |sample| below this counts as dead air (same
+                          # level as decode_stats' silence_frac)
+
+
+def dropout_stats(batch: pa.Table, *, min_run_ms: int = 20) -> dict:
+    """Per-clip dropout detection: runs of consecutive near-zero samples
+    lasting ≥ ``min_run_ms`` (dead air from packet loss / recording
+    faults — a keep/drop quality signal the amplitude stats miss, since a
+    clip can have healthy RMS around a dropped span). Vectorized per clip:
+    one diff over the below-threshold mask yields every zero-run's start
+    and length. Returns arrays ``n_dropouts`` (runs ≥ min), ``max_run_ms``
+    (longest run, any length), ``dropout_frac`` (fraction of samples
+    inside qualifying runs); 0/NaN for undecodable rows."""
+    n = batch.num_rows
+    sr = np.asarray(batch["sr_hz"].to_pandas(), dtype=np.float64)
+    n_drop = np.zeros(n, dtype=np.int64)
+    max_run_ms = np.zeros(n, dtype=np.float64)
+    frac = np.full(n, np.nan, dtype=np.float64)
+    for r, x in iter_decoded(batch):
+        if x is None or len(x) == 0 or not np.isfinite(sr[r]) or sr[r] <= 0:
+            continue
+        m = np.abs(x) < DROPOUT_THRESHOLD
+        d = np.diff(np.concatenate([[0], m.view(np.int8), [0]]))
+        starts = np.flatnonzero(d == 1)
+        runs = np.flatnonzero(d == -1) - starts
+        min_run = max(1, int(sr[r] * min_run_ms / 1000.0))
+        sel = runs >= min_run
+        n_drop[r] = int(sel.sum())
+        max_run_ms[r] = float(runs.max()) * 1000.0 / sr[r] if len(runs) \
+            else 0.0
+        frac[r] = float(runs[sel].sum()) / len(x)
+    return {"n_dropouts": n_drop, "max_run_ms": max_run_ms,
+            "dropout_frac": frac}
+
+
 def decode_one(b: bytes, codec: str) -> np.ndarray:
     # ONE temporary per clip: G.711 decodes as a single float32 LUT gather,
     # pcm16 as frombuffer view → f32 cast scaled in place. Bit-identical to

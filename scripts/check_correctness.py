@@ -920,6 +920,90 @@ def main() -> None:
                 print(f"ok   {name}: rows={len(got)} sampled frames ≡ naive "
                       f"independent decode ({checked} frames) [{el:.1f}s]")
             continue
+        if name == "audio_dropouts":
+            # gate: sampled independent zero-run recomputation — stdlib
+            # audioop decode, float64 threshold mask, plain-Python run
+            # scan (no numpy diff trick, so the oracle is structurally
+            # independent of the engine kernel)
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                 columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            by_id = {r["clip_id"]: r for _, r in got.iterrows()}
+            # sample 20 evenly PLUS every planted clip in the fragment —
+            # even sampling alone could miss all ~3% planted rows
+            import zlib as _zlib
+
+            idxs = list(range(0, tbl.num_rows, max(tbl.num_rows // 20, 1)))
+            idxs += [i for i in range(tbl.num_rows)
+                     if _zlib.crc32(tbl["clip_id"][i].as_py().encode())
+                     % 29 == 0]
+            checked = bad = planted_flagged = planted_n = 0
+            for i in sorted(set(idxs)):
+                cid = tbl["clip_id"][i].as_py()
+                bts = tbl["bytes"][i].as_py()
+                codec = tbl["codec"][i].as_py()
+                sr = tbl["sr_hz"][i].as_py()
+                if bts is None or sr is None or sr <= 0 \
+                        or codec not in ("pcm16", "ulaw", "alaw"):
+                    continue
+                bts = entrymod.plant_dropout(bts, codec, sr, cid)
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(
+                    _np.float64) / 32768.0
+                min_run = max(1, int(sr * 20 / 1000.0))
+                runs, cur = [], 0
+                for v in _np.abs(x) < 1e-3:
+                    if v:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                q = [rl for rl in runs if rl >= min_run]
+                want_n = len(q)
+                want_max = max(runs) * 1000.0 / sr if runs else 0.0
+                want_frac = sum(q) / len(x) if len(x) else float("nan")
+                r = by_id.get(cid)
+                if r is None or int(r["n_dropouts"]) != want_n or \
+                        abs(float(r["max_run_ms"]) - want_max) > 1e-3 or \
+                        (len(x) and abs(float(r["dropout_frac"])
+                                        - want_frac) > 1e-6):
+                    bad += 1
+                if _zlib.crc32(cid.encode()) % 29 == 0:
+                    planted_n += 1
+                    planted_flagged += int(want_n > 0
+                                           and int(r["n_dropouts"]) > 0)
+                checked += 1
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            flagged = int((got["n_dropouts"] > 0).sum())
+            if bad or not checked or not det or not planted_n \
+                    or planted_flagged != planted_n:
+                print(f"FAIL {name}: det={det} {bad}/{checked} sampled "
+                      "clips disagree with audioop zero-run recomputation; "
+                      f"planted flagged {planted_flagged}/{planted_n}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} ({flagged} flagged; "
+                      f"all {planted_n} planted in sample) sampled runs ≡ "
+                      f"audioop recomputation ({checked} clips), "
+                      f"deterministic [{el:.1f}s]")
+            continue
         if name == "audio_stats":
             # gate: sampled independent recomputation — stdlib audioop decode
             # in float64 must reproduce n_samples exactly and rms/clip_frac/
