@@ -2726,6 +2726,38 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_rolling_mean_time(sf_dir: str):
+    """Per-user TIME-RANGE rolling mean (trailing 1 h window over event
+    time) — the RANGE-frame counterpart of rolling_mean's ROWS frame, the
+    shape rate/velocity features need. One hash exchange on user_id, then
+    polars rolling_mean_by per partition (closed='both' ≡ SQL RANGE
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW, peers included). Both
+    sides round to 6 dp (window-sum order drift)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("avg_1h", pa.float64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+              .with_columns(pl.col("value")
+                            .rolling_mean_by("ts", window_size="1h",
+                                             closed="both")
+                            .over("user_id").round(6).alias("avg_1h")))
+        return df.select(["user_id", "event_id", "avg_1h"]).to_arrow() \
+            .cast(out_schema)
+
+    out = part_shuffle(ds, "user_id", kernel, out_schema, data_partitions(ds))
+    return _collect(out).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
 def _q_ewma(sf_dir: str):
     """Per-user exponentially-weighted moving average (α=0.3, adjust=False)
     of event values ordered by (ts, event_id) — a RECURSIVE window
@@ -3246,6 +3278,7 @@ ROTATED_FIRST = [
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
+    "rolling_mean_time",
 ]
 
 
@@ -3355,6 +3388,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "markov_transitions": _q_markov_transitions,
         "late_events": _q_late_events,
+        "rolling_mean_time": _q_rolling_mean_time,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4078,6 +4112,13 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT event_id, epoch_us(ts) - CASE WHEN event_id % 997 = 0"
             "   THEN 172800000000 ELSE 0 END AS tsu FROM events))"
             " WHERE lateness_us > 7200000000 ORDER BY event_id"),
+        "rolling_mean_time": (
+            # RANGE frame: trailing 1h inclusive window per user; peers
+            # (same ts) share a frame on both sides
+            "SELECT user_id, event_id, round(avg(value) OVER ("
+            " PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+            "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
         "q5_revenue": (
             # exact integer 1e-4-dollar units (price cents x (100 - disc
             # cents)) make the six-table revenue sum order-free on both
