@@ -2726,6 +2726,64 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_active_users_7d(sf_dir: str):
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT (DAU/WAU-style engagement metric). Plan: distinct
+    (day, user) pairs (first shuffle collapses events to ≤ days×users
+    rows), vectorized 7-way fan-out of each pair to the window days it
+    feeds (filtered to days that exist, broadcast day set), then a second
+    distinct + count per window day. Both shuffles move (day, user) pairs,
+    never raw events."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(d=pl.col("ts").dt.date().cast(pl.Int32))
+              .select(["d", "user_id"]).unique())
+        return df.to_arrow()
+
+    pairs = (ds.map_batches(day_pairs, batch_format="pyarrow")
+             .groupby(["d", "user_id"]).aggregate(Count(alias_name="__c"))
+             .map_batches(lambda t: t.select(["d", "user_id"]),
+                          batch_format="pyarrow")
+             .materialize())
+    days = sorted({r["d"] for r in pairs.groupby("d")
+                   .aggregate(Count(alias_name="__c")).take_all()})
+    days_arr = np.asarray(days, dtype=np.int32)
+    import ray
+    days_ref = ray.put(days_arr)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.int32()),
+                             "user_id": pa.array([], pa.int64())})
+        dv = ray.get(days_ref)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int32)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = (d[:, None] + np.arange(7, dtype=np.int32)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(w, dv)
+        return pa.table({"w": pa.array(w[keep]),
+                         "user_id": pa.array(uu[keep])})
+
+    out = (pairs.map_batches(fan_out, batch_format="pyarrow")
+           .groupby(["w", "user_id"]).aggregate(Count(alias_name="__c"))
+           .map_batches(lambda t: t.select(["w"]), batch_format="pyarrow")
+           .groupby("w").aggregate(Count(alias_name="u7")))
+    t = _collect(out).sort_by("w")
+    import datetime as _dt
+    ep = _dt.date(1970, 1, 1)
+    return pa.table({
+        "d": pa.array([ep + _dt.timedelta(days=int(v))
+                       for v in t["w"].to_pylist()], pa.date32()),
+        "u7": t["u7"].cast(pa.int64())})
+
+
 def _q_rolling_mean_time(sf_dir: str):
     """Per-user TIME-RANGE rolling mean (trailing 1 h window over event
     time) — the RANGE-frame counterpart of rolling_mean's ROWS frame, the
@@ -3278,7 +3336,7 @@ ROTATED_FIRST = [
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
-    "rolling_mean_time",
+    "rolling_mean_time", "active_users_7d",
 ]
 
 
@@ -3389,6 +3447,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": _q_markov_transitions,
         "late_events": _q_late_events,
         "rolling_mean_time": _q_rolling_mean_time,
+        "active_users_7d": _q_active_users_7d,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4119,6 +4178,15 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
             "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
+        "active_users_7d": (
+            # trailing-7-day sliding COUNT DISTINCT per present day
+            "WITH du AS (SELECT DISTINCT"
+            "  CAST(date_trunc('day', ts) AS DATE) AS d, user_id"
+            "  FROM events),"
+            "days AS (SELECT DISTINCT d FROM du) "
+            "SELECT days.d AS d, count(DISTINCT du.user_id) AS u7"
+            " FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d"
+            " GROUP BY 1 ORDER BY 1"),
         "q5_revenue": (
             # exact integer 1e-4-dollar units (price cents x (100 - disc
             # cents)) make the six-table revenue sum order-free on both
