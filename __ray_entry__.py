@@ -2726,6 +2726,40 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_pii_scrub(sf_dir: str):
+    """The north rule's compiled-regex PII scrub as a fully SQL-ORACLED
+    query (the flagship exercises it F1-gated inside clips_decisions; this
+    pins pattern-level parity): per-doc n_pii count + scrubbed text
+    through the same EMAIL→CARD→PHONE→SSN sequential substitution chain,
+    counting against each intermediate string like the oracle's staged
+    regexp_replace. The corpus has no natural PII, so both sides plant
+    one item per class on doc_id % 13 ∈ {0,1,2,3} — every pattern must
+    both fire on its plant and leave everything else untouched."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.functions.scrub import scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    plants = {0: " contact bob.smith+1@mail-example.co now",
+              1: " card 4111 1111 1111 1111 ok",
+              2: " call +1 555 0100 100 soon",
+              3: " ssn 123-45-6789 end"}
+
+    def f(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            t0=pl.col("text").fill_null("")
+            + pl.col("doc_id").mod(13).replace_strict(
+                plants, default="", return_dtype=pl.Utf8))
+        out = scrub(df["t0"].to_arrow())
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_pii": pa.array(out["n_pii"], pa.int64()),
+                         "scrubbed": out["scrubbed"]})
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow",
+                                   batch_size=4096)).sort_by("doc_id")
+
+
 def _q_active_users_7d(sf_dir: str):
     """Trailing-7-day distinct active users per day — the sliding-window
     COUNT DISTINCT (DAU/WAU-style engagement metric). Plan: distinct
@@ -3336,7 +3370,7 @@ ROTATED_FIRST = [
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
-    "rolling_mean_time", "active_users_7d",
+    "rolling_mean_time", "active_users_7d", "pii_scrub",
 ]
 
 
@@ -3448,6 +3482,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "rolling_mean_time": _q_rolling_mean_time,
         "active_users_7d": _q_active_users_7d,
+        "pii_scrub": _q_pii_scrub,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4178,6 +4213,40 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
             "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
+        "pii_scrub": (
+            # staged sequential scrub, counting vs each INTERMEDIATE
+            # string (EMAIL -> CARD -> PHONE -> SSN), same plants as the
+            # engine on doc_id % 13 in {0,1,2,3}
+            "WITH p AS (SELECT doc_id, coalesce(text, '') ||"
+            " CASE doc_id % 13"
+            "  WHEN 0 THEN ' contact bob.smith+1@mail-example.co now'"
+            "  WHEN 1 THEN ' card 4111 1111 1111 1111 ok'"
+            "  WHEN 2 THEN ' call +1 555 0100 100 soon'"
+            "  WHEN 3 THEN ' ssn 123-45-6789 end'"
+            "  ELSE '' END AS t0 FROM documents),"
+            "s1 AS (SELECT doc_id,"
+            " len(regexp_extract_all(t0,"
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,"
+            " regexp_replace(t0,"
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',"
+            "  '<EMAIL>', 'g') AS t1 FROM p),"
+            "s2 AS (SELECT doc_id, c1,"
+            " len(regexp_extract_all(t1,"
+            "  '\\b(?:\\d[ -]?){15}\\d\\b')) AS c2,"
+            " regexp_replace(t1, '\\b(?:\\d[ -]?){15}\\d\\b',"
+            "  '<CARD>', 'g') AS t2 FROM s1),"
+            "s3 AS (SELECT doc_id, c1, c2,"
+            " len(regexp_extract_all(t2,"
+            "  '\\+\\d{1,3}(?:[ -]\\d{2,4}){2,4}\\b')) AS c3,"
+            " regexp_replace(t2, '\\+\\d{1,3}(?:[ -]\\d{2,4}){2,4}\\b',"
+            "  '<PHONE>', 'g') AS t3 FROM s2),"
+            "s4 AS (SELECT doc_id, c1, c2, c3,"
+            " len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))"
+            "  AS c4,"
+            " regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b',"
+            "  '<SSN>', 'g') AS t4 FROM s3) "
+            "SELECT doc_id, (c1 + c2 + c3 + c4)::BIGINT AS n_pii,"
+            " t4 AS scrubbed FROM s4 ORDER BY doc_id"),
         "active_users_7d": (
             # trailing-7-day sliding COUNT DISTINCT per present day
             "WITH du AS (SELECT DISTINCT"
