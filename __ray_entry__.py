@@ -2726,6 +2726,48 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_join_skew(sf_dir: str):
+    """Skew-aware large join: events⋈customer on user_id with
+    ``joins.skew_join`` — heavy-hitter keys (count > 66 ≈ the per-user
+    mean, so BOTH paths run at every tier) bypass the hash exchange and
+    join against the broadcast hot slice of the dimension side; cold keys
+    take the balanced ``Dataset.join``. Result grouped to per-segment
+    count + exact-cents revenue; the SQL oracle is the PLAIN join, so any
+    row lost or duplicated by the hot/cold split fails the hash compare."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import skew_join
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    def cents(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            c=(pl.col("value") * 100).round(0, mode="half_away_from_zero")
+            .cast(pl.Int64))
+        return df.select(["user_id", "c"]).to_arrow()
+
+    ev = _read(sf_dir, "events", ["user_id", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                  hot_count_threshold=66, max_hot_keys=1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t).group_by("c_mktsegment")
+              .agg(n=pl.len().cast(pl.Int64), c=pl.col("c").sum()))
+        return df.to_arrow()
+
+    folded = _fold_partials(j.map_batches(partial, batch_format="pyarrow"),
+                            ["c_mktsegment"], ["n", "c"]) \
+        .sort("c_mktsegment")
+    return pa.table({
+        "c_mktsegment": pa.array(folded["c_mktsegment"].to_list(),
+                                 pa.string()),
+        "n": pa.array(folded["n"].to_list(), pa.int64()),
+        "total": pa.array([v / 100.0 for v in folded["c"].to_list()],
+                          pa.float64())})
+
+
 def _q_pii_scrub(sf_dir: str):
     """The north rule's compiled-regex PII scrub as a fully SQL-ORACLED
     query (the flagship exercises it F1-gated inside clips_decisions; this
@@ -3370,7 +3412,7 @@ ROTATED_FIRST = [
     "decontaminate_embedding", "running_total", "lm_train_bigram",
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
-    "rolling_mean_time", "active_users_7d", "pii_scrub",
+    "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
 ]
 
 
@@ -3483,6 +3525,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_time": _q_rolling_mean_time,
         "active_users_7d": _q_active_users_7d,
         "pii_scrub": _q_pii_scrub,
+        "join_skew": _q_join_skew,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4213,6 +4256,13 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
             "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
+        "join_skew": (
+            # plain inner join — the engine's hot/cold split must be
+            # invisible in the result
+            "SELECT c_mktsegment, count(*) AS n,"
+            " sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total"
+            " FROM events JOIN customer ON user_id = c_custkey"
+            " GROUP BY 1 ORDER BY 1"),
         "pii_scrub": (
             # staged sequential scrub, counting vs each INTERMEDIATE
             # string (EMAIL -> CARD -> PHONE -> SSN), same plants as the

@@ -83,6 +83,75 @@ def hash_join(left, right, on: str | tuple[str, ...],
                      on=on_t, right_on=r_t)
 
 
+def skew_join(left, right, on: str, right_on: str | None = None, *,
+              hot_count_threshold: int = 100_000,
+              max_hot_keys: int = 10_000):
+    """Skew-aware inner equi-join: the module docstring's "salt hot keys
+    upstream" advice as an operator. A hash join places ALL rows of a key
+    on one partition, so a heavy-hitter key turns the exchange into a
+    straggler; here the hot keys' rows skip the shuffle entirely.
+
+    1. Exact probe-side key counts on the PRUNED key column (one narrow
+       groupby — at 100 TB swap in a sampled count; the split only needs
+       hot/cold, not exact numbers). Keys with count > threshold are HOT,
+       capped at ``max_hot_keys`` (take the heaviest).
+    2. HOT left rows join against the hot slice of ``right`` broadcast
+       once (the hot slice is small when ``right`` is dimension-shaped —
+       few rows per key; asserted against BROADCAST_DUP_LIMIT).
+    3. COLD rows take the normal hash-partitioned ``Dataset.join`` —
+       no hot key reaches it, so partitions stay balanced.
+    4. Union. Row set identical to a plain inner join (pinned by the
+       equivalence test and the SQL oracle of the query that uses this).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    r_on = right_on or on
+    counts = (left.select_columns([on]).groupby(on)
+              .aggregate(Count(alias_name="__n")).take_all())
+    hot = sorted((r for r in counts if r["__n"] > hot_count_threshold),
+                 key=lambda r: -r["__n"])[:max_hot_keys]
+    hot_keys = [r[on] for r in hot]
+    if not hot_keys:
+        return hash_join(left, right, on, r_on)
+    key_t = _key_type_or_fallback(left, on, right, r_on)
+    hot_arr = pa.array(hot_keys, type=key_t)
+    hot_ref = ray.put(hot_arr)
+
+    def split(keep_hot: bool):
+        def f(t: pa.Table, col: str) -> pa.Table:
+            ha = ray.get(hot_ref) if not isinstance(hot_ref, pa.Array) \
+                else hot_ref
+            m = pc.is_in(t[col], ha)
+            return t.filter(m if keep_hot else pc.invert(m))
+        return f
+
+    # collect_blocks, not to_arrow_refs: the latter re-probes schema with a
+    # limit=1 re-run of the lineage at this Ray version (see exchange)
+    right_hot_tabs, _ = _exchange.collect_blocks(
+        right.map_batches(lambda t: split(True)(t, r_on),
+                          batch_format="pyarrow"))
+    right_hot_tabs = [t for t in right_hot_tabs if t.num_rows]
+    right_hot = (pa.concat_tables(right_hot_tabs) if right_hot_tabs
+                 else None)
+    cold = hash_join(
+        left.map_batches(lambda t: split(False)(t, on),
+                         batch_format="pyarrow"),
+        right.map_batches(lambda t: split(False)(t, r_on),
+                          batch_format="pyarrow"), on, r_on)
+    if right_hot is None or right_hot.num_rows == 0:
+        return cold
+    assert right_hot.num_rows <= config.BROADCAST_DUP_LIMIT, \
+        "hot slice of right side too large to broadcast — raise the " \
+        "threshold or pre-aggregate the right side"
+    hot_joined = broadcast_hash_join(
+        left.map_batches(lambda t: split(True)(t, on),
+                         batch_format="pyarrow"),
+        right_hot, on, r_on)
+    return cold.union(hot_joined)
+
+
 def semi_join(left, right, on: str, right_on: str | None = None, *,
               anti: bool = False, num_partitions: int | None = None):
     """Keep left rows whose key exists (semi) / does not exist (anti) in

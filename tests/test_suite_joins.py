@@ -284,3 +284,39 @@ def test_set_ops_empty_sides(ray_session):
 
     assert distinct_intersect(empty, "s", full, "s").take_all() == []
     assert distinct_set_ops(empty, "s", empty, "s").take_all() == []
+
+
+def test_skew_join_matches_plain_hash_join(ray_session):
+    """skew_join's hot/cold split must be invisible: row multiset equals a
+    plain hash join across threshold settings (all-hot, mixed, all-cold),
+    including keys present on only one side."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import (hash_join,
+                                                            skew_join)
+    import ray.data as rd
+
+    rng = random.Random(31)
+    # key 7 is the heavy hitter (60%); keys 100+ exist only on the left,
+    # key 999 only on the right
+    lk = [7 if rng.random() < 0.6 else rng.randrange(0, 20) for _ in range(400)]
+    lk += [100 + i for i in range(5)]
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "v": pa.array(range(len(lk)), pa.int64())})).repartition(4)
+    rk = list(range(0, 20)) + [999]
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk, pa.int64()),
+        "w": pa.array([k * 10 for k in rk], pa.int64())})).repartition(3)
+
+    def key_of(rows):
+        return sorted((r["k"], r["v"], r["w"]) for r in rows)
+
+    want = key_of(hash_join(left, right, "k", "rk").take_all())
+    for thr in (1, 50, 10_000):  # all keys hot / only key 7 hot / none hot
+        got = key_of(skew_join(left, right, "k", right_on="rk",
+                               hot_count_threshold=thr).take_all())
+        assert got == want, thr
