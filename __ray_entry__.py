@@ -2726,6 +2726,101 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label centroid norm over the embedding column — the cluster-
+    cohesion profile (unit-normalized vectors make per-vector norms
+    vacuous; the CENTROID norm discriminates). Kmeans-shaped partials:
+    per-batch (label, n, Σvec) — one matvec-free add per batch — folded
+    in sorted label order; only labels × dim numbers cross the wire.
+    Restated in SQL via generate_subscripts + per-dimension avg."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64()))})
+        x = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), x.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv)
+        return pa.table({"label": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "s": pa.array([row.tolist() for row in sums],
+                                       pa.list_(pa.float64()))})
+
+    rows = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=4096)).to_pylist()
+    agg: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in sorted(rows, key=lambda r: (r["label"], r["n"])):
+        n0, s0 = agg.get(r["label"], (0, None))
+        v = np.asarray(r["s"], dtype=np.float64)
+        agg[r["label"]] = (n0 + r["n"], v if s0 is None else s0 + v)
+    out = sorted((lab, float(np.sqrt(np.sum((s / n) ** 2))))
+                 for lab, (n, s) in agg.items())
+    return pa.table({
+        "label": pa.array([int(a) for a, _ in out], pa.int64()),
+        "centroid_norm": pa.array([round(b, 6) for _, b in out],
+                                  pa.float64())})
+
+
+def _q_read_evolved(sf_dir: str):
+    """Schema-evolution read: two parquet snapshots of the events table —
+    an OLD file (even event_ids) without the ``value`` column and a NEW
+    file (odd ids) with it — unified in one read (missing column → NULL),
+    the layout every long-lived 100-TB table reaches once columns get
+    added. Verified by per-type row + non-null counts against the
+    original table (count FILTER on id parity)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out_dir = "/tmp/dqfr_evolved_" + os.path.basename(
+        os.path.normpath(sf_dir))
+    if not os.path.exists(out_dir):
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        import pyarrow.compute as pc
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "event_type", "value"])
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        pq.write_table(t.filter(even).drop_columns(["value"]),
+                       os.path.join(tmp, "old.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(tmp, "new.parquet"))
+        os.replace(tmp, out_dir)
+    ds = rd.read_parquet(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        has_v = pc.is_valid(t["value"]) if "value" in t.column_names \
+            else pa.array([False] * t.num_rows)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+            "n_value": pc.cast(has_v, pa.int64())})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("n_value", alias_name="n_value")))
+    t = _collect(g).sort_by("event_type")
+    return pa.table({"event_type": t["event_type"].cast(pa.string()),
+                     "n": t["n"].cast(pa.int64()),
+                     "n_value": t["n_value"].cast(pa.int64())})
+
+
 def _q_join_skew(sf_dir: str):
     """Skew-aware large join: events⋈customer on user_id with
     ``joins.skew_join`` — heavy-hitter keys (count > 66 ≈ the per-user
@@ -3413,6 +3508,7 @@ ROTATED_FIRST = [
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
+    "label_centroids", "read_evolved",
 ]
 
 
@@ -3526,6 +3622,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "active_users_7d": _q_active_users_7d,
         "pii_scrub": _q_pii_scrub,
         "join_skew": _q_join_skew,
+        "label_centroids": _q_label_centroids,
+        "read_evolved": _q_read_evolved,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4256,6 +4354,21 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
             "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
+        "label_centroids": (
+            "WITH comp AS (SELECT label,"
+            "  generate_subscripts(embedding, 1) AS i,"
+            "  unnest(embedding) AS v FROM embeddings),"
+            "cent AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS c"
+            " FROM comp GROUP BY 1, 2) "
+            "SELECT label::BIGINT AS label,"
+            " round(sqrt(sum(c * c)), 6) AS centroid_norm"
+            " FROM cent GROUP BY label ORDER BY label"),
+        "read_evolved": (
+            # old snapshot = even event_ids without `value`; unified read
+            # must surface NULLs exactly there
+            "SELECT event_type, count(*) AS n,"
+            " count(*) FILTER (event_id % 2 = 1) AS n_value"
+            " FROM events GROUP BY 1 ORDER BY 1"),
         "join_skew": (
             # plain inner join — the engine's hot/cold split must be
             # invisible in the result
