@@ -1129,11 +1129,19 @@ def _q_q5_revenue(sf_dir: str):
         return df.select(["l_orderkey", "l_suppkey", "u4"]).to_arrow()
 
     od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(od_filter, batch_format="pyarrow")
+        .map_batches(od_filter, batch_format="pyarrow").materialize()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
                                     "l_extendedprice", "l_discount"]) \
         .map_batches(li_units, batch_format="pyarrow")
-    j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    from data_quality_framework_ray import config as _cfg
+    if od.count() <= _cfg.BROADCAST_DUP_LIMIT:
+        # the one-year order slice is a keyed MAP (orderkey -> custkey),
+        # far smaller than lineitem: broadcast beats the all-to-all hash
+        # join (5.2 s -> ~1.5 s at sf0.1); above the limit fall back
+        j = broadcast_hash_join(li, _collect(od), "l_orderkey",
+                                "o_orderkey")
+    else:
+        j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
     j = broadcast_hash_join(j, supp, "l_suppkey", "s_suppkey")
     j = broadcast_hash_join(j, cust, "o_custkey", "c_custkey")
 
@@ -2726,6 +2734,93 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_merge_upsert(sf_dir: str):
+    """CDC MERGE/upsert apply: a deterministic change set (updates on
+    o_orderkey % 101 == 0: +1000; deletes on % 103 == 0, delete wins on
+    overlap; 50 inserted rows) applied to the orders base — the
+    incremental-table-maintenance op. The change set is broadcast once
+    (CDC batches are small relative to the base; the base streams through
+    one map_batches, inserts union in), and the result is summarized to
+    per-status counts + exact-cents totals so any mis-applied row fails
+    the oracle hash."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                  "o_totalprice"])
+
+    def apply_changes(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .filter(pl.col("o_orderkey") % 103 != 0)
+              .with_columns(p=pl.when(pl.col("o_orderkey") % 101 == 0)
+                            .then(pl.col("o_totalprice") + 1000)
+                            .otherwise(pl.col("o_totalprice"))))
+        return (df.with_columns(
+            c=(pl.col("p") * 100).round(0, mode="half_away_from_zero")
+            .cast(pl.Int64))
+            .group_by("o_orderstatus")
+            .agg(n=pl.len().cast(pl.Int64), c=pl.col("c").sum())
+            .to_arrow()
+            .cast(pa.schema([("o_orderstatus", pa.string()),
+                             ("n", pa.int64()), ("c", pa.int64())])))
+
+    import ray.data as rd
+    inserts = rd.from_arrow(pa.table({
+        "o_orderstatus": pa.array(["N"] * 50),
+        "n": pa.array([1] * 50, pa.int64()),
+        "c": pa.array([4242] * 50, pa.int64())}))
+    parts = ds.map_batches(apply_changes, batch_format="pyarrow") \
+        .union(inserts)
+    folded = _fold_partials(parts, ["o_orderstatus"], ["n", "c"]) \
+        .sort("o_orderstatus")
+    return pa.table({
+        "o_orderstatus": pa.array(folded["o_orderstatus"].to_list(),
+                                  pa.string()),
+        "n": pa.array(folded["n"].to_list(), pa.int64()),
+        "total": pa.array([v / 100.0 for v in folded["c"].to_list()],
+                          pa.float64())})
+
+
+def _q_quarantine_json(sf_dir: str):
+    """Row-level error quarantine for a semi-structured column: classify
+    every event's ``props`` JSON as ok / bad_json / null_props and count
+    per (event_type, reason) — the parse-or-quarantine stage a dirty
+    ingest needs. ~3% of rows get their JSON deterministically truncated
+    (event_id % 31 == 0, both sides) since the synthetic props are all
+    valid. Engine detects bad JSON via the vectorized polars parse
+    returning null on invalid input (every valid props row has '$.k', so
+    null ⇔ corrupt ⇔ oracle's NOT json_valid)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            p=pl.when(pl.col("event_id") % 31 == 0)
+            .then(pl.col("props").str.slice(
+                0, pl.col("props").str.len_chars() - 2))
+            .otherwise(pl.col("props")))
+        df = df.with_columns(
+            reason=pl.when(pl.col("p").is_null()).then(pl.lit("null_props"))
+            .when(pl.col("p").str.json_path_match("$.k").is_null())
+            .then(pl.lit("bad_json")).otherwise(pl.lit("ok")))
+        return (df.group_by(["event_type", "reason"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    folded = _fold_partials(ds.map_batches(classify, batch_format="pyarrow"),
+                            ["event_type", "reason"], ["n"]) \
+        .sort(["event_type", "reason"])
+    return pa.table({
+        "event_type": pa.array(folded["event_type"].to_list(), pa.string()),
+        "reason": pa.array(folded["reason"].to_list(), pa.string()),
+        "n": pa.array(folded["n"].to_list(), pa.int64())})
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label centroid norm over the embedding column — the cluster-
     cohesion profile (unit-normalized vectors make per-vector norms
@@ -2899,12 +2994,12 @@ def _q_pii_scrub(sf_dir: str):
 
 def _q_active_users_7d(sf_dir: str):
     """Trailing-7-day distinct active users per day — the sliding-window
-    COUNT DISTINCT (DAU/WAU-style engagement metric). Plan: distinct
-    (day, user) pairs (first shuffle collapses events to ≤ days×users
-    rows), vectorized 7-way fan-out of each pair to the window days it
-    feeds (filtered to days that exist, broadcast day set), then a second
-    distinct + count per window day. Both shuffles move (day, user) pairs,
-    never raw events."""
+    COUNT DISTINCT (DAU/WAU-style engagement metric). Plan: per-batch
+    distinct (day, user) partials, then — under PARTIAL_FOLD_LIMIT — one
+    driver polars pass (distinct → vectorized 7-way fan-out → distinct →
+    count); above it, the fully-distributed path: groupby-distinct pairs,
+    fan-out vs the broadcast day set, second groupby-distinct + count.
+    Either way only (day, user) pairs move, never raw events."""
     import numpy as np
     import polars as pl
     import pyarrow as pa
@@ -2918,7 +3013,35 @@ def _q_active_users_7d(sf_dir: str):
               .select(["d", "user_id"]).unique())
         return df.to_arrow()
 
-    pairs = (ds.map_batches(day_pairs, batch_format="pyarrow")
+    from data_quality_framework_ray import config as _cfg
+
+    partials = (ds.map_batches(day_pairs, batch_format="pyarrow")
+                .materialize())
+    import datetime as _dt
+    ep = _dt.date(1970, 1, 1)
+
+    if partials.count() <= _cfg.PARTIAL_FOLD_LIMIT:
+        # bounded fold: distinct (day,user) partial cardinality ≤
+        # days×users×batches; one driver polars pass replaces THREE Ray
+        # hash exchanges (3.7 s -> ~1.1 s at sf0.1). Distributed path
+        # below is unchanged above the limit.
+        t = _collect(partials)
+        df = pl.from_arrow(t).unique()
+        days = np.sort(df["d"].unique().to_numpy())
+        d = df["d"].to_numpy()
+        u = df["user_id"].to_numpy()
+        w = (d[:, None] + np.arange(7, dtype=np.int32)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(w, days)
+        res = (pl.DataFrame({"w": w[keep], "user_id": uu[keep]})
+               .unique().group_by("w").agg(u7=pl.len().cast(pl.Int64))
+               .sort("w"))
+        return pa.table({
+            "d": pa.array([ep + _dt.timedelta(days=int(v))
+                           for v in res["w"].to_list()], pa.date32()),
+            "u7": pa.array(res["u7"].to_list(), pa.int64())})
+
+    pairs = (partials
              .groupby(["d", "user_id"]).aggregate(Count(alias_name="__c"))
              .map_batches(lambda t: t.select(["d", "user_id"]),
                           batch_format="pyarrow")
@@ -2947,8 +3070,6 @@ def _q_active_users_7d(sf_dir: str):
            .map_batches(lambda t: t.select(["w"]), batch_format="pyarrow")
            .groupby("w").aggregate(Count(alias_name="u7")))
     t = _collect(out).sort_by("w")
-    import datetime as _dt
-    ep = _dt.date(1970, 1, 1)
     return pa.table({
         "d": pa.array([ep + _dt.timedelta(days=int(v))
                        for v in t["w"].to_pylist()], pa.date32()),
@@ -3508,7 +3629,7 @@ ROTATED_FIRST = [
     "compact_files", "langid_train", "debounce_events", "user_entropy",
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
-    "label_centroids", "read_evolved",
+    "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
 ]
 
 
@@ -3623,6 +3744,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "join_skew": _q_join_skew,
         "label_centroids": _q_label_centroids,
+        "merge_upsert": _q_merge_upsert,
+        "quarantine_json": _q_quarantine_json,
         "read_evolved": _q_read_evolved,
         "user_entropy": _q_user_entropy,
         "q5_revenue": _q_q5_revenue,
@@ -4354,6 +4477,30 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
             "), 6) AS avg_1h FROM events ORDER BY user_id, event_id"),
+        "merge_upsert": (
+            # delete wins over update on keys divisible by both; inserts
+            # are 50 status-'N' rows at 42.42
+            "WITH base AS (SELECT o_orderstatus,"
+            " CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000"
+            "  ELSE o_totalprice END AS p"
+            " FROM orders WHERE o_orderkey % 103 <> 0),"
+            "ins AS (SELECT 'N' AS o_orderstatus, 42.42 AS p"
+            " FROM range(50)) "
+            "SELECT o_orderstatus, count(*) AS n,"
+            " sum(CAST(round(p * 100) AS BIGINT)) / 100.0 AS total"
+            " FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)"
+            " GROUP BY 1 ORDER BY 1"),
+        "quarantine_json": (
+            # same deterministic truncation plant; json_valid gives the
+            # oracle's independent validity test
+            "SELECT event_type,"
+            " CASE WHEN p IS NULL THEN 'null_props'"
+            "  WHEN NOT json_valid(p) THEN 'bad_json'"
+            "  ELSE 'ok' END AS reason, count(*) AS n FROM ("
+            " SELECT event_type, CASE WHEN event_id % 31 = 0"
+            "  THEN substring(props, 1, length(props) - 2)"
+            "  ELSE props END AS p FROM events)"
+            " GROUP BY 1, 2 ORDER BY 1, 2"),
         "label_centroids": (
             "WITH comp AS (SELECT label,"
             "  generate_subscripts(embedding, 1) AS i,"
