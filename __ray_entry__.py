@@ -2734,6 +2734,32 @@ def _q_rolling_mean(sf_dir: str):
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_logreg_train(sf_dir: str):
+    """Distributed full-batch logistic-regression TRAINING (is-English
+    quality classifier over vectorized doc features): weights broadcast
+    per iteration, one (grad, n) partial row per batch, O(d) driver fold —
+    the iterative-training pattern (kmeans family). Gated on a serial
+    numpy replay of the identical RNG-free gradient descent (rel ≤ 1e-9)
+    + run-twice determinism."""
+    from data_quality_framework_ray.pipelines.training import logreg_train
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return logreg_train(ds, iters=30, lr=0.5)
+
+
+def _q_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING: first 20 byte-pair merges from distributed
+    corpus word counts (the only corpus pass); the greedy merge loop runs
+    over the bounded word-frequency vocabulary with a deterministic
+    tie-break. Gated on an independent replay: DuckDB recomputes the word
+    counts, the shared merge loop reruns serially, and the merge sequence
+    must match EXACTLY."""
+    from data_quality_framework_ray.pipelines.training import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, n_merges=20)
+
+
 def _q_merge_upsert(sf_dir: str):
     """CDC MERGE/upsert apply: a deterministic change set (updates on
     o_orderkey % 101 == 0: +1000; deletes on % 103 == 0, delete wins on
@@ -3745,6 +3771,8 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "join_skew": _q_join_skew,
         "label_centroids": _q_label_centroids,
         "merge_upsert": _q_merge_upsert,
+        "logreg_train": _q_logreg_train,
+        "bpe_train": _q_bpe_train,
         "quarantine_json": _q_quarantine_json,
         "read_evolved": _q_read_evolved,
         "user_entropy": _q_user_entropy,

@@ -755,6 +755,73 @@ def main() -> None:
                       f"decode replay (both codecs), deterministic "
                       f"[{el:.1f}s]")
             continue
+        if name == "logreg_train":
+            # gate: serial numpy replay of the identical RNG-free
+            # full-batch GD (features via the shared kernel — itself
+            # pinned against plain Python in test_text_analysis); the
+            # distributed trainer must agree at rel <= 1e-9 on weights
+            # and exactly on accuracy. Raw second run (canon rounds 6dp).
+            import numpy as _np
+            import pyarrow as _pa
+
+            from data_quality_framework_ray.pipelines.training import (
+                FEATURE_NAMES, doc_features)
+
+            rows = con.execute("SELECT text, lang FROM documents"
+                               " ORDER BY doc_id").fetchall()
+            x, y = doc_features(_pa.array([r[0] for r in rows]),
+                                [r[1] for r in rows])
+            w = _np.zeros(len(FEATURE_NAMES))
+            for _ in range(30):
+                p = 1.0 / (1.0 + _np.exp(-(x @ w)))
+                w = w - 0.5 * (x.T @ (p - y)) / len(y)
+            p = 1.0 / (1.0 + _np.exp(-(x @ w)))
+            want_acc = float(((p >= 0.5) == (y >= 0.5)).mean())
+            again_raw = to_pandas(qs[name](SF_DIR))
+            det = got.equals(canon(again_raw))
+            gm = dict(zip(again_raw["feature"], again_raw["value"]))
+            worst = max(abs(gm[f] - wv) / max(abs(wv), 1e-12)
+                        for f, wv in zip(FEATURE_NAMES, w))
+            ok = (det and worst <= 1e-9
+                  and abs(gm["train_accuracy"] - want_acc) < 1e-12)
+            if not ok:
+                print(f"FAIL {name}: det={det} worst weight rel "
+                      f"{worst:.2e} acc {gm.get('train_accuracy')} vs "
+                      f"{want_acc}")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: weights rel <= {worst:.1e} vs serial "
+                      f"GD replay, acc={want_acc:.3f}, deterministic "
+                      f"[{el:.1f}s]")
+            continue
+        if name == "bpe_train":
+            # gate: DuckDB recomputes the word counts independently; the
+            # shared driver merge loop reruns serially; the merge
+            # SEQUENCE (ranks, pairs, counts) must match exactly, plus
+            # run-twice determinism
+            from data_quality_framework_ray.pipelines.training import \
+                bpe_merges_from_vocab
+
+            vocab = dict(con.execute(
+                "SELECT w, count(*) FROM (SELECT unnest("
+                "regexp_extract_all(lower(text), '\\S+')) AS w"
+                " FROM documents) GROUP BY w").fetchall())
+            want = bpe_merges_from_vocab(vocab, 20)
+            again = canon(to_pandas(qs[name](SF_DIR)))
+            det = got.equals(again)
+            gm = sorted(
+                (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+                for _, r in got.iterrows())
+            wm = [(i, a, b, c) for i, (a, b, c) in enumerate(want)]
+            if not det or gm != wm:
+                print(f"FAIL {name}: det={det} merges differ "
+                      f"(got {gm[:3]}... want {wm[:3]}...)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {len(gm)} merges == independent "
+                      f"DuckDB-counts + serial replay, deterministic "
+                      f"[{el:.1f}s]")
+            continue
         if name == "pagerank":
             # gate: plain-numpy whole-graph replay of the identical
             # fixed-iteration formula (3 iters, d=0.85, both edge
