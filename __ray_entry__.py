@@ -2760,6 +2760,17 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(ds, n_merges=20)
 
 
+def _q_pca_power(sf_dir: str):
+    """Top principal component of the embeddings by distributed power
+    iteration (covariance-free: per-batch Xcᵀ(Xc·v) partials, O(d) driver
+    fold per iteration, RNG-free e₀ init). Gated on a serial numpy replay
+    of the identical algorithm (rel ≤ 1e-9) + run-twice determinism."""
+    from data_quality_framework_ray.pipelines.training import pca_power
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return pca_power(ds, iters=8)
+
+
 def _q_merge_upsert(sf_dir: str):
     """CDC MERGE/upsert apply: a deterministic change set (updates on
     o_orderkey % 101 == 0: +1000; deletes on % 103 == 0, delete wins on
@@ -3773,6 +3784,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": _q_merge_upsert,
         "logreg_train": _q_logreg_train,
         "bpe_train": _q_bpe_train,
+        "pca_power": _q_pca_power,
         "quarantine_json": _q_quarantine_json,
         "read_evolved": _q_read_evolved,
         "user_entropy": _q_user_entropy,

@@ -103,6 +103,75 @@ def logreg_train(ds, text_col: str = "text", lang_col: str = "lang",
         "value": pa.array(list(w) + [acc], pa.float64())})
 
 
+def pca_power(ds, emb_col: str = "embedding", iters: int = 8) -> pa.Table:
+    """Top principal component of the embedding column by DISTRIBUTED
+    power iteration — covariance-free: per iteration each batch emits the
+    d-float partial ``Xcᵀ(Xc·v)`` (Xc = X − μ, centered on the fly), the
+    driver folds O(d) numbers and renormalizes. Mean μ comes from one
+    prior (n, Σvec) pass. RNG-free init v₀ = e₀, so a serial numpy replay
+    reproduces the run to float tolerance. Returns (component i, v_i)
+    rows plus an ``eigenvalue`` row (Rayleigh quotient of the final
+    iterate, per-row covariance scale 1/N)."""
+    import ray
+
+    def mean_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64()))})
+        x = np.stack(t[emb_col].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([x.sum(axis=0).tolist()],
+                                       pa.list_(pa.float64()))})
+
+    rows = ds.map_batches(mean_partials, batch_format="pyarrow",
+                          batch_size=config.TEXT_BATCH_SIZE).take_all()
+    n_total = sum(int(r["n"]) for r in rows)
+    if n_total == 0:
+        return pa.table({"component": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    s = None
+    for r in sorted(rows, key=lambda r: (r["n"], tuple(r["s"]))):
+        v = np.asarray(r["s"], dtype=np.float64)
+        s = v if s is None else s + v
+    mu = s / n_total
+    d = len(mu)
+
+    def iter_partials(ref):
+        def f(t: pa.Table) -> pa.Table:
+            mu_, v_ = ray.get(ref) if not isinstance(ref, tuple) else ref
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(pa.float64()))})
+            x = np.stack(t[emb_col].to_pandas().to_numpy()).astype(
+                np.float64) - mu_
+            out = x.T @ (x @ v_)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                             "s": pa.array([out.tolist()],
+                                           pa.list_(pa.float64()))})
+        return f
+
+    v = np.zeros(d)
+    v[0] = 1.0
+    ray_quot = 0.0
+    for _ in range(iters):
+        ref = ray.put((mu, v))
+        rows = ds.map_batches(iter_partials(ref), batch_format="pyarrow",
+                              batch_size=config.TEXT_BATCH_SIZE).take_all()
+        s = None
+        for r in sorted(rows, key=lambda r: (r["n"], tuple(r["s"]))):
+            g = np.asarray(r["s"], dtype=np.float64)
+            s = g if s is None else s + g
+        ray_quot = float(v @ s) / n_total
+        nrm = float(np.linalg.norm(s))
+        if nrm == 0.0:
+            break
+        v = s / nrm
+
+    return pa.table({
+        "component": pa.array(list(range(d)) + [-1], pa.int64()),
+        "value": pa.array(list(v) + [ray_quot], pa.float64())})
+
+
 def bpe_train(ds, text_col: str = "text", n_merges: int = 20) -> pa.Table:
     """BPE tokenizer TRAINING: learn the first ``n_merges`` byte-pair
     merges from corpus word frequencies. The distributed stage is the word

@@ -822,6 +822,43 @@ def main() -> None:
                       f"DuckDB-counts + serial replay, deterministic "
                       f"[{el:.1f}s]")
             continue
+        if name == "pca_power":
+            # gate: serial numpy replay of the identical centered power
+            # iteration (e0 init, same normalization points) at rel <=
+            # 1e-9 on components and the Rayleigh quotient; raw second
+            # run for precision (canon rounds 6dp)
+            import numpy as _np
+
+            emb = con.execute("SELECT embedding FROM embeddings"
+                              " ORDER BY vec_id").fetchall()
+            x = _np.stack([_np.asarray(e[0], dtype=_np.float64)
+                           for e in emb])
+            mu = x.mean(axis=0)
+            xc = x - mu
+            v = _np.zeros(x.shape[1])
+            v[0] = 1.0
+            rq = 0.0
+            for _ in range(8):
+                s = xc.T @ (xc @ v)
+                rq = float(v @ s) / len(x)
+                v = s / _np.linalg.norm(s)
+            again_raw = to_pandas(qs[name](SF_DIR))
+            det = got.equals(canon(again_raw))
+            gm = dict(zip(again_raw["component"].astype(int),
+                          again_raw["value"]))
+            worst = max(
+                [abs(gm[i] - v[i]) / max(abs(v[i]), 1e-12)
+                 for i in range(len(v))]
+                + [abs(gm[-1] - rq) / max(abs(rq), 1e-12)])
+            if not det or worst > 1e-9:
+                print(f"FAIL {name}: det={det} worst rel {worst:.2e} "
+                      f"vs serial power-iteration replay")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {len(v)} components rel <= "
+                      f"{worst:.1e} vs serial replay, eig={rq:.4f}, "
+                      f"deterministic [{el:.1f}s]")
+            continue
         if name == "pagerank":
             # gate: plain-numpy whole-graph replay of the identical
             # fixed-iteration formula (3 iters, d=0.85, both edge
