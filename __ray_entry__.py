@@ -1162,6 +1162,46 @@ def _q_q5_revenue(sf_dir: str):
         "revenue": pa.array([r[1] for r in rows], pa.float64())})
 
 
+def _q_rate_spikes(sf_dir: str):
+    """Traffic-spike detection: per event_type, minutes whose event count
+    exceeds that type's mean by 3σ. The threshold compare runs in EXACT
+    integer arithmetic on both sides — c > μ+3σ restated as
+    (c·n−S) > 0 ∧ (c·n−S)² > 9·(S₂·n−S²) over integer count moments — so
+    no float-boundary row can flip between engine and oracle. Per-batch
+    (type, minute, c) partials → bounded fold (types × minutes) → one
+    vectorized driver filter."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(mi=pl.col("ts").dt.truncate("1m"))
+              .group_by(["event_type", "mi"])
+              .agg(c=pl.len().cast(pl.Int64)))
+        return df.to_arrow()
+
+    m = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "mi"], ["c"])
+    st = m.group_by("event_type").agg(
+        n=pl.len().cast(pl.Int64), s=pl.col("c").sum(),
+        s2=(pl.col("c") * pl.col("c")).sum())
+    j = m.join(st, on="event_type")
+    dev = pl.col("c") * pl.col("n") - pl.col("s")
+    out = (j.filter((dev > 0) & (dev * dev
+                                 > 9 * (pl.col("s2") * pl.col("n")
+                                        - pl.col("s") * pl.col("s"))))
+           .sort(["event_type", "mi"]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"].to_list(), pa.string()),
+        "mi": pa.array(out["mi"].to_list(),
+                       pa.timestamp("us")),
+        "c": pa.array(out["c"].to_list(), pa.int64())})
+
+
 def _q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy (bits) of the event-type distribution — a
     behavioural-diversity signal (bot traffic is low-entropy). Per-batch
@@ -3667,6 +3707,7 @@ ROTATED_FIRST = [
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
+    "rate_spikes",
 ]
 
 
@@ -3788,6 +3829,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "quarantine_json": _q_quarantine_json,
         "read_evolved": _q_read_evolved,
         "user_entropy": _q_user_entropy,
+        "rate_spikes": _q_rate_spikes,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
         "cohort_retention": _q_cohort_retention,
@@ -4606,6 +4648,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT days.d AS d, count(DISTINCT du.user_id) AS u7"
             " FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d"
             " GROUP BY 1 ORDER BY 1"),
+        "rate_spikes": (
+            # exact integer moment arithmetic on both sides — no float
+            # boundary can flip a row
+            "WITH m AS (SELECT event_type, date_trunc('minute', ts) AS mi,"
+            "  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),"
+            "st AS (SELECT event_type, count(*)::BIGINT AS n,"
+            "  sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2 FROM m"
+            "  GROUP BY 1) "
+            "SELECT m.event_type, m.mi, m.c FROM m JOIN st USING"
+            " (event_type)"
+            " WHERE (m.c * st.n - st.s) > 0"
+            " AND (m.c * st.n - st.s) * (m.c * st.n - st.s)"
+            "  > 9 * (st.s2 * st.n - st.s * st.s)"
+            " ORDER BY 1, 2"),
         "q5_revenue": (
             # exact integer 1e-4-dollar units (price cents x (100 - disc
             # cents)) make the six-table revenue sum order-free on both
