@@ -2318,6 +2318,40 @@ def _q_audio_dropouts(sf_dir: str):
     return _collect(out).sort_by("clip_id")
 
 
+def _q_audio_snr(sf_dir: str):
+    """Per-clip blind SNR estimate (p95/p10 of frame RMS in dB — the
+    noise-floor quality signal; 14th audio operator). Decode in
+    path-based fragment tasks; one float per clip leaves. Gated by a
+    sampled independent recomputation (audioop decode + direct numpy
+    quantiles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_framework_ray.datagen.clips import fragment_paths
+    from data_quality_framework_ray.functions import audio as A
+
+    clips = _clips_dir_for(sf_dir)
+
+    def per_fragment(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b["path"].to_pylist():
+            t = pq.read_table(p, columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            st = A.snr_stats(t)
+            outs.append(pa.table({
+                "clip_id": t["clip_id"],
+                "snr_db": pa.array(st["snr_db"], pa.float64())}))
+        return pa.concat_tables(outs)
+
+    paths = fragment_paths(clips)
+    ds = rd.from_items([{"path": p} for p in paths],
+                       override_num_blocks=len(paths))
+    out = ds.map_batches(per_fragment, batch_format="pyarrow",
+                         batch_size=None)
+    return _collect(out).sort_by("clip_id")
+
+
 def _q_audio_normalize(sf_dir: str):
     """Loudness normalization transform (gain to target RMS, standardize to
     pcm16): per-fragment tasks decode → gain → re-encode; only per-clip
@@ -3859,6 +3893,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "rolling_mean": _q_rolling_mean,
         "unpivot": _q_unpivot,
         "audio_dropouts": _q_audio_dropouts,
+        "audio_snr": _q_audio_snr,
         "audio_normalize": _q_audio_normalize,
         "audio_trim": _q_audio_trim,
         "audio_resample": _q_audio_resample,

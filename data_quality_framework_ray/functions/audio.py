@@ -311,6 +311,38 @@ def frame_energies(pcm: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndar
     return np.sqrt(sums / frame)
 
 
+def snr_estimate_db(pcm: np.ndarray, sr: int, *, frame_ms: int = 25,
+                    hop_ms: int = 10) -> float:
+    """Blind per-clip SNR estimate: 20·log10(p95 / p10) of frame RMS
+    energies — loud (speech) frames over the noise floor. NaN when the
+    clip yields no frames or the floor is zero (pure digital silence has
+    no defined SNR). Shares ``frame_energies``; the harness gate replays
+    with an independent audioop decode + direct numpy quantiles."""
+    if len(pcm) == 0 or not sr or sr <= 0:
+        return float("nan")
+    e = frame_energies(pcm, frame=int(sr * frame_ms / 1000),
+                       hop=int(sr * hop_ms / 1000))
+    if len(e) == 0:
+        return float("nan")
+    hi = float(np.quantile(e, 0.95))
+    lo = float(np.quantile(e, 0.10))
+    if lo <= 0.0:
+        return float("nan")
+    return float(20.0 * np.log10(hi / lo))
+
+
+def snr_stats(batch: pa.Table) -> dict:
+    """Vectorized-over-rows per-clip SNR estimates (decode per row from
+    zero-copy buffer views, one cumsum pass per clip)."""
+    n = batch.num_rows
+    sr = np.asarray(batch["sr_hz"].to_pandas(), dtype=np.float64)
+    out = np.full(n, np.nan, dtype=np.float64)
+    for r, x in iter_decoded(batch):
+        if x is not None and np.isfinite(sr[r]):
+            out[r] = snr_estimate_db(x, int(sr[r]))
+    return {"snr_db": out}
+
+
 def speech_ratio(pcm: np.ndarray, sr: int, *, threshold_db: float = -35.0,
                  frame_ms: int = 25, hop_ms: int = 10) -> float:
     """Energy-gate VAD: fraction of frames whose RMS exceeds

@@ -1108,6 +1108,71 @@ def main() -> None:
                       f"audioop recomputation ({checked} clips), "
                       f"deterministic [{el:.1f}s]")
             continue
+        if name == "audio_snr":
+            # gate: sampled independent recomputation — audioop decode +
+            # cumsum-free per-frame RMS + direct numpy quantiles
+            import audioop as _audioop
+
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            import __ray_entry__ as _em
+            from data_quality_framework_ray.datagen.clips import fragment_paths
+
+            clips_dir = _em._clips_dir_for(SF_DIR)
+            tbl = _pq.read_table(fragment_paths(clips_dir)[0],
+                                 columns=["clip_id", "bytes", "codec",
+                                          "sr_hz"])
+            by_id = {r["clip_id"]: r for _, r in got.iterrows()}
+            checked = bad = 0
+            for i in range(0, tbl.num_rows, max(tbl.num_rows // 20, 1)):
+                cid = tbl["clip_id"][i].as_py()
+                bts = tbl["bytes"][i].as_py()
+                codec = tbl["codec"][i].as_py()
+                sr = tbl["sr_hz"][i].as_py()
+                if bts is None or sr is None or sr <= 0 \
+                        or codec not in ("pcm16", "ulaw", "alaw"):
+                    continue
+                if codec == "ulaw":
+                    pcm_b = _audioop.ulaw2lin(bts, 2)
+                elif codec == "alaw":
+                    pcm_b = _audioop.alaw2lin(bts, 2)
+                else:
+                    pcm_b = bts[: len(bts) - len(bts) % 2]
+                x = _np.frombuffer(pcm_b, dtype="<i2").astype(
+                    _np.float64) / 32768.0
+                fr, hp = int(sr * 25 / 1000), int(sr * 10 / 1000)
+                if len(x) < fr:
+                    es = ([_np.sqrt(_np.mean(x * x))] if len(x) else [])
+                else:
+                    es = [float(_np.sqrt(_np.mean(
+                        x[s:s + fr] ** 2)))
+                        for s in range(0, len(x) - fr + 1, hp)]
+                if es:
+                    hi = float(_np.quantile(es, 0.95))
+                    lo = float(_np.quantile(es, 0.10))
+                    want = (20.0 * _np.log10(hi / lo) if lo > 0
+                            else float("nan"))
+                else:
+                    want = float("nan")
+                r = by_id.get(cid)
+                gv = None if r is None else float(r["snr_db"])
+                if r is None or (
+                        (want != want) != (gv != gv)) or \
+                        (want == want and abs(gv - want) > 1e-3):
+                    bad += 1
+                checked += 1
+            finite = int(got["snr_db"].notna().sum())
+            if bad or not checked or not finite:
+                print(f"FAIL {name}: {bad}/{checked} sampled clips "
+                      f"disagree with audioop+quantile recomputation "
+                      f"(finite={finite})")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows={len(got)} ({finite} finite) "
+                      f"sampled SNR ≡ independent recomputation "
+                      f"({checked} clips) [{el:.1f}s]")
+            continue
         if name == "audio_stats":
             # gate: sampled independent recomputation — stdlib audioop decode
             # in float64 must reproduce n_samples exactly and rms/clip_frac/
