@@ -1625,8 +1625,12 @@ def _q_pagerank(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([p, s])),
                          "dst": pa.array(np.concatenate([s, p]))})
 
-    return pagerank(ds.map_batches(to_edges, batch_format="pyarrow"),
-                    iters=3, damping=0.85)
+    # materialize the DERIVED 2-column edge table once: pagerank streams
+    # it iters+1 times (degree pass + one per iteration), and re-running
+    # the parquet read + edge map every pass costs more than holding
+    # 16 B/edge in the object store (which spills if it must)
+    edges = ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    return pagerank(edges, iters=3, damping=0.85)
 
 
 def _q_cohort_retention(sf_dir: str):
@@ -3047,8 +3051,11 @@ def _q_join_skew(sf_dir: str):
             .cast(pl.Int64))
         return df.select(["user_id", "c"]).to_arrow()
 
+    # materialize the pruned 2-column probe side once: skew_join streams
+    # it three times (key counts + hot/cold splits), and each lazy pass
+    # would re-read parquet + recompute the cents map
     ev = _read(sf_dir, "events", ["user_id", "value"]) \
-        .map_batches(cents, batch_format="pyarrow")
+        .map_batches(cents, batch_format="pyarrow").materialize()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = skew_join(ev, cust, on="user_id", right_on="c_custkey",
                   hot_count_threshold=66, max_hot_keys=1_000_000)

@@ -105,14 +105,23 @@ def skew_join(left, right, on: str, right_on: str | None = None, *,
     """
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
 
     r_on = right_on or on
-    counts = (left.select_columns([on]).groupby(on)
-              .aggregate(Count(alias_name="__n")).take_all())
-    hot = sorted((r for r in counts if r["__n"] > hot_count_threshold),
-                 key=lambda r: -r["__n"])[:max_hot_keys]
-    hot_keys = [r[on] for r in hot]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (t.select([on]).group_by(on).aggregate([([], "count_all")])
+                .rename_columns([on, "__n"]))
+
+    import polars as pl
+
+    counts = _fold_partials(
+        left.map_batches(count_partial, batch_format="pyarrow"),
+        [on], ["__n"])
+    hot_df = (counts.filter(pl.col("__n") > hot_count_threshold)
+              .sort("__n", descending=True).head(max_hot_keys))
+    hot_keys = hot_df[on].to_list()
     if not hot_keys:
         return hash_join(left, right, on, r_on)
     key_t = _key_type_or_fallback(left, on, right, r_on)
