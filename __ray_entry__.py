@@ -2980,6 +2980,71 @@ def _q_label_centroids(sf_dir: str):
                                   pa.float64())})
 
 
+def _q_file_skipping(sf_dir: str):
+    """File-level min/max data skipping: events written VALUE-CLUSTERED
+    into 16 files (global sort → one value range per file), a per-file
+    min/max index built from parquet FOOTERS only (no data scan), and a
+    range predicate planned against the index so only overlapping files
+    are opened. The assertion pins that pruning actually happened
+    (files_read < total); the oracle pins that pruning lost nothing
+    (count + exact-cents sum of the full predicate off the base table)."""
+    import os
+    import shutil
+
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    out_dir = "/tmp/dqfr_clustered_" + os.path.basename(
+        os.path.normpath(sf_dir))
+    if not os.path.exists(out_dir):
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = _read(sf_dir, "events", ["event_id", "value"])
+        ds.sort("value").repartition(16).write_parquet(tmp)
+        os.replace(tmp, out_dir)
+    files = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                   if f.endswith(".parquet"))
+    # footer-only index: row-group stats, no data pages touched
+    index = []
+    for p in files:
+        md = pq.read_metadata(p)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                if col.path_in_schema == "value" and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        index.append((p, lo, hi))
+    q_lo, q_hi = 250.0, 400.0
+    need = [p for p, lo, hi in index
+            if lo is not None and not (hi < q_lo or lo > q_hi)]
+    assert 0 < len(need) < len(files), (len(need), len(files))
+    back = rd.read_parquet(need)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .filter((pl.col("value") >= q_lo) & (pl.col("value") <= q_hi))
+              .with_columns(c=(pl.col("value") * 100)
+                            .round(0, mode="half_away_from_zero")
+                            .cast(pl.Int64)))
+        return pa.table({
+            "n": pa.array([df.height], pa.int64()),
+            "c": pa.array([int(df["c"].sum()) if df.height else 0],
+                          pa.int64())})
+
+    rows = _collect(back.map_batches(partial, batch_format="pyarrow")) \
+        .to_pylist()
+    n = sum(r["n"] for r in rows)
+    c = sum(r["c"] for r in rows)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "total": pa.array([c / 100.0], pa.float64())})
+
+
 def _q_read_evolved(sf_dir: str):
     """Schema-evolution read: two parquet snapshots of the events table —
     an OLD file (even event_ids) without the ``value`` column and a NEW
@@ -3748,7 +3813,7 @@ ROTATED_FIRST = [
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
-    "rate_spikes",
+    "rate_spikes", "file_skipping",
 ]
 
 
@@ -3869,6 +3934,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "pca_power": _q_pca_power,
         "quarantine_json": _q_quarantine_json,
         "read_evolved": _q_read_evolved,
+        "file_skipping": _q_file_skipping,
         "user_entropy": _q_user_entropy,
         "rate_spikes": _q_rate_spikes,
         "q5_revenue": _q_q5_revenue,
@@ -4634,6 +4700,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label::BIGINT AS label,"
             " round(sqrt(sum(c * c)), 6) AS centroid_norm"
             " FROM cent GROUP BY label ORDER BY label"),
+        "file_skipping": (
+            # pruning must lose nothing: same predicate off the base table
+            "SELECT count(*) AS n,"
+            " sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total"
+            " FROM events WHERE value >= 250.0 AND value <= 400.0"),
         "read_evolved": (
             # old snapshot = even event_ids without `value`; unified read
             # must surface NULLs exactly there
