@@ -1162,6 +1162,48 @@ def _q_q5_revenue(sf_dir: str):
         "revenue": pa.array([r[1] for r in rows], pa.float64())})
 
 
+def _q_topk_per_group(sf_dir: str):
+    """Top-3 events by value per USER — per-group top-k over a large key
+    domain (window_rank's 3-status version can't show the scalable shape).
+    Per-batch partial top-3 per user FIRST (caps the exchange at
+    3·users·batches rows regardless of event count), then one hash
+    exchange and a final per-partition top-3. SQL restates it with
+    row_number ≤ 3 (ties broken by event_id on both sides)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.exchange import (data_partitions,
+                                                               part_shuffle)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("rnk", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("value", pa.float64())])
+
+    def top3(df: pl.DataFrame) -> pl.DataFrame:
+        return (df.sort(["user_id", "value", "event_id"],
+                        descending=[False, True, False])
+                .with_columns(rnk=pl.int_range(1, pl.len() + 1)
+                              .over("user_id"))
+                .filter(pl.col("rnk") <= 3))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (top3(pl.from_arrow(t))
+                .select(["user_id", "event_id", "value"]).to_arrow())
+
+    def kernel(part: pa.Table) -> pa.Table:
+        return (top3(pl.from_arrow(part))
+                .select(["user_id", "rnk", "event_id", "value"])
+                .to_arrow().cast(out_schema))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = part_shuffle(parts, "user_id", kernel, out_schema,
+                       data_partitions(ds))
+    return _collect(out).sort_by(
+        [("user_id", "ascending"), ("rnk", "ascending")])
+
+
 def _q_rate_spikes(sf_dir: str):
     """Traffic-spike detection: per event_type, minutes whose event count
     exceeds that type's mean by 3σ. The threshold compare runs in EXACT
@@ -3813,7 +3855,7 @@ ROTATED_FIRST = [
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
-    "rate_spikes", "file_skipping",
+    "rate_spikes", "file_skipping", "topk_per_group",
 ]
 
 
@@ -3937,6 +3979,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "file_skipping": _q_file_skipping,
         "user_entropy": _q_user_entropy,
         "rate_spikes": _q_rate_spikes,
+        "topk_per_group": _q_topk_per_group,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
         "cohort_retention": _q_cohort_retention,
@@ -4761,6 +4804,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT days.d AS d, count(DISTINCT du.user_id) AS u7"
             " FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d"
             " GROUP BY 1 ORDER BY 1"),
+        "topk_per_group": (
+            "SELECT user_id, rnk, event_id, value FROM ("
+            " SELECT user_id, event_id, value, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY value DESC, event_id"
+            " )::BIGINT AS rnk FROM events)"
+            " WHERE rnk <= 3 ORDER BY user_id, rnk"),
         "rate_spikes": (
             # exact integer moment arithmetic on both sides — no float
             # boundary can flip a row
