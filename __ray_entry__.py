@@ -1546,6 +1546,20 @@ def _q_decontaminate_embedding(sf_dir: str):
                                         pa.int64())})
 
 
+def _q_corpus_prep(sf_dir: str):
+    """END-TO-END corpus preparation: quality filter → benchmark
+    decontamination → per-source token budget, composed from the
+    already-oracled stages in fixed order — the whole multi-stage
+    pipeline restates as ONE chained-CTE SQL query, so the driver's hash
+    compare verifies the composition, not just the parts."""
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        prepare_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = prepare_corpus(ds, token_budget=20_000)
+    return _collect(out).sort_by("doc_id")
+
+
 def _q_documents_filter(sf_dir: str):
     """Document-level keep/drop quality filter (text analogue of the
     flagship): too_short / too_long / low_diversity / dup in fixed
@@ -3855,7 +3869,7 @@ ROTATED_FIRST = [
     "chi_square", "q5_revenue", "markov_transitions", "late_events",
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
-    "rate_spikes", "file_skipping", "topk_per_group",
+    "rate_spikes", "file_skipping", "topk_per_group", "corpus_prep",
 ]
 
 
@@ -3990,6 +4004,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "compact_files": _q_compact_files,
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,
+        "corpus_prep": _q_corpus_prep,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "running_total": _q_running_total,
         "approx_quantiles": _q_approx_quantiles,
@@ -4637,6 +4652,30 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT 1 FROM b"
             "  WHERE list_cosine_similarity(c.embedding, b.e) >= 0.98)"
             " ORDER BY vec_id"),
+        "corpus_prep": (
+            # the documents_filter rules -> NOT EXISTS decontamination ->
+            # per-source QUALIFY budget, chained exactly as the engine
+            # composes the stages
+            "WITH s AS (SELECT doc_id, text, source,"
+            "  length(text) AS n_chars,"
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens,"
+            "  (SELECT count(DISTINCT x) FROM"
+            "   unnest(regexp_extract_all(text, '\\S+')) AS u(x))"
+            "   AS n_distinct,"
+            "  min(doc_id) OVER (PARTITION BY text) AS rep"
+            "  FROM documents),"
+            "kept AS (SELECT doc_id, text, source, n_tokens FROM s"
+            " WHERE NOT (n_tokens < 12 OR n_chars > 500"
+            "  OR n_distinct * 100 < 45 * n_tokens OR doc_id <> rep)),"
+            "snips AS (SELECT substr(text, 1, 40) AS snip FROM documents"
+            " WHERE doc_id % 50 = 0 AND substr(text, 1, 40) <> ''),"
+            "clean AS (SELECT doc_id, source, n_tokens FROM kept k"
+            " WHERE NOT EXISTS (SELECT 1 FROM snips b"
+            "  WHERE contains(k.text, b.snip))) "
+            "SELECT doc_id, source, n_tokens FROM clean"
+            " QUALIFY sum(n_tokens) OVER (PARTITION BY source"
+            "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) <= 20000"
+            " ORDER BY doc_id"),
         "documents_filter": (
             # same fixed rule precedence as text_analysis.document_filter;
             # dup groups by raw text (equivalent to the engine's 128-bit

@@ -213,6 +213,63 @@ def bigram_lm_top(ds, text_col: str = "text", top_k: int = 30) -> pa.Table:
                             for r in top], pa.float64())})
 
 
+def prepare_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   source_col: str = "source", token_budget: int = 20_000,
+                   snippet_mod: int = 50, snippet_len: int = 40):
+    """END-TO-END training-corpus preparation — the composed pipeline a
+    corpus build actually runs, every stage an already-oracled operator
+    chained in FIXED order so the WHOLE composition restates in one SQL
+    query:
+
+      1. quality filter   (``document_filter`` — too_short / too_long /
+                           low_diversity / dup, fixed precedence)
+      2. decontamination  (drop docs containing any benchmark snippet;
+                           snippets broadcast once, Aho-Corasick per batch)
+      3. per-source token budget (keep in id order while the running
+                           ``\\S+``-token sum stays ≤ budget)
+
+    The input streams through each stage; the only materialization is the
+    3-column input reused by four passes (filter stats, snippet
+    derivation, kept semi-join, contamination scan). Returns a Dataset of
+    (id, source, n_tokens) for the surviving docs."""
+    import polars as pl
+
+    from data_quality_framework_ray.pipelines.decontam import (
+        benchmark_snippets, flag_contaminated)
+    from data_quality_framework_ray.pipelines.joins import semi_join
+    from data_quality_framework_ray.pipelines.sampling import token_budget_cap
+
+    ds = ds.materialize()
+    decisions = document_filter(ds, id_col=id_col, text_col=text_col)
+
+    def kept_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["keep"], True)).select([id_col])
+
+    kept_ids = decisions.map_batches(kept_only, batch_format="pyarrow")
+    kept = semi_join(ds, kept_ids, on=id_col)
+    snips = benchmark_snippets(ds, mod=snippet_mod, length=snippet_len)
+    flagged = flag_contaminated(kept, snips, text_col=text_col)
+
+    def clean_tokens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["contaminated"], False))
+        df = pl.from_arrow(pa.table({id_col: t[id_col],
+                                     source_col: t[source_col],
+                                     "t": t[text_col]}))
+        df = df.with_columns(
+            n_tokens=pl.col("t").fill_null("").str.extract_all(r"\S+")
+            .list.len().cast(pl.Int64)).drop("t")
+        return df.to_arrow().cast(pa.schema([
+            (id_col, pa.int64()), (source_col, pa.string()),
+            ("n_tokens", pa.int64())]))
+
+    with_tok = flagged.map_batches(clean_tokens, batch_format="pyarrow",
+                                   batch_size=config.TEXT_BATCH_SIZE)
+    return token_budget_cap(with_tok, source_col, id_col, "n_tokens",
+                            budget=token_budget)
+
+
 def langid_train_profiles(ds, text_col: str = "text",
                           lang_col: str = "lang",
                           top_k: int = 20) -> "ray.data.Dataset":
