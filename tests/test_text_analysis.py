@@ -208,3 +208,37 @@ def test_langid_train_profiles_vs_python(ray_session):
     t1 = {r["lang"]: (r["g"], r["n"]) for r in top1}
     # aa: abc x2 wins; bb: zzz x3 wins
     assert t1 == {"aa": ("abc", 2), "bb": ("zzz", 3)}
+
+
+def test_prepare_corpus_stage_interactions(ray_session):
+    """Planted docs exercise every stage boundary: filter drops, a doc
+    that SURVIVES filtering but dies at decontamination, and a budget cut
+    that lands mid-source."""
+    import ray.data as rd
+
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        prepare_corpus
+
+    good = " ".join(f"w{i}" for i in range(20))          # passes filter
+    rows = [
+        # doc_id 0: snippet SOURCE (doc_id % 50 == 0) — its own 40-char
+        # prefix contaminates it, so it must NOT survive
+        {"doc_id": 0, "text": " ".join(f"s{i}" for i in range(20)),
+         "source": "a"},
+        {"doc_id": 1, "text": "too short", "source": "a"},     # filter
+        {"doc_id": 2, "text": good + " x2", "source": "a"},    # keep
+        # doc 3 contains doc 0's 40-char prefix -> decontaminated
+        {"doc_id": 3,
+         "text": good + " " + " ".join(f"s{i}" for i in range(20)),
+         "source": "a"},
+        {"doc_id": 4, "text": good + " y4", "source": "b"},    # keep
+        {"doc_id": 5, "text": good + " y5", "source": "b"},    # budget cut
+    ]
+    out = prepare_corpus(rd.from_items(rows).repartition(3),
+                         token_budget=22)
+    got = {r["doc_id"]: (r["source"], r["n_tokens"])
+           for r in out.take_all()}
+    # doc 2 (21 tokens) fits a's budget of 22; doc 3 dropped (contam);
+    # doc 4 (21) fits b's budget; doc 5 would push b to 42 > 22 -> cut;
+    # doc 0 dropped (contains its own snippet); doc 1 filtered
+    assert got == {2: ("a", 21), 4: ("b", 21)}
