@@ -1546,6 +1546,68 @@ def _q_decontaminate_embedding(sf_dir: str):
                                         pa.int64())})
 
 
+def _q_dup_ratio_by_source(sf_dir: str):
+    """Per-source duplicate-content ratio — the corpus-health metric a
+    crawl pipeline tracks per provider. Distinct texts counted via the
+    128-bit content hash: per-batch (source, h1, h2) distinct partials →
+    one distributed groupby-count per source (the hash table never lands
+    on the driver); totals fold bounded. dup_frac uses the identical
+    integer-division expression as the oracle. The natural corpus has
+    almost no duplicate texts (0 at sf0.01), so both sides PLANT small
+    dup groups — doc_id % 41 == 0 rows collapse to one of three fixed
+    texts — keeping the metric discriminating at every tier."""
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from data_quality_framework_ray.functions import hashing as H
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .materialize()
+
+    def plant(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            text=pl.when(pl.col("doc_id") % 41 == 0)
+            .then(pl.lit("PLANTED ") + (pl.col("doc_id") % 3).cast(pl.Utf8))
+            .otherwise(pl.col("text")))
+        return df.to_arrow()
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        t = plant(t)
+        h1, h2 = H.content_hash_128(t["text"])
+        return (pa.table({"source": t["source"],
+                          "h1": pa.array(h1.astype("int64")),
+                          "h2": pa.array(h2.astype("int64"))})
+                .group_by(["source", "h1", "h2"]).aggregate([]))
+
+    nd_rows = (ds.map_batches(hash_partial, batch_format="pyarrow")
+               .groupby(["source", "h1", "h2"])
+               .aggregate(Count(alias_name="__c"))
+               .map_batches(lambda t: t.select(["source"]),
+                            batch_format="pyarrow")
+               .groupby("source").aggregate(Count(alias_name="n_distinct"))
+               .take_all())
+    n_distinct = {r["source"]: int(r["n_distinct"]) for r in nd_rows}
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t.select(["source"])).group_by("source")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    tot = _fold_partials(ds.map_batches(tot_partial,
+                                        batch_format="pyarrow"),
+                         ["source"], ["n"]).sort("source")
+    srcs = tot["source"].to_list()
+    ns = [int(v) for v in tot["n"].to_list()]
+    dups = [n - n_distinct.get(s, 0) for s, n in zip(srcs, ns)]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "n_dups": pa.array(dups, pa.int64()),
+        "dup_frac": pa.array([d * 1.0 / n for d, n in zip(dups, ns)],
+                             pa.float64())})
+
+
 def _q_corpus_prep(sf_dir: str):
     """END-TO-END corpus preparation: quality filter → benchmark
     decontamination → per-source token budget, composed from the
@@ -3870,6 +3932,7 @@ ROTATED_FIRST = [
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
     "rate_spikes", "file_skipping", "topk_per_group", "corpus_prep",
+    "dup_ratio_by_source",
 ]
 
 
@@ -4005,6 +4068,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "documents_filter": _q_documents_filter,
         "corpus_prep": _q_corpus_prep,
+        "dup_ratio_by_source": _q_dup_ratio_by_source,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "running_total": _q_running_total,
         "approx_quantiles": _q_approx_quantiles,
@@ -4652,6 +4716,20 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT 1 FROM b"
             "  WHERE list_cosine_similarity(c.embedding, b.e) >= 0.98)"
             " ORDER BY vec_id"),
+        "dup_ratio_by_source": (
+            # engine counts distinct 128-bit content hashes; DISTINCT text
+            # is the same partition up to a 2^-128 collision (dedup_exact
+            # convention); dup_frac shares the n * 1.0 / total shape.
+            # Same doc_id % 41 plant as the engine (natural corpus has
+            # ~zero duplicate texts)
+            "SELECT source, count(*) AS n,"
+            " count(*) - count(DISTINCT t) AS n_dups,"
+            " (count(*) - count(DISTINCT t)) * 1.0 / count(*)"
+            "  AS dup_frac FROM ("
+            " SELECT source, CASE WHEN doc_id % 41 = 0"
+            "  THEN 'PLANTED ' || (doc_id % 3)::VARCHAR"
+            "  ELSE text END AS t FROM documents)"
+            " GROUP BY 1 ORDER BY 1"),
         "corpus_prep": (
             # the documents_filter rules -> NOT EXISTS decontamination ->
             # per-source QUALIFY budget, chained exactly as the engine
