@@ -168,3 +168,57 @@ def test_topk_per_group_randomized_vs_duckdb(ray_session):
             WHERE rnk <= 3
         """).fetchall()))
         assert got == want
+
+
+def test_corpus_prep_randomized_vs_duckdb(ray_session):
+    """The END-TO-END corpus pipeline vs the chained-CTE oracle on random
+    corpora: random dup groups, sub-threshold docs, snippet carriers and
+    multi-source budget cuts."""
+    rng = random.Random(45)
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        prepare_corpus
+
+    for _ in range(3):
+        n = rng.choice([3, 40, 120])
+        rows = []
+        for i in range(n):
+            kind = rng.random()
+            if kind < 0.15:
+                text = "dup group " + " ".join(
+                    f"d{rng.randrange(3)}w{j}" for j in range(15))
+            elif kind < 0.3:
+                text = "tiny"
+            else:
+                text = " ".join(f"w{rng.randrange(400)}"
+                                for _ in range(rng.randrange(5, 60)))
+            rows.append({"doc_id": i, "text": text,
+                         "source": rng.choice("xy")})
+        t = pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows]),
+            "source": pa.array([r["source"] for r in rows])})
+        got = sorted(
+            (r["doc_id"], r["source"], r["n_tokens"])
+            for r in prepare_corpus(_rd().from_arrow(t).repartition(3),
+                                    token_budget=300).take_all())
+        want = sorted(map(tuple, duckdb.sql("""
+            WITH s AS (SELECT doc_id, text, source,
+              length(text) AS n_chars,
+              len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+              (SELECT count(DISTINCT x) FROM
+               unnest(regexp_extract_all(text, '\\S+')) AS u(x))
+               AS n_distinct,
+              min(doc_id) OVER (PARTITION BY text) AS rep FROM t),
+            kept AS (SELECT doc_id, text, source, n_tokens FROM s
+             WHERE NOT (n_tokens < 12 OR n_chars > 500
+              OR n_distinct * 100 < 45 * n_tokens OR doc_id <> rep)),
+            snips AS (SELECT substr(text, 1, 40) AS snip FROM t
+             WHERE doc_id % 50 = 0 AND substr(text, 1, 40) <> ''),
+            clean AS (SELECT doc_id, source, n_tokens FROM kept k
+             WHERE NOT EXISTS (SELECT 1 FROM snips b
+              WHERE contains(k.text, b.snip)))
+            SELECT doc_id, source, n_tokens FROM clean
+            QUALIFY sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) <= 300
+        """).fetchall()))
+        assert got == want
