@@ -1204,6 +1204,40 @@ def _q_topk_per_group(sf_dir: str):
         [("user_id", "ascending"), ("rnk", "ascending")])
 
 
+def _q_hourly_profile(sf_dir: str):
+    """Seasonality profile: average events per hour-of-day per type —
+    avg = count / distinct-days computed as the same integer-over-integer
+    division on both sides (exact doubles). Bounded cell fold (types ×
+    24 × days-distinct partials)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .with_columns(h=pl.col("ts").dt.hour().cast(pl.Int64),
+                            d=pl.col("ts").dt.date().cast(pl.Int32))
+              .group_by(["event_type", "h", "d"])
+              .agg(c=pl.len().cast(pl.Int64)))
+        return df.to_arrow()
+
+    cells = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["event_type", "h", "d"], ["c"])
+    days = cells["d"].n_unique()
+    out = (cells.group_by(["event_type", "h"])
+           .agg(n=pl.col("c").sum())
+           .with_columns(per_day=pl.col("n") * 1.0 / days)
+           .sort(["event_type", "h"]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"].to_list(), pa.string()),
+        "h": pa.array(out["h"].to_list(), pa.int64()),
+        "n": pa.array(out["n"].to_list(), pa.int64()),
+        "per_day": pa.array(out["per_day"].to_list(), pa.float64())})
+
+
 def _q_rate_spikes(sf_dir: str):
     """Traffic-spike detection: per event_type, minutes whose event count
     exceeds that type's mean by 3σ. The threshold compare runs in EXACT
@@ -3932,7 +3966,7 @@ ROTATED_FIRST = [
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
     "rate_spikes", "file_skipping", "topk_per_group", "corpus_prep",
-    "dup_ratio_by_source",
+    "dup_ratio_by_source", "hourly_profile",
 ]
 
 
@@ -4056,6 +4090,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "file_skipping": _q_file_skipping,
         "user_entropy": _q_user_entropy,
         "rate_spikes": _q_rate_spikes,
+        "hourly_profile": _q_hourly_profile,
         "topk_per_group": _q_topk_per_group,
         "q5_revenue": _q_q5_revenue,
         "chi_square": _q_chi_square,
@@ -4921,6 +4956,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT days.d AS d, count(DISTINCT du.user_id) AS u7"
             " FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d"
             " GROUP BY 1 ORDER BY 1"),
+        "hourly_profile": (
+            # per_day = n * 1.0 / distinct-days — identical integer
+            # division both sides
+            "WITH dd AS (SELECT count(DISTINCT CAST(date_trunc('day', ts)"
+            " AS DATE)) AS days FROM events) "
+            "SELECT event_type, hour(ts)::BIGINT AS h,"
+            " count(*) AS n, count(*) * 1.0 / (SELECT days FROM dd)"
+            "  AS per_day"
+            " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
         "topk_per_group": (
             "SELECT user_id, rnk, event_id, value FROM ("
             " SELECT user_id, event_id, value, row_number() OVER ("
