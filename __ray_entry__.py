@@ -1580,6 +1580,71 @@ def _q_decontaminate_embedding(sf_dir: str):
                                         pa.int64())})
 
 
+def _q_source_scorecard(sf_dir: str):
+    """Per-source quality SCORECARD — the provider-health report a crawl
+    operation reviews: docs, survivors of the full quality filter, keep
+    rate, and mean tokens of the kept docs. Composed from the oracled
+    filter (kept ids via semi-join, exact int token sums); every ratio is
+    the same integer-over-integer division on both sides."""
+    import polars as pl
+    import pyarrow as pa
+
+    from data_quality_framework_ray.pipelines.joins import semi_join
+    from data_quality_framework_ray.pipelines.stats import _fold_partials
+    from data_quality_framework_ray.pipelines.text_analysis import \
+        document_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .materialize()
+    decisions = document_filter(ds)
+
+    def kept_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["keep"], True)).select(["doc_id"])
+
+    kept = semi_join(ds, decisions.map_batches(kept_only,
+                                               batch_format="pyarrow"),
+                     on="doc_id")
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t.select(["source"])).group_by("source")
+                .agg(n_docs=pl.len().cast(pl.Int64)).to_arrow())
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(pa.table({"source": t["source"],
+                                      "t": t["text"]}))
+              .with_columns(tok=pl.col("t").fill_null("")
+                            .str.extract_all(r"\S+").list.len()
+                            .cast(pl.Int64))
+              .group_by("source")
+              .agg(n_keep=pl.len().cast(pl.Int64),
+                   tok_sum=pl.col("tok").sum()))
+        return df.to_arrow()
+
+    tot = _fold_partials(ds.map_batches(tot_partial,
+                                        batch_format="pyarrow"),
+                         ["source"], ["n_docs"])
+    kp = _fold_partials(kept.map_batches(kept_partial,
+                                         batch_format="pyarrow"),
+                        ["source"], ["n_keep", "tok_sum"])
+    j = tot.join(kp, on="source", how="left").sort("source") \
+        .with_columns(pl.col("n_keep").fill_null(0),
+                      pl.col("tok_sum").fill_null(0))
+    srcs = j["source"].to_list()
+    nd = [int(v) for v in j["n_docs"].to_list()]
+    nk = [int(v) for v in j["n_keep"].to_list()]
+    ts_ = [int(v) for v in j["tok_sum"].to_list()]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_keep": pa.array(nk, pa.int64()),
+        "keep_rate": pa.array([k * 1.0 / n for k, n in zip(nk, nd)],
+                              pa.float64()),
+        "avg_tokens_kept": pa.array(
+            [s * 1.0 / k if k else None for s, k in zip(ts_, nk)],
+            pa.float64())})
+
+
 def _q_dup_ratio_by_source(sf_dir: str):
     """Per-source duplicate-content ratio — the corpus-health metric a
     crawl pipeline tracks per provider. Distinct texts counted via the
@@ -3966,7 +4031,7 @@ ROTATED_FIRST = [
     "rolling_mean_time", "active_users_7d", "pii_scrub", "join_skew",
     "label_centroids", "read_evolved", "merge_upsert", "quarantine_json",
     "rate_spikes", "file_skipping", "topk_per_group", "corpus_prep",
-    "dup_ratio_by_source", "hourly_profile",
+    "dup_ratio_by_source", "hourly_profile", "source_scorecard",
 ]
 
 
@@ -4104,6 +4169,7 @@ def _query_fns() -> dict[str, Callable[[str], Any]]:
         "documents_filter": _q_documents_filter,
         "corpus_prep": _q_corpus_prep,
         "dup_ratio_by_source": _q_dup_ratio_by_source,
+        "source_scorecard": _q_source_scorecard,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "running_total": _q_running_total,
         "approx_quantiles": _q_approx_quantiles,
@@ -4751,6 +4817,27 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT 1 FROM b"
             "  WHERE list_cosine_similarity(c.embedding, b.e) >= 0.98)"
             " ORDER BY vec_id"),
+        "source_scorecard": (
+            # same filter rules as documents_filter; every ratio is the
+            # explicit integer-over-integer * 1.0 division
+            "WITH s AS (SELECT doc_id, source,"
+            "  length(text) AS n_chars,"
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens,"
+            "  (SELECT count(DISTINCT x) FROM"
+            "   unnest(regexp_extract_all(text, '\\S+')) AS u(x))"
+            "   AS n_distinct,"
+            "  min(doc_id) OVER (PARTITION BY text) AS rep"
+            "  FROM documents),"
+            "r AS (SELECT source, n_tokens,"
+            "  NOT (n_tokens < 12 OR n_chars > 500"
+            "   OR n_distinct * 100 < 45 * n_tokens OR doc_id <> rep)"
+            "   AS keep FROM s) "
+            "SELECT source, count(*) AS n_docs,"
+            " count(*) FILTER (keep) AS n_keep,"
+            " count(*) FILTER (keep) * 1.0 / count(*) AS keep_rate,"
+            " sum(n_tokens) FILTER (keep) * 1.0"
+            "  / count(*) FILTER (keep) AS avg_tokens_kept"
+            " FROM r GROUP BY 1 ORDER BY 1"),
         "dup_ratio_by_source": (
             # engine counts distinct 128-bit content hashes; DISTINCT text
             # is the same partition up to a 2^-128 collision (dedup_exact
