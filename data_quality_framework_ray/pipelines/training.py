@@ -53,6 +53,20 @@ def logreg_train(ds, text_col: str = "text", lang_col: str = "lang",
 
     d = len(FEATURE_NAMES)
 
+    # featurize ONCE (the regex-heavy pass), train over the materialized
+    # numeric table — iterations then stream d+1 float columns, not text
+    # (10.3 s -> ~3 s at sf0.1; also the right 100-TB order: featurize is
+    # the expensive pass, the trainer should never re-run it)
+    def featurize(t: pa.Table) -> pa.Table:
+        x, y = doc_features(t[text_col], t[lang_col].to_pylist())
+        cols = {f"f{i}": pa.array(x[:, i], pa.float64())
+                for i in range(d)}
+        cols["y"] = pa.array(y, pa.float64())
+        return pa.table(cols)
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           batch_size=config.TEXT_BATCH_SIZE).materialize()
+
     def partials(w_ref, final: bool):
         def f(t: pa.Table) -> pa.Table:
             w = ray.get(w_ref) if not isinstance(w_ref, np.ndarray) \
@@ -60,7 +74,9 @@ def logreg_train(ds, text_col: str = "text", lang_col: str = "lang",
             if t.num_rows == 0:
                 return pa.table({"g": pa.array([], pa.list_(pa.float64())),
                                  "n": pa.array([], pa.int64())})
-            x, y = doc_features(t[text_col], t[lang_col].to_pylist())
+            x = np.column_stack([t[f"f{i}"].to_numpy(zero_copy_only=False)
+                                 for i in range(d)])
+            y = t["y"].to_numpy(zero_copy_only=False)
             z = x @ w
             p = 1.0 / (1.0 + np.exp(-z))
             if final:
@@ -83,7 +99,7 @@ def logreg_train(ds, text_col: str = "text", lang_col: str = "lang",
     w = np.zeros(d, dtype=np.float64)
     for _ in range(iters):
         ref = ray.put(w)
-        g, n = fold(ds.map_batches(partials(ref, final=False),
+        g, n = fold(feats.map_batches(partials(ref, final=False),
                                    batch_format="pyarrow",
                                    batch_size=config.TEXT_BATCH_SIZE)
                     .take_all())
@@ -92,7 +108,7 @@ def logreg_train(ds, text_col: str = "text", lang_col: str = "lang",
         w = w - lr * (g / n)
 
     ref = ray.put(w)
-    acc_g, acc_n = fold(ds.map_batches(partials(ref, final=True),
+    acc_g, acc_n = fold(feats.map_batches(partials(ref, final=True),
                                        batch_format="pyarrow",
                                        batch_size=config.TEXT_BATCH_SIZE)
                         .take_all())
